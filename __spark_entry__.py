@@ -1,10 +1,12 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry implements one operator (or composed pipeline) from
+SURVEY.md §2 + the LLM-pipeline extensions, as idiomatic PySpark in
+`trainee_scala_module_8_kafka_streaming_etl_pipeline_spark`, with a
+value-equivalent DuckDB oracle. Column names/aliases match exactly on
+both sides; float aggregates go through exact DECIMAL accumulation or
+are rounded identically (6 dp) in both engines so the driver's value
+hash matches.
 """
 
 from __future__ import annotations
@@ -12,27 +14,853 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.catalog import load
+from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.functions import text as T
+from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+    cdc,
+    compaction,
+    dedup,
+    joins,
+    similarity,
+)
+from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.plans import flagship
+
+# --------------------------------------------------------------------------
+# registry: name -> (spark_fn, oracle_sql | None)
+# --------------------------------------------------------------------------
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def _q(name: str, oracle: str | None):
+    def deco(fn):
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+# helper event streams ------------------------------------------------------
+def _events(spark, sf):
+    return load(spark, sf, "events")
+
+
+def _purchases(spark, sf):
+    return _events(spark, sf).filter(F.col("event_type") == "purchase")
+
+
+def _clicks(spark, sf):
+    return _events(spark, sf).filter(F.col("event_type") == "click")
+
+
+_PURCHASES_SQL = "SELECT * FROM events WHERE event_type = 'purchase'"
+_CLICKS_SQL = "SELECT * FROM events WHERE event_type = 'click'"
+
+
+# ===========================================================================
+# Reference parity (SURVEY.md §2)
+# ===========================================================================
+
+# A1/A2 — groupBy re-key + latest_by_offset changelog compaction
+@_q(
+    "latest_by_offset",
+    """
+    SELECT user_id,
+           max_by(event_type, event_id) AS latest_event_type,
+           max_by(value, event_id)      AS latest_value,
+           max(event_id)                AS last_offset,
+           count(*)                     AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def q_latest_by_offset(spark, sf):
+    out = compaction.latest_by_offset(
+        _events(spark, sf),
+        keys=["user_id"],
+        offset_col="event_id",
+        value_cols=["event_type", "value"],
+        extra_aggs=[F.count(F.lit(1)).alias("n_events")],
+    )
+    return out.select(
+        "user_id",
+        F.col("event_type").alias("latest_event_type"),
+        F.col("value").alias("latest_value"),
+        F.col("event_id").alias("last_offset"),
+        "n_events",
+    )
+
+
+# P1/P2/P3 — projection, aliasing, filter predicates
+@_q(
+    "project_filter",
+    """
+    SELECT o_orderkey            AS order_id,
+           o_custkey             AS customer_id,
+           o_totalprice          AS price,
+           substr(o_orderpriority, 1, 1) AS priority_class
+    FROM orders
+    WHERE o_totalprice > 50000 AND o_orderstatus = 'O'
+    """,
+)
+def q_project_filter(spark, sf):
+    o = load(spark, sf, "orders")
+    return o.filter((F.col("o_totalprice") > 50000) & (F.col("o_orderstatus") == "O")).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_totalprice").alias("price"),
+        F.substring("o_orderpriority", 1, 1).alias("priority_class"),
+    )
+
+
+# J1 — stream-table LEFT equi-join (enrichment lookup)
+@_q(
+    "stream_table_enrich",
+    f"""
+    SELECT p.event_id     AS order_id,
+           p.user_id      AS customer_id,
+           c.c_name       AS customer_name,
+           c.c_mktsegment AS customer_segment,
+           p.value        AS price,
+           p.ts           AS order_ts
+    FROM ({_PURCHASES_SQL}) p
+    LEFT JOIN customer c ON p.user_id = c.c_custkey
+    """,
+)
+def q_stream_table_enrich(spark, sf):
+    p = _purchases(spark, sf)
+    c = load(spark, sf, "customer")
+    out = joins.enrich(p, c, on=F.col("user_id") == F.col("c_custkey"), how="left")
+    return out.select(
+        F.col("event_id").alias("order_id"),
+        F.col("user_id").alias("customer_id"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("customer_segment"),
+        F.col("value").alias("price"),
+        F.col("ts").alias("order_ts"),
+    )
+
+
+# J2 — stream-stream interval join (WITHIN ±1 day)
+_INTERVAL_JOIN_SQL = f"""
+    SELECT p.event_id AS purchase_id,
+           k.event_id AS click_id,
+           p.user_id  AS user_id,
+           p.ts       AS purchase_ts,
+           k.ts       AS click_ts
+    FROM ({_PURCHASES_SQL}) p
+    JOIN ({_CLICKS_SQL}) k
+      ON p.user_id = k.user_id
+     AND k.ts >= p.ts - INTERVAL 1 DAY
+     AND k.ts <= p.ts + INTERVAL 1 DAY
+    """
+
+
+@_q("interval_join", _INTERVAL_JOIN_SQL)
+def q_interval_join(spark, sf):
+    out = joins.interval_join(
+        _purchases(spark, sf),
+        _clicks(spark, sf),
+        keys=[("user_id", "user_id")],
+        left_ts="ts",
+        right_ts="ts",
+        lower="-INTERVAL 1 DAY",
+        upper="INTERVAL 1 DAY",
+    )
+    return out.select(
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("r.event_id").alias("click_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.ts").alias("purchase_ts"),
+        F.col("r.ts").alias("click_ts"),
+    )
+
+
+# J2 (bucketed physical variant — same semantics, scale plan)
+@_q("interval_join_bucketed", _INTERVAL_JOIN_SQL)
+def q_interval_join_bucketed(spark, sf):
+    out = joins.interval_join(
+        _purchases(spark, sf),
+        _clicks(spark, sf),
+        keys=[("user_id", "user_id")],
+        left_ts="ts",
+        right_ts="ts",
+        lower="-INTERVAL 1 DAY",
+        upper="INTERVAL 1 DAY",
+        time_bucket_seconds=86400,
+    )
+    return out.select(
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("r.event_id").alias("click_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.ts").alias("purchase_ts"),
+        F.col("r.ts").alias("click_ts"),
+    )
+
+
+# flagship composed pipeline (A2 → J1 → J2 → S9 keyed upsert)
+@_q(
+    "flagship_shipped_orders",
+    f"""
+    WITH p AS (SELECT event_id AS purchase_id, user_id, value AS price, ts
+               FROM events WHERE event_type = 'purchase'),
+    enriched AS (
+        SELECT p.purchase_id, p.user_id, p.price, p.ts,
+               c.c_name AS customer_name, c.c_mktsegment AS customer_segment
+        FROM p LEFT JOIN customer c ON p.user_id = c.c_custkey),
+    shipped AS (
+        SELECT e.purchase_id, e.user_id AS customer_id, e.customer_name,
+               e.customer_segment, e.price, e.ts AS purchase_ts,
+               k.event_id AS click_id, k.ts AS click_ts
+        FROM enriched e
+        JOIN ({_CLICKS_SQL}) k
+          ON e.user_id = k.user_id
+         AND k.ts >= e.ts - INTERVAL 1 DAY
+         AND k.ts <= e.ts + INTERVAL 1 DAY)
+    SELECT purchase_id, customer_id, customer_name, customer_segment,
+           price, purchase_ts,
+           max(click_id)              AS last_click_id,
+           max_by(click_ts, click_id) AS last_click_ts,
+           count(*)                   AS n_clicks
+    FROM shipped
+    GROUP BY purchase_id, customer_id, customer_name, customer_segment,
+             price, purchase_ts
+    """,
+)
+def q_flagship(spark, sf):
+    return flagship.shipped_orders(spark, sf)
+
+
+# S3 — CDC envelope unwrap, delete-rewrite mode
+_OP_CASE = "CASE WHEN event_type = 'signup' THEN 'c' WHEN event_type = 'error' THEN 'd' ELSE 'u' END"
+
+
+@_q(
+    "cdc_unwrap_rewrite",
+    """
+    SELECT event_id, user_id, value,
+           (event_type = 'error') AS __deleted
+    FROM events
+    """,
+)
+def q_cdc_unwrap_rewrite(spark, sf):
+    env = cdc.wrap_envelope(
+        _events(spark, sf).select("event_id", "user_id", "value", "event_type"),
+        op_expr=F.expr(_OP_CASE),
+    )
+    env = env.withColumn("after", F.col("after").dropFields("event_type"))
+    return cdc.unwrap_rewrite(env)
+
+
+# S4 — CDC envelope unwrap, delete-drop mode + op metadata column
+@_q(
+    "cdc_unwrap_drop",
+    """
+    SELECT event_id, user_id, value,
+           CASE WHEN event_type = 'signup' THEN 'c' ELSE 'u' END AS op
+    FROM events WHERE event_type <> 'error'
+    """,
+)
+def q_cdc_unwrap_drop(spark, sf):
+    env = cdc.wrap_envelope(
+        _events(spark, sf).select("event_id", "user_id", "value", "event_type"),
+        op_expr=F.expr(_OP_CASE),
+    )
+    env = env.withColumn("after", F.col("after").dropFields("event_type"))
+    return cdc.unwrap_drop(env)
+
+
+# S9/E2 — keyed upsert apply with delete propagation
+@_q(
+    "keyed_upsert",
+    """
+    SELECT user_id,
+           max_by(value, event_id) AS last_value,
+           max_by(ts, event_id)    AS last_ts,
+           max(event_id)           AS last_offset
+    FROM events GROUP BY user_id
+    HAVING max_by(event_type, event_id) <> 'error'
+    """,
+)
+def q_keyed_upsert(spark, sf):
+    changelog = _events(spark, sf).withColumn(
+        "__deleted", F.col("event_type") == "error"
+    )
+    out = compaction.apply_changelog(
+        changelog, keys=["user_id"], offset_col="event_id",
+        value_cols=["value", "ts"],
+    )
+    return out.select(
+        "user_id",
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_offset"),
+    )
+
+
+# S6 — event-time assignment (string → timestamp parse)
+@_q(
+    "event_time_parse",
+    """
+    SELECT date_trunc('day', strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'),
+                                      '%Y-%m-%dT%H:%M:%S')) AS event_day,
+           count(*) AS n_events,
+           min(strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S')) AS first_ts,
+           max(strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S')) AS last_ts
+    FROM events GROUP BY 1
+    """,
+)
+def q_event_time_parse(spark, sf):
+    fmt = "yyyy-MM-dd'T'HH:mm:ss"
+    parsed = F.to_timestamp(F.date_format("ts", fmt), fmt)
+    return (
+        _events(spark, sf)
+        .select(parsed.alias("parsed"))
+        .groupBy(F.date_trunc("day", "parsed").alias("event_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("parsed").alias("first_ts"),
+            F.max("parsed").alias("last_ts"),
+        )
+    )
+
+
+# ===========================================================================
+# Standard analytics surface (extension phase 4; all exact-decimal math)
+# ===========================================================================
+
+_DEC = "decimal(18,4)"
+
+
+@_q(
+    "agg_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           cast(sum(cast(l_quantity AS {_DEC})) AS double)      AS sum_qty,
+           cast(sum(cast(l_extendedprice AS {_DEC})) AS double) AS sum_base_price,
+           cast(sum(cast(l_extendedprice AS {_DEC}) * cast(1 - l_discount AS {_DEC})) AS double)
+                                                                AS sum_disc_price,
+           round(cast(sum(cast(l_quantity AS {_DEC})) AS double) / count(*), 6) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_summary(spark, sf):
+    li = load(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.expr("TIMESTAMP '1998-09-01'")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double").alias("sum_base_price"),
+        F.sum(
+            F.col("l_extendedprice").cast(_DEC) * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+        ).cast("double").alias("sum_disc_price"),
+        F.round(
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@_q(
+    "windowed_agg_tumbling",
+    """
+    SELECT date_trunc('day', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           cast(sum(cast(value AS decimal(18,6))) AS double) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_windowed_agg_tumbling(spark, sf):
+    return (
+        _events(spark, sf)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@_q(
+    "session_window",
+    """
+    WITH d AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d)
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_session_window(spark, sf):
+    return (
+        _events(spark, sf)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events")
+    )
+
+
+@_q(
+    "topn_per_group",
+    """
+    SELECT * FROM (
+      SELECT o_orderpriority AS priority,
+             o_orderkey      AS order_id,
+             o_totalprice    AS price,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders) WHERE rnk <= 3
+    """,
+)
+def q_topn_per_group(spark, sf):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        load(spark, sf, "orders")
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_totalprice").alias("price"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@_q(
+    "rollup_agg",
+    """
+    SELECT r_name, n_name, count(*) AS n_customers,
+           cast(sum(cast(c_acctbal AS decimal(18,4))) AS double) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_rollup_agg(spark, sf):
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region")
+    joined = c.join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("total_acctbal"),
+    )
+
+
+@_q(
+    "join_semi",
+    """
+    SELECT c_custkey AS customer_id, c_name AS customer_name
+    FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_semi(spark, sf):
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi").select(
+        F.col("c_custkey").alias("customer_id"), F.col("c_name").alias("customer_name")
+    )
+
+
+@_q(
+    "join_anti",
+    """
+    SELECT c_custkey AS customer_id, c_name AS customer_name
+    FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_anti(spark, sf):
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+        F.col("c_custkey").alias("customer_id"), F.col("c_name").alias("customer_name")
+    )
+
+
+@_q(
+    "asof_join",
+    f"""
+    SELECT k.event_id AS click_id,
+           k.user_id  AS user_id,
+           k.ts       AS click_ts,
+           p.purchase_id      AS last_purchase_id,
+           p.purchase_value   AS last_purchase_value,
+           p.ts               AS last_purchase_ts
+    FROM ({_CLICKS_SQL}) k
+    ASOF LEFT JOIN (SELECT event_id AS purchase_id, user_id,
+                           value AS purchase_value, ts
+                    FROM events WHERE event_type = 'purchase') p
+      ON k.user_id = p.user_id AND k.ts >= p.ts
+    """,
+)
+def q_asof_join(spark, sf):
+    left = _clicks(spark, sf).select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    right = _purchases(spark, sf).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+        "ts",
+    )
+    out = joins.asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["purchase_id", "purchase_value"], prefix="last_",
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        "last_purchase_id",
+        F.col("last_purchase_value"),
+        F.col("last_ts").alias("last_purchase_ts"),
+    )
+
+
+@_q(
+    "json_extract",
+    """
+    SELECT event_type,
+           sum(cast(regexp_extract(props, '"k": ([0-9]+)', 1) AS bigint)) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_extract(spark, sf):
+    return (
+        _events(spark, sf)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.regexp_extract("props", '"k": ([0-9]+)', 1).cast("bigint")).alias(
+                "sum_k"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ===========================================================================
+# LLM-data-pipeline operators (dedup / text / similarity / multimodal)
+# ===========================================================================
+
+
+@_q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark, sf):
+    return dedup.exact_dup_groups(load(spark, sf, "documents"))
+
+
+def _oracle_minhash() -> str:
+    mh_exprs = ",\n           ".join(
+        f"min(({a} * h + {b}) % {dedup.MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(dedup.AB)
+    )
+    bands = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band_idx, "
+        f"mh{bi * dedup.BAND_ROWS}::VARCHAR || '_' || mh{bi * dedup.BAND_ROWS + 1}::VARCHAR AS band_key FROM sig"
+        for bi in range(dedup.N_BANDS)
+    )
+    return f"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS n
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, substr(n, i, {dedup.SHINGLE_LEN}) AS shingle
+      FROM norm, generate_series(1, 4000) AS g(i)
+      WHERE len(n) >= {dedup.SHINGLE_LEN} AND i <= len(n) - {dedup.SHINGLE_LEN - 1}),
+    hashed AS (
+      SELECT doc_id, shingle,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {dedup.HASH_MOD} AS h
+      FROM sh),
+    sig AS (
+      SELECT doc_id,
+           {mh_exprs},
+           count(*) AS n_sh
+      FROM hashed GROUP BY doc_id),
+    bands AS (
+      {bands}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN hashed sa ON sa.doc_id = c.doc_a
+      JOIN hashed sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b,
+           round(i.n_inter / (na.n_sh + nb.n_sh - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sig na ON na.doc_id = i.doc_a
+    JOIN sig nb ON nb.doc_id = i.doc_b
+    WHERE round(i.n_inter / (na.n_sh + nb.n_sh - i.n_inter), 6) >= {dedup.JACCARD_THRESHOLD}
+    """
+
+
+@_q("minhash_near_dups", _oracle_minhash())
+def q_minhash_near_dups(spark, sf):
+    return dedup.verified_near_dups(load(spark, sf, "documents"))
+
+
+def _oracle_simhash_fp() -> str:
+    sums = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(dedup.SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(dedup.SIMHASH_BITS)
+    )
+    return f"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS n
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, substr(n, i, {dedup.SHINGLE_LEN}) AS shingle
+      FROM norm, generate_series(1, 4000) AS g(i)
+      WHERE len(n) >= {dedup.SHINGLE_LEN} AND i <= len(n) - {dedup.SHINGLE_LEN - 1}),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {dedup.HASH_MOD} AS h
+      FROM sh),
+    voted AS (
+      SELECT doc_id,
+           {sums}
+      FROM hashed GROUP BY doc_id)
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM voted
+    """
+
+
+@_q("simhash_fingerprint", _oracle_simhash_fp())
+def q_simhash_fingerprint(spark, sf):
+    return dedup.simhash_fingerprints(load(spark, sf, "documents"))
+
+
+def _oracle_simhash_pairs() -> str:
+    chunk_bits = dedup.SIMHASH_BITS // dedup.SIMHASH_CHUNKS
+    mask = (1 << chunk_bits) - 1
+    chunks = "\n      UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS chunk_idx, (simhash >> {i * chunk_bits}) & {mask} AS chunk_val FROM fp"
+        for i in range(dedup.SIMHASH_CHUNKS)
+    )
+    return f"""
+    WITH fp AS ({_oracle_simhash_fp()}),
+    chunks AS (
+      {chunks}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM chunks a JOIN chunks b
+        ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+       AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+    FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= {dedup.SIMHASH_MAX_HAMMING}
+    """
+
+
+@_q("simhash_near_dups", _oracle_simhash_pairs())
+def q_simhash_near_dups(spark, sf):
+    return dedup.simhash_near_dups(load(spark, sf, "documents"))
+
+
+# text analysis -------------------------------------------------------------
+
+_TOK_SQL = r"len(regexp_split_to_array(trim(text), '\s+'))"
+_PUNCT_SQL = r"len(regexp_extract_all(text, '[.,!?;:]'))"
+_BPE_SQL = r"len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))"
+_STOP_SQL = r"len(regexp_extract_all(lower(text), '\b(the|a|and|of|in|to|is|it)\b'))"
+
+
+@_q(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           {_TOK_SQL}   AS n_tokens,
+           {_BPE_SQL}   AS n_bpe_tokens,
+           round({_PUNCT_SQL} / greatest(length(text), 1), 6) AS punct_ratio,
+           round({_STOP_SQL} / greatest({_TOK_SQL}, 1), 6)    AS stopword_ratio,
+           round(length(regexp_replace(text, '\\s+', '', 'g'))
+                 / greatest({_TOK_SQL}, 1), 6)                AS avg_token_len,
+           round(least(length(text) / 200.0, 1.0) * 0.4
+                 + least(round({_STOP_SQL} / greatest({_TOK_SQL}, 1), 6) * 4.0, 1.0) * 0.4
+                 + (1.0 - least(round({_PUNCT_SQL} / greatest(length(text), 1), 6) * 10.0, 1.0)) * 0.2,
+                 6) AS quality_score
+    FROM documents
+    """,
+)
+def q_text_stats(spark, sf):
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        T.n_tokens().alias("n_tokens"),
+        T.n_bpe_tokens().alias("n_bpe_tokens"),
+        T.punct_ratio().alias("punct_ratio"),
+        T.stopword_ratio().alias("stopword_ratio"),
+        T.avg_token_len().alias("avg_token_len"),
+        T.quality_score().alias("quality_score"),
+    )
+
+
+def _oracle_lang_id() -> str:
+    langs = sorted(T.LANG_MARKERS)
+    score = {
+        lg: rf"len(regexp_extract_all(lower(text), '\b({'|'.join(T.LANG_MARKERS[lg])})\b'))"
+        for lg in langs
+    }
+    encoded = ", ".join(f"{score[lg]} * 8 + {i}" for i, lg in enumerate(langs))
+    decode = " ".join(
+        f"WHEN {i} THEN '{lg}'" for i, lg in enumerate(langs)
+    )
+    return f"""
+    SELECT doc_id, lang,
+           CASE WHEN greatest({encoded}) >= 8
+                THEN CASE greatest({encoded}) % 8 {decode} END
+                ELSE 'und' END AS pred_lang
+    FROM documents
+    """
+
+
+@_q("lang_id", _oracle_lang_id())
+def q_lang_id(spark, sf):
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", "lang", T.predicted_lang().alias("pred_lang"))
+
+
+@_q(
+    "token_count",
+    f"""
+    SELECT lang,
+           sum({_TOK_SQL}) AS total_ws_tokens,
+           sum({_BPE_SQL}) AS total_bpe_tokens,
+           count(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def q_token_count(spark, sf):
+    d = load(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(T.n_tokens()).alias("total_ws_tokens"),
+        F.sum(T.n_bpe_tokens()).alias("total_bpe_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@_q(
+    "doc_fingerprint",
+    """
+    SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark, sf):
+    return load(spark, sf, "documents").select(
+        "doc_id", T.fingerprint().alias("fingerprint")
+    )
+
+
+# similarity search ---------------------------------------------------------
+
+_COS_PAIR_SQL = (
+    "round((SELECT sum(a.v[i] * b.v[i]) FROM generate_series(1, 64) AS g(i))"
+    " / (sqrt((SELECT sum(a.v[i] * a.v[i]) FROM generate_series(1, 64) AS g(i)))"
+    " * sqrt((SELECT sum(b.v[i] * b.v[i]) FROM generate_series(1, 64) AS g(i)))), 6)"
+)
+
+
+@_q(
+    "ann_cosine_topk",
+    f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v FROM c WHERE vec_id < 10),
+    scored AS (
+      SELECT b.query_id, a.vec_id AS neighbor_id, {_COS_PAIR_SQL} AS cos
+      FROM c a JOIN q b ON a.vec_id <> b.query_id
+    )
+    SELECT query_id, neighbor_id, cos, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored) WHERE rnk <= 5
+    """,
+)
+def q_ann_cosine_topk(spark, sf):
+    return similarity.brute_force_topk(load(spark, sf, "embeddings"))
+
+
+@_q("ann_ivf_topk", None)  # approximate op — rows-only check
+def q_ann_ivf_topk(spark, sf):
+    return similarity.ivf_topk(load(spark, sf, "embeddings"))
+
+
+@_q(
+    "embedding_neardup",
+    f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_PAIR_SQL} AS cos
+    FROM c a JOIN c b ON a.vec_id < b.vec_id
+    WHERE {_COS_PAIR_SQL} >= 0.4
+    """,
+)
+def q_embedding_neardup(spark, sf):
+    return similarity.neardup_pairs(load(spark, sf, "embeddings"), threshold=0.4)
+
+
+@_q(
+    "multimodal_meta",
+    """
+    SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
+           octet_length(text::BLOB) // 1000 + 1 AS n_chunks
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark, sf):
+    d = load(spark, sf, "documents")
+    blob = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.length(blob).alias("n_bytes"),
+        (F.floor(F.length(blob) / 1000) + 1).cast("bigint").alias("n_chunks"),
+    )
+
+
+# ===========================================================================
+# driver contract
+# ===========================================================================
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return flagship.shipped_orders(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}

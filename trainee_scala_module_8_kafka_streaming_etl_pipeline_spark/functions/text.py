@@ -1,0 +1,114 @@
+"""Text-analysis functions for training-data pipelines.
+
+All expressions are JVM-side built-ins (no Python UDFs) chosen from the
+intersection of Spark SQL and DuckDB semantics so the oracle can verify
+them value-for-value: length/replace/lower, simple-character-class
+regexes (identical in Java regex and RE2), md5, and exact integer
+arithmetic. Ratios are rounded to 6 dp in both engines.
+
+Everything here is a narrow per-row projection: zero shuffles, fully
+inside WholeStageCodegen, scales linearly with the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# simple, dialect-identical character classes
+PUNCT_CLASS = r"[.,!?;:]"
+WORD_SPLIT = r"\s+"
+# BPE-ish tokenizer: words, numbers, or single non-space symbols
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+STOPWORDS = ("the", "a", "and", "of", "in", "to", "is", "it")
+
+# per-language marker words for the n-gram/stopword language heuristic
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "die", "und", "ist"),
+    "fr": ("le", "la", "et", "est"),
+    "es": ("el", "los", "que", "es"),
+    "zh": ("de", "shi", "le", "bu"),
+}
+
+
+def n_tokens(col: str = "text") -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(F.col(col)), WORD_SPLIT))
+
+
+def n_punct(col: str = "text") -> Column:
+    return F.regexp_count(F.col(col), F.lit(PUNCT_CLASS))
+
+
+def n_bpe_tokens(col: str = "text") -> Column:
+    """Token count under a BPE-ish regex tokenizer (words / numbers /
+    single symbols) — the usual pre-tokenizer granularity."""
+    return F.regexp_count(F.col(col), F.lit(BPE_PATTERN))
+
+
+def stopword_count(col: str = "text") -> Column:
+    pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    return F.regexp_count(F.lower(F.col(col)), F.lit(pat))
+
+
+def punct_ratio(col: str = "text") -> Column:
+    return F.round(n_punct(col).cast("double") / F.greatest(F.length(col), F.lit(1)), 6)
+
+
+def stopword_ratio(col: str = "text") -> Column:
+    return F.round(
+        stopword_count(col).cast("double") / F.greatest(n_tokens(col), F.lit(1)), 6
+    )
+
+
+def avg_token_len(col: str = "text") -> Column:
+    """Mean token length = non-space chars / token count (exact integer
+    inputs, one double division → portable)."""
+    nonspace = F.length(F.regexp_replace(F.col(col), WORD_SPLIT, ""))
+    return F.round(nonspace.cast("double") / F.greatest(n_tokens(col), F.lit(1)), 6)
+
+
+def quality_score(col: str = "text") -> Column:
+    """Heuristic document quality in [0,1]: rewards mid-length docs and
+    normal stopword density, penalizes punctuation soup. Deterministic
+    closed form so the oracle reproduces it exactly."""
+    len_score = F.least(F.length(col).cast("double") / F.lit(200.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio(col) * 4.0, F.lit(1.0))
+    punct_penalty = F.least(punct_ratio(col) * 10.0, F.lit(1.0))
+    return F.round(
+        (len_score * 0.4 + stop_score * 0.4 + (F.lit(1.0) - punct_penalty) * 0.2), 6
+    )
+
+
+def lang_scores(col: str = "text") -> dict[str, Column]:
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        pat = r"\b(" + "|".join(markers) + r")\b"
+        out[lang] = F.regexp_count(F.lower(F.col(col)), F.lit(pat))
+    return out
+
+
+def predicted_lang(col: str = "text") -> Column:
+    """Argmax language by marker-word hits; zero hits → 'und'.
+
+    Portable argmax: encode (score, rank) as ``score * 8 + rank`` with a
+    fixed alphabetical rank per language, take ``greatest``, decode the
+    rank — plain integer math that DuckDB evaluates identically. Ties
+    resolve to the alphabetically-last language.
+    """
+    scores = lang_scores(col)
+    langs = sorted(scores)  # fixed rank order
+    encoded = [scores[lg] * 8 + i for i, lg in enumerate(langs)]
+    best = F.greatest(*encoded)
+    decoded = F.lit("und")
+    for i, lg in reversed(list(enumerate(langs))):
+        decoded = F.when(best % 8 == i, F.lit(lg)).otherwise(decoded)
+    return F.when(best >= 8, decoded).otherwise(F.lit("und"))
+
+
+def fingerprint(col: str = "text") -> Column:
+    """Document fingerprint: md5 of the alnum-normalized text — robust
+    to whitespace/punctuation-only edits, portable across engines."""
+    return F.md5(F.regexp_replace(F.lower(F.col(col)), "[^a-z0-9]", ""))

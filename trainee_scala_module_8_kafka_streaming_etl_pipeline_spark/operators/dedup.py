@@ -1,0 +1,291 @@
+"""Deduplication operators for large-scale text pipelines.
+
+Four families, all built on one shared shingle+hash substrate so the
+DuckDB oracle can reproduce results bit-for-bit:
+
+  exact        — md5(text) hash-groupBy (one shuffle, map-side combine)
+  minhash LSH  — char-5-gram shingles → 32 minhashes → 16 bands of 2 →
+                 band-bucket self-join for candidates → exact-Jaccard
+                 verification on candidates only
+  simhash      — 60-bit fingerprint from shingle hashes; near-dup pairs
+                 via pigeonhole chunk blocking + hamming distance
+  (n-gram Jaccard is the verification stage of the minhash path)
+
+Hash substrate (portable across Spark and DuckDB, both produce the same
+bigint): ``h(s) = bigint(hex(md5(s)[:15])) % 2^30``, then the i-th
+minhash function is ``(a_i*h + b_i) % P`` with fixed odd constants.
+md5 is identical everywhere; 15 hex chars = 60 bits fits a signed
+bigint; a_i < 2^32 and h < 2^30 keep products under 2^62 (no overflow
+in either engine).
+
+Scale design: everything is explode → hash-aggregate → equi-join.
+Shingling is a narrow op; minhash signatures are one groupBy(doc_id)
+with map-side partial min; LSH banding turns the quadratic all-pairs
+problem into an equi-join on (band_idx, band_key); verification joins
+only candidate pairs. No window sorts, no cross joins, no driver
+collection — each stage is a single shuffle keyed well.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_LEN = 5
+N_HASHES = 32
+N_BANDS = 16  # rows-per-band = 2 → recall ~1.0 at jaccard >= 0.8
+BAND_ROWS = N_HASHES // N_BANDS
+HASH_MOD = 1 << 30
+MINHASH_P = 2305843009213693951  # 2^61 - 1 (prime)
+JACCARD_THRESHOLD = 0.8
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4  # pigeonhole blocks for hamming <= 3
+SIMHASH_MAX_HAMMING = 3
+
+
+def _ab_pairs(n: int = N_HASHES) -> list[tuple[int, int]]:
+    """Deterministic LCG-generated (a, b) constants — same table is
+    inlined into the DuckDB oracle SQL, keeping both engines in sync."""
+    x, pairs = 12345, []
+    for _ in range(n):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        a = 2 * x + 1
+        x = (1103515245 * x + 12345) % (1 << 31)
+        pairs.append((a, x))
+    return pairs
+
+
+AB = _ab_pairs()
+
+# --- shared SQL fragments (valid in both Spark SQL and DuckDB) ---------
+NORM_SQL = "trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' '))"
+
+
+def normalize_text(col: str = "text") -> F.Column:
+    return F.trim(F.regexp_replace(F.lower(F.col(col)), "[^a-z0-9]+", " "))
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct char-N-gram shingles per document with their base hash.
+
+    Narrow explode (no shuffle) followed by distinct (one shuffle on
+    (doc, shingle)); downstream stages reuse this frame, so cache it
+    when running several dedup ops over the same corpus.
+    """
+    norm = normalize_text(text_col)
+    base = df.select(F.col(id_col), norm.alias("_norm")).filter(
+        F.length("_norm") >= SHINGLE_LEN
+    )
+    pos = F.explode(F.sequence(F.lit(1), F.length("_norm") - (SHINGLE_LEN - 1)))
+    sh = base.select(
+        F.col(id_col), pos.alias("_pos"), F.col("_norm")
+    ).select(
+        F.col(id_col),
+        F.expr(f"substr(_norm, _pos, {SHINGLE_LEN})").alias("shingle"),
+    )
+    hashed = sh.distinct().withColumn(
+        "h",
+        F.expr(
+            f"pmod(cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint), {HASH_MOD})"
+        ),
+    )
+    return hashed
+
+
+def exact_dup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup: group identical texts by md5, keep the lowest id.
+
+    One hash-shuffle on the 32-char digest (never on the full text —
+    at 100 TB the digest shuffle is ~1000x smaller than a text shuffle).
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """32 minhash values per doc: one groupBy with 32 partial-min aggs
+    (map-side combine collapses each task to one row per doc before the
+    exchange — no sort, no window)."""
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(AB)
+    ]
+    aggs.append(F.count(F.lit(1)).alias("n_shingles"))
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band the signatures and self-join band buckets → candidate pairs.
+
+    Each band key is the concatenation of BAND_ROWS consecutive
+    minhashes; docs sharing any band key become a candidate pair. The
+    self-join is an equi-join on (band_idx, band_key) — the LSH trick
+    that replaces the O(n^2) comparison with a shuffle join.
+    """
+    band_cols = []
+    for bi in range(N_BANDS):
+        parts = []
+        for r in range(BAND_ROWS):
+            parts.append(F.col(f"mh{bi * BAND_ROWS + r}").cast("string"))
+            parts.append(F.lit("_"))
+        band_cols.append(F.concat(*parts[:-1]).alias(f"band{bi}"))
+    banded = sig.select(id_col, *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.expr(
+            "stack("
+            + str(N_BANDS)
+            + ", "
+            + ", ".join(f"{bi}, band{bi}" for bi in range(N_BANDS))
+            + ") as (band_idx, band_key)"
+        ),
+    ).select(id_col, "band_idx", "band_key")
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def verified_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Output: (doc_a, doc_b, jaccard) for pairs whose exact char-5-gram
+    Jaccard >= threshold, discovered via LSH candidates. With 16 bands
+    of 2 rows, P(candidate | jaccard=0.8) = 1-(1-0.8^2)^16 > 0.9994, so
+    at the verification threshold recall is ~1 and the output equals the
+    ground-truth all-pairs computation the oracle can also derive.
+    """
+    sh = shingles(df, id_col, text_col).cache()
+    sig = minhash_signatures(sh, id_col)
+    cand = lsh_candidate_pairs(sig, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # intersect counts: join candidates' shingle sets on equal shingles
+    sha = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle"))
+    shb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle"))
+    inter = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return jac
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """60-bit SimHash per doc: majority vote of each hash bit across the
+    doc's shingles. One groupBy(doc) with 60 conditional-sum aggs —
+    map-side combinable, no sort."""
+    sh = shingles(df, id_col, text_col)
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    voted = sh.groupBy(id_col).agg(*bit_aggs)
+    fp = voted.select(
+        F.col(id_col),
+        sum(
+            (F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+            for b in range(SIMHASH_BITS)
+        )
+        .cast("long")
+        .alias("simhash"),
+    )
+    return fp
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, found without an
+    all-pairs scan: split the 60-bit fingerprint into 4 chunks of 15
+    bits; any pair within hamming<=3 must agree exactly on >=1 chunk
+    (pigeonhole), so block on (chunk_idx, chunk_value) equi-join."""
+    fp = simhash_fingerprints(df, id_col, text_col)
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    mask = (1 << chunk_bits) - 1
+    chunks = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftright(F.col("simhash"), i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.chunk_idx", "c.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+    return pairs
