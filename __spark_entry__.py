@@ -302,8 +302,8 @@ def q_keyed_upsert(spark, sf):
 @_q(
     "event_time_parse",
     """
-    SELECT date_trunc('day', strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'),
-                                      '%Y-%m-%dT%H:%M:%S')) AS event_day,
+    SELECT cast(date_trunc('day', strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'),
+                                      '%Y-%m-%dT%H:%M:%S')) AS TIMESTAMP) AS event_day,
            count(*) AS n_events,
            min(strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S')) AS first_ts,
            max(strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S')) AS last_ts
@@ -367,7 +367,7 @@ def q_agg_summary(spark, sf):
 @_q(
     "windowed_agg_tumbling",
     """
-    SELECT date_trunc('day', ts) AS window_start, event_type,
+    SELECT cast(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
            count(*) AS n_events,
            cast(sum(cast(value AS decimal(18,6))) AS double) AS total_value
     FROM events GROUP BY 1, 2
@@ -756,8 +756,8 @@ def q_lang_id(spark, sf):
     "token_count",
     f"""
     SELECT lang,
-           sum({_TOK_SQL}) AS total_ws_tokens,
-           sum({_BPE_SQL}) AS total_bpe_tokens,
+           cast(sum({_TOK_SQL}) AS bigint) AS total_ws_tokens,
+           cast(sum({_BPE_SQL}) AS bigint) AS total_bpe_tokens,
            count(*) AS n_docs
     FROM documents GROUP BY lang
     """,

@@ -1,0 +1,127 @@
+"""Local correctness harness mirroring the driver's oracle comparison.
+
+Runs every `queries()` entry on Spark and the matching `oracle_sql()` on
+DuckDB over the same parquet tables, then compares row count, sorted
+column names, and a value hash of the sorted rows.
+
+Usage: python tools/check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entrymod
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+def value_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x1f".join(_norm(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .appName("check")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    results = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        row = {}
+        try:
+            sdf = fn(spark, sf)
+            srows = sdf.collect()
+            scols = sdf.columns
+            row["spark_rows"] = len(srows)
+        except Exception as e:
+            row["err"] = f"spark: {type(e).__name__}: {e}"
+            results[name] = row
+            print(f"{name:28s} ERR {row['err'][:140]}")
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            row["note"] = "no_oracle"
+            results[name] = row
+            print(f"{name:28s} rows={len(srows)} (no oracle)")
+            continue
+        try:
+            cur = con.execute(sql)
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:
+            row["err"] = f"oracle: {type(e).__name__}: {e}"
+            results[name] = row
+            print(f"{name:28s} ERR {row['err'][:140]}")
+            continue
+        row["oracle_rows"] = len(orows)
+        row["rows_match"] = len(srows) == len(orows)
+        row["schema_match"] = sorted(scols) == sorted(ocols)
+        sh = value_hash(scols, [tuple(r) for r in srows])
+        oh = value_hash(ocols, orows)
+        row["hash_match"] = sh == oh
+        ok = row["rows_match"] and row["schema_match"] and row["hash_match"]
+        results[name] = row
+        flag = "OK " if ok else "FAIL"
+        print(
+            f"{name:28s} {flag} rows={len(srows)}/{len(orows)}"
+            f" schema={row['schema_match']} hash={row['hash_match']}"
+        )
+    bad = {
+        k: v
+        for k, v in results.items()
+        if v.get("err") or not (v.get("hash_match", True) and v.get("rows_match", True))
+    }
+    print(json.dumps({"n": len(results), "bad": list(bad)}, indent=0))
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -15,6 +15,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 # Driver-provided tables (/root/repo/TESTDATA.md): TPC-H-ish star schema
 # plus an event stream, documents and embeddings for the LLM-pipeline ops.
@@ -33,13 +35,36 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Tables whose parquet files carry INT64 TIMESTAMP(NANOS) columns, which
+# Spark's vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL).  With
+# `spark.sql.legacy.parquet.nanosAsLong` those columns surface as raw
+# nanosecond longs; we convert back to microsecond timestamps here so every
+# consumer sees a true TimestampType.  (DuckDB's native TIMESTAMP is also
+# microseconds, so the oracle comparison sees identical values.)
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def _apply_session_confs(spark: SparkSession) -> None:
+    # Load-bearing confs live here (not in a session factory) because the
+    # driver owns the SparkSession; both are safe to set at runtime.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Deterministic event-time rendering/hashing across engines.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table. Column pruning + predicate pushdown reach
     the parquet scan because this is a plain declarative source."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _apply_session_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if isinstance(df.schema[col].dataType, LongType):
+            # `div` = exact integer division (float division of ~1.7e18-ns
+            # values loses sub-microsecond precision in a double).
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
