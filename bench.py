@@ -1,0 +1,88 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is forced with the `noop` datasource write (full pipeline runs,
+nothing is collected to the driver), matching how a cluster job would
+materialize results to a sink rather than the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entrymod
+
+# Representative slice of SURVEY.md §2 + LLM-pipeline operators: the
+# flagship CDC->join->compaction plan, the heavy joins/aggs over events,
+# and the scale-sensitive dedup/similarity/text operators over documents
+# and embeddings.
+HEADLINE = [
+    "flagship_shipped_orders",
+    "latest_by_offset",
+    "stream_table_enrich",
+    "interval_join_bucketed",
+    "asof_join",
+    "windowed_agg_tumbling",
+    "topn_per_group",
+    "dedup_exact",
+    "minhash_near_dups",
+    "simhash_near_dups",
+    "text_stats",
+    "ann_cosine_topk",
+    "embedding_neardup",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .appName("bench")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        # Warm the input file listing/footer cache out of the timed region
+        # once per bench run is enough; queries share tables anyway.
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
