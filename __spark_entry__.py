@@ -580,8 +580,15 @@ def _oracle_minhash() -> str:
     )
     bands = "\n      UNION ALL ".join(
         f"SELECT doc_id, {bi} AS band_idx, "
-        f"mh{bi * dedup.BAND_ROWS}::VARCHAR || '_' || mh{bi * dedup.BAND_ROWS + 1}::VARCHAR AS band_key FROM sig"
+        + " || '_' || ".join(
+            f"mh{bi * dedup.BAND_ROWS + r}::VARCHAR" for r in range(dedup.BAND_ROWS)
+        )
+        + " AS band_key FROM sig"
         for bi in range(dedup.N_BANDS)
+    )
+    est = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(dedup.N_HASHES)
     )
     return f"""
     WITH norm AS (
@@ -589,10 +596,12 @@ def _oracle_minhash() -> str:
       FROM documents),
     sh AS (
       SELECT DISTINCT doc_id, substr(n, i, {dedup.SHINGLE_LEN}) AS shingle
-      FROM norm, generate_series(1, 4000) AS g(i)
-      WHERE len(n) >= {dedup.SHINGLE_LEN} AND i <= len(n) - {dedup.SHINGLE_LEN - 1}),
+      FROM (SELECT doc_id, n,
+                   unnest(generate_series(1, len(n) - {dedup.SHINGLE_LEN - 1})) AS i
+            FROM norm WHERE len(n) >= {dedup.SHINGLE_LEN})),
     hashed AS (
       SELECT doc_id, shingle,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h60,
              ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {dedup.HASH_MOD} AS h
       FROM sh),
     sig AS (
@@ -600,25 +609,33 @@ def _oracle_minhash() -> str:
            {mh_exprs},
            count(*) AS n_sh
       FROM hashed GROUP BY doc_id),
+    sets AS (
+      SELECT doc_id, list(DISTINCT h60) AS hs, count(*) AS n_sh
+      FROM hashed GROUP BY doc_id),
     bands AS (
       {bands}),
-    cand AS (
+    cand0 AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id),
+    cand AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand0 c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b
+      WHERE ({est}) / {float(dedup.N_HASHES)} >= {dedup.EST_PREFILTER}),
     inter AS (
-      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(na.hs, nb.hs)) AS n_inter,
+             na.n_sh AS n_a, nb.n_sh AS n_b
       FROM cand c
-      JOIN hashed sa ON sa.doc_id = c.doc_a
-      JOIN hashed sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-      GROUP BY 1, 2)
-    SELECT i.doc_a, i.doc_b,
-           round(i.n_inter / (na.n_sh + nb.n_sh - i.n_inter), 6) AS jaccard
-    FROM inter i
-    JOIN sig na ON na.doc_id = i.doc_a
-    JOIN sig nb ON nb.doc_id = i.doc_b
-    WHERE round(i.n_inter / (na.n_sh + nb.n_sh - i.n_inter), 6) >= {dedup.JACCARD_THRESHOLD}
+      JOIN sets na ON na.doc_id = c.doc_a
+      JOIN sets nb ON nb.doc_id = c.doc_b)
+    SELECT doc_a, doc_b,
+           round(n_inter / (n_a + n_b - n_inter), 6) AS jaccard
+    FROM inter
+    WHERE round(n_inter / (n_a + n_b - n_inter), 6) >= {dedup.JACCARD_THRESHOLD}
     """
 
 
@@ -641,11 +658,12 @@ def _oracle_simhash_fp() -> str:
       FROM documents),
     sh AS (
       SELECT DISTINCT doc_id, substr(n, i, {dedup.SHINGLE_LEN}) AS shingle
-      FROM norm, generate_series(1, 4000) AS g(i)
-      WHERE len(n) >= {dedup.SHINGLE_LEN} AND i <= len(n) - {dedup.SHINGLE_LEN - 1}),
+      FROM (SELECT doc_id, n,
+                   unnest(generate_series(1, len(n) - {dedup.SHINGLE_LEN - 1})) AS i
+            FROM norm WHERE len(n) >= {dedup.SHINGLE_LEN})),
     hashed AS (
       SELECT doc_id,
-             ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {dedup.HASH_MOD} AS h
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
       FROM sh),
     voted AS (
       SELECT doc_id,
@@ -827,7 +845,9 @@ def q_ann_ivf_topk(spark, sf):
     """,
 )
 def q_embedding_neardup(spark, sf):
-    return similarity.neardup_pairs(load(spark, sf, "embeddings"), threshold=0.4)
+    # moderate threshold (this corpus has no cos>0.7 pairs) -> metric
+    # blocking cannot prune; use the exact blocked-GEMM all-pairs path
+    return similarity.cosine_pairs_blocked(load(spark, sf, "embeddings"), threshold=0.4)
 
 
 @_q(

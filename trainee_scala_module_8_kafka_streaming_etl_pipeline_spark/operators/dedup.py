@@ -4,9 +4,9 @@ Four families, all built on one shared shingle+hash substrate so the
 DuckDB oracle can reproduce results bit-for-bit:
 
   exact        — md5(text) hash-groupBy (one shuffle, map-side combine)
-  minhash LSH  — char-5-gram shingles → 32 minhashes → 16 bands of 2 →
-                 band-bucket self-join for candidates → exact-Jaccard
-                 verification on candidates only
+  minhash LSH  — char-5-gram shingles → 32 minhashes → 8 bands of 4 →
+                 band-bucket self-join for candidates → signature-estimate
+                 prefilter → exact-Jaccard verification on survivors only
   simhash      — 60-bit fingerprint from shingle hashes; near-dup pairs
                  via pigeonhole chunk blocking + hamming distance
   (n-gram Jaccard is the verification stage of the minhash path)
@@ -33,11 +33,19 @@ from pyspark.sql import functions as F
 
 SHINGLE_LEN = 5
 N_HASHES = 32
-N_BANDS = 16  # rows-per-band = 2 → recall ~1.0 at jaccard >= 0.8
+# 8 bands of 4 rows: P(candidate | j=0.8) = 1-(1-0.8^4)^8 ≈ 0.985, while
+# unrelated docs (j≈0.2, common with a shared vocabulary) collide with
+# P ≈ 1.3% instead of ~48% at 16x2 — the candidate set stays near-linear
+# in corpus size rather than degenerating to all-pairs.
+N_BANDS = 8
 BAND_ROWS = N_HASHES // N_BANDS
 HASH_MOD = 1 << 30
 MINHASH_P = 2305843009213693951  # 2^61 - 1 (prime)
 JACCARD_THRESHOLD = 0.8
+# Candidates whose signature-estimated jaccard (fraction of equal
+# minhashes) is below this never reach the shingle-intersect join; at
+# j=0.8 the estimator (32 trials) sits >4 sigma above 0.5.
+EST_PREFILTER = 0.5
 SIMHASH_BITS = 60
 SIMHASH_CHUNKS = 4  # pigeonhole blocks for hamming <= 3
 SIMHASH_MAX_HAMMING = 3
@@ -83,11 +91,16 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
         F.col(id_col),
         F.expr(f"substr(_norm, _pos, {SHINGLE_LEN})").alias("shingle"),
     )
-    hashed = sh.distinct().withColumn(
-        "h",
-        F.expr(
-            f"pmod(cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint), {HASH_MOD})"
-        ),
+    # h60: the full 60-bit md5 prefix, used by simhash (all bit positions
+    # live).  h: reduced mod 2^30 so the minhash LCG products (a < 2^32)
+    # stay under 2^62 — no overflow in Spark or DuckDB bigints.
+    hashed = (
+        sh.distinct()
+        .withColumn(
+            "h60",
+            F.expr("cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint)"),
+        )
+        .withColumn("h", F.pmod(F.col("h60"), F.lit(HASH_MOD)))
     )
     return hashed
 
@@ -174,29 +187,51 @@ def verified_near_dups(
     """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
 
     Output: (doc_a, doc_b, jaccard) for pairs whose exact char-5-gram
-    Jaccard >= threshold, discovered via LSH candidates. With 16 bands
-    of 2 rows, P(candidate | jaccard=0.8) = 1-(1-0.8^2)^16 > 0.9994, so
-    at the verification threshold recall is ~1 and the output equals the
-    ground-truth all-pairs computation the oracle can also derive.
+    Jaccard >= threshold, discovered via LSH candidates (8 bands of 4,
+    recall ≈ 0.985 at jaccard 0.8), then prefiltered by the
+    signature-estimated jaccard (>= EST_PREFILTER).
+
+    Verification intersects each candidate's *shingle-hash set* —
+    one collect_set per doc (60-bit hashes: collision probability over
+    a trillion-shingle corpus is ~0, so hash-set jaccard == string-set
+    jaccard), then a single JVM ``array_intersect`` per candidate pair.
+    That keeps verification at one row per candidate instead of the
+    exploded candidates x shingles-per-doc join, which degenerates on
+    template-heavy corpora where millions of pairs share half their
+    shingles.  The per-doc set frame is tiny relative to the corpus
+    (~KB/doc) and joins candidates by key; the DuckDB oracle mirrors
+    every stage, so both engines see the identical pair set.
     """
     sh = shingles(df, id_col, text_col).cache()
-    sig = minhash_signatures(sh, id_col)
+    # sig feeds banding AND both sides of the estimate prefilter — cache
+    # the (tiny: one 33-column row per doc) frame instead of recomputing
+    # the 32-agg groupBy three times
+    sig = minhash_signatures(sh, id_col).cache()
     cand = lsh_candidate_pairs(sig, id_col)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    # intersect counts: join candidates' shingle sets on equal shingles
-    sha = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle"))
-    shb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle"))
-    inter = (
-        cand.join(sha, "doc_a")
-        .join(shb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # signature-estimate prefilter: fraction of equal minhashes
+    est = sum(
+        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    ) / F.lit(float(N_HASHES))
+    cand = (
+        cand.join(sig.alias("sa"), F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sig.alias("sb"), F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .filter(est >= EST_PREFILTER)
+        .select("doc_a", "doc_b")
     )
-    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    sets = sh.groupBy(id_col).agg(
+        F.collect_set("h60").alias("hs"), F.count(F.lit(1)).alias("n_sh")
+    )
+    sa = sets.select(
+        F.col(id_col).alias("doc_a"), F.col("hs").alias("hs_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sets.select(
+        F.col(id_col).alias("doc_b"), F.col("hs").alias("hs_b"), F.col("n_sh").alias("n_b")
+    )
     jac = (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("hs_a", "hs_b")))
         .withColumn(
             "jaccard",
             F.round(
@@ -216,11 +251,14 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """60-bit SimHash per doc: majority vote of each hash bit across the
     doc's shingles. One groupBy(doc) with 60 conditional-sum aggs —
-    map-side combinable, no sort."""
+    map-side combinable, no sort.  Votes come from the full 60-bit
+    shingle hash (h60) so every fingerprint bit is live — the reduced
+    31-bit minhash base would leave bits 30-59 identically zero and
+    degrade the pigeonhole blocking below to an all-pairs join."""
     sh = shingles(df, id_col, text_col)
     bit_aggs = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(F.shiftright(F.col("h60"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"s{b}")
         for b in range(SIMHASH_BITS)
     ]
