@@ -1,0 +1,130 @@
+"""Unit tests for the CDC / compaction / join operator semantics the
+VERDICT called out: unwrap rewrite-vs-drop asymmetry, delete-wins-latest
+changelog apply, as-of equal-ts ties, interval-join bucketing parity,
+and the keyed-upsert sink's tombstone propagation."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+    cdc,
+    compaction,
+    joins,
+)
+from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.upsert import (
+    read_state,
+    upsert_batch,
+)
+
+
+@pytest.fixture()
+def envelope(spark):
+    rows = [
+        (("1", "alice"), "c", 0),
+        (("1", "alicia"), "u", 1),
+        (("2", "bob"), "c", 2),
+        (("2", "bob"), "d", 3),
+    ]
+    return spark.createDataFrame(rows, ["after", "op", "_offset"]).select(
+        F.col("after").cast("struct<id:string,name:string>"), "op", "_offset"
+    )
+
+
+def test_unwrap_rewrite_keeps_flagged_deletes(envelope):
+    out = cdc.unwrap_rewrite(envelope).collect()
+    assert len(out) == 4  # deletes kept
+    deleted = [r for r in out if r["__deleted"]]
+    assert [(r.id, r.name) for r in deleted] == [("2", "bob")]
+
+
+def test_unwrap_drop_drops_deletes_carries_op(envelope):
+    out = cdc.unwrap_drop(envelope).collect()
+    assert len(out) == 3  # delete dropped
+    assert {r.op for r in out} == {"c", "u"}
+
+
+def test_apply_changelog_latest_delete_wins(spark):
+    rows = [
+        ("1", "a", False, 0),
+        ("1", "a2", False, 1),
+        ("2", "b", False, 2),
+        ("2", "b", True, 3),   # latest for key 2 is a delete -> drop key
+        ("3", "c", True, 4),
+        ("3", "c2", False, 5),  # deleted then re-created -> keep
+    ]
+    df = spark.createDataFrame(rows, ["id", "v", "__deleted", "_offset"])
+    out = {
+        (r.id, r.v)
+        for r in compaction.apply_changelog(df, keys=["id"], offset_col="_offset").collect()
+    }
+    assert out == {("1", "a2"), ("3", "c2")}
+
+
+def test_asof_join_equal_ts_tie_matches(spark):
+    left = spark.createDataFrame([("k", 10, "L")], ["key", "ts", "lv"])
+    right = spark.createDataFrame(
+        [("k", 5, "old"), ("k", 10, "tie"), ("k", 11, "future")],
+        ["key", "ts", "rv"],
+    )
+    out = joins.asof_join(
+        left, right, key="key", left_ts="ts", right_ts="ts", right_cols=["rv"]
+    ).collect()
+    assert len(out) == 1
+    assert out[0].matched_rv == "tie"  # right row at equal ts wins
+
+
+def test_asof_join_no_prior_row_is_null(spark):
+    left = spark.createDataFrame([("k", 1, "L")], ["key", "ts", "lv"])
+    right = spark.createDataFrame([("k", 5, "later")], ["key", "ts", "rv"])
+    out = joins.asof_join(
+        left, right, key="key", left_ts="ts", right_ts="ts", right_cols=["rv"]
+    ).collect()
+    assert out[0].matched_rv is None
+
+
+def test_interval_join_bucketed_matches_default(spark):
+    import random
+
+    rnd = random.Random(7)
+    left = spark.createDataFrame(
+        [(i, rnd.randrange(5), rnd.randrange(0, 10**6)) for i in range(300)],
+        ["lid", "key", "sec"],
+    ).select("lid", "key", F.timestamp_seconds("sec").alias("ts"))
+    right = spark.createDataFrame(
+        [(i, rnd.randrange(5), rnd.randrange(0, 10**6)) for i in range(300)],
+        ["rid", "key", "sec"],
+    ).select("rid", "key", F.timestamp_seconds("sec").alias("ts"))
+
+    def run(bucket):
+        out = joins.interval_join(
+            left, right, keys=[("key", "key")], left_ts="ts", right_ts="ts",
+            lower="-INTERVAL 1 HOUR", upper="INTERVAL 1 HOUR",
+            time_bucket_seconds=bucket,
+        )
+        return {(r["lid"], r["rid"]) for r in out.select("lid", "rid").collect()}
+
+    assert run(None) == run(3600)
+
+
+def test_upsert_sink_delete_propagation(spark, tmp_path):
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [("1", "a", False, 0), ("2", "b", False, 1)],
+        ["id", "v", "__deleted", "_offset"],
+    )
+    upsert_batch(b1, state, keys=["id"], offset_col="_offset")
+    assert {(r.id, r.v) for r in read_state(spark, state).collect()} == {
+        ("1", "a"),
+        ("2", "b"),
+    }
+    # batch 2: update key 1, tombstone key 2
+    b2 = spark.createDataFrame(
+        [("1", "a2", False, 2), ("2", "b", True, 3)],
+        ["id", "v", "__deleted", "_offset"],
+    )
+    upsert_batch(b2, state, keys=["id"], offset_col="_offset")
+    assert {(r.id, r.v) for r in read_state(spark, state).collect()} == {("1", "a2")}
+    # batch 3: stale re-delivery (offset 0) must not regress key 1
+    b3 = spark.createDataFrame([("1", "a", False, 0)], ["id", "v", "__deleted", "_offset"])
+    upsert_batch(b3, state, keys=["id"], offset_col="_offset")
+    assert {(r.id, r.v) for r in read_state(spark, state).collect()} == {("1", "a2")}

@@ -72,6 +72,9 @@ def shipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         lower=f"-{WINDOW}",
         upper=WINDOW,
+        # bucketed plan: rows only meet inside +-1 adjacent day-buckets,
+        # so a hot user never materializes its full per-key cross product
+        time_bucket_seconds=86400,
     ).select(
         F.col("l.purchase_id").alias("purchase_id"),
         F.col("l.user_id").alias("customer_id"),

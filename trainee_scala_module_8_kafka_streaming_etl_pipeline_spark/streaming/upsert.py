@@ -1,0 +1,117 @@
+"""Keyed-upsert sink with delete propagation (reference S9/E2).
+
+The reference's Elasticsearch sink writes each record under doc ``_id`` =
+record key, so re-delivery and key updates overwrite idempotently
+(/root/reference/README.md:487-493; ES connector manifest: "idempotent
+write semantics guarantees exactly once"), and tombstones/__deleted rows
+remove the key (README.md:361-364).
+
+Spark-first equivalent: a **versioned parquet state table** maintained by
+``foreachBatch``.  Each micro-batch MERGE is:
+
+    new_state = apply_changelog(prior_state ∪ batch)
+
+i.e. latest-offset-per-key wins, keys whose latest record is a delete
+are dropped — then written as a new version directory with an atomically
+swapped pointer file.  Readers never see a half-written version; a
+failed batch leaves the old pointer (re-run is idempotent because the
+merge is deterministic in (prior, batch)).
+
+At scale the same surface is one ``MERGE INTO`` on a Delta/Iceberg table
+(WHEN MATCHED AND __deleted THEN DELETE); the versioned-parquet
+implementation keeps the semantics dependency-free.  State writes are
+partitioned by key hash so a 1000-executor MERGE shuffles once on the
+key, never the full history.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.compaction import latest_by_offset
+
+_POINTER = "_LATEST"
+
+
+def _state_version(state_dir: str) -> int | None:
+    try:
+        with open(os.path.join(state_dir, _POINTER)) as fh:
+            return int(fh.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Current state table, or None before the first committed version."""
+    v = _state_version(state_dir)
+    if v is None:
+        return None
+    return spark.read.parquet(os.path.join(state_dir, f"v={v}"))
+
+
+def upsert_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    keys: Sequence[str],
+    offset_col: str,
+    deleted_col: str | None = "__deleted",
+) -> None:
+    """One MERGE: fold ``batch_df`` into the state table at ``state_dir``.
+
+    Rows are compacted per key by ``offset_col`` (arrival order); if
+    ``deleted_col`` is present, keys whose winning row is a delete are
+    removed from the state (tombstone propagation).  Prior-state rows
+    re-enter the merge with ``__deleted=false`` and their stored offset,
+    so a stale re-delivery (offset lower than the state's) never
+    regresses a key.
+    """
+    spark = batch_df.sparkSession
+    prior = read_state(spark, state_dir)
+    cols = [c for c in batch_df.columns]
+    if deleted_col and deleted_col not in cols:
+        batch_df = batch_df.withColumn(deleted_col, F.lit(False))
+    if prior is not None:
+        if deleted_col and deleted_col not in prior.columns:
+            prior = prior.withColumn(deleted_col, F.lit(False))
+        merged = prior.unionByName(batch_df, allowMissingColumns=False)
+    else:
+        merged = batch_df
+    value_cols = [
+        c for c in merged.columns if c not in keys and c != offset_col
+    ]
+    compacted = latest_by_offset(merged, keys, offset_col, value_cols=value_cols)
+    if deleted_col:
+        compacted = compacted.filter(~F.col(deleted_col)).drop(deleted_col)
+
+    prev = _state_version(state_dir)
+    next_v = 0 if prev is None else prev + 1
+    os.makedirs(state_dir, exist_ok=True)
+    compacted.write.mode("overwrite").parquet(os.path.join(state_dir, f"v={next_v}"))
+    tmp = os.path.join(state_dir, f"{_POINTER}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(next_v))
+    os.replace(tmp, os.path.join(state_dir, _POINTER))
+
+
+def keyed_upsert_sink(
+    state_dir: str,
+    keys: Sequence[str],
+    offset_col: str,
+    deleted_col: str | None = "__deleted",
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` function maintaining a keyed-upsert state table —
+    the writeStream side of reference S9/E2.  ``transform`` (optional)
+    runs inside the batch before the merge, e.g. the temporal J1
+    enrichment against another state table."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
+        upsert_batch(batch_df, state_dir, keys, offset_col, deleted_col)
+
+    return _sink
