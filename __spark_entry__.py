@@ -869,6 +869,224 @@ def q_multimodal_meta(spark, sf):
 
 
 # ===========================================================================
+# Structured Streaming execution (S5/S6/S7/S8/A3/E1/J2-streaming)
+# ===========================================================================
+# Each entry runs a REAL StreamingQuery (file readStream -> availableNow
+# trigger -> memory sink) and returns the materialized result as a batch
+# DataFrame, so the driver's oracle compares streaming execution against
+# the same SQL as the batch form — a stronger check than rows-only.
+
+
+def _events_stream(spark, sf):
+    """events as a file stream: raw footer schema (nanos ts surfaces as
+    long under nanosAsLong), then the same ns->us conversion load() does."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.catalog import (
+        _apply_session_confs,
+    )
+
+    _apply_session_confs(spark)
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    # FileStreamSource wants a directory or glob, not a literal file path
+    sdf = spark.readStream.schema(raw_schema).parquet(f"{sf}/events.parque[t]")
+    if dict(sdf.dtypes)["ts"] == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf
+
+
+def _run_to_memory(df, name: str, mode: str) -> None:
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@_q(
+    "streaming_latest_by_offset",
+    """
+    SELECT user_id,
+           max_by(event_type, event_id) AS latest_event_type,
+           max_by(value, event_id)      AS latest_value,
+           max(event_id)                AS last_offset
+    FROM events GROUP BY user_id
+    """,
+)
+def q_streaming_latest_by_offset(spark, sf):
+    """A2/A3/E1: stateful streaming aggregation (complete output) — the
+    ksqlDB CREATE TABLE ... latest_by_offset ... EMIT CHANGES."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.pipeline import (
+        streaming_latest_by_offset,
+    )
+
+    agg = streaming_latest_by_offset(
+        _events_stream(spark, sf),
+        keys=["user_id"],
+        offset_col="event_id",
+        value_cols=["event_type", "value"],
+    ).select(
+        "user_id",
+        F.col("event_type").alias("latest_event_type"),
+        F.col("value").alias("latest_value"),
+        F.col("event_id").alias("last_offset"),
+    )
+    _run_to_memory(agg, "streaming_latest_by_offset", "complete")
+    return spark.table("streaming_latest_by_offset")
+
+
+@_q(
+    "streaming_windowed_agg",
+    """
+    SELECT cast(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+           count(*) AS n_events,
+           cast(sum(cast(value AS decimal(18,6))) AS double) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_streaming_windowed_agg(spark, sf):
+    """Tumbling event-time window as a streaming aggregation (E1)."""
+    agg = (
+        _events_stream(spark, sf)
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+    _run_to_memory(agg, "streaming_windowed_agg", "complete")
+    return spark.table("streaming_windowed_agg")
+
+
+@_q("streaming_interval_join", _INTERVAL_JOIN_SQL)
+def q_streaming_interval_join(spark, sf):
+    """J2 streaming form: watermarked stream-stream inner interval join —
+    the WITHIN 7 DAYS join as a continuous query."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.pipeline import (
+        watermarked_interval_join,
+    )
+
+    ev = _events_stream(spark, sf)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    k = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("k_id"), F.col("user_id").alias("k_user"),
+        F.col("ts").alias("k_ts"),
+    )
+    out = watermarked_interval_join(
+        p, k,
+        keys=[("p_user", "k_user")],
+        left_ts="p_ts",
+        right_ts="k_ts",
+        lower="-INTERVAL 1 DAY",
+        upper="INTERVAL 1 DAY",
+        watermark="1 day",
+    ).select(
+        F.col("p_id").alias("purchase_id"),
+        F.col("k_id").alias("click_id"),
+        F.col("p_user").alias("user_id"),
+        F.col("p_ts").alias("purchase_ts"),
+        F.col("k_ts").alias("click_ts"),
+    )
+    _run_to_memory(out, "streaming_interval_join", "append")
+    return spark.table("streaming_interval_join")
+
+
+def _golden_values_sql() -> str:
+    rows = [
+        ("22", "71", "7", "sue", 25, "iowa", 29.71, "aud"),
+        ("17", "75", "5", "fred", 34, "texas", 25.25, "eur"),
+        ("29", "89", "7", "sue", 25, "california", 15.0, "aud"),
+        ("13", "92", "2", "bill", 51, "maine", 50.5, "usd"),
+        ("15", "95", "5", "fred", 34, "florida", 13.75, "usd"),
+        ("31", "97", "9", "victor", 23, "new jersey", 525.5, "usd"),
+    ]
+    vals = ",\n      ".join(
+        f"('{o}', '{s}', '{c}', '{n}', {a}, '{g}', {p}, '{cur}')"
+        for (o, s, c, n, a, g, p, cur) in rows
+    )
+    return f"""
+    SELECT order_id, shipment_id, customer_id, customer_name, customer_age,
+           origin, CAST(price AS DOUBLE) AS price, currency
+    FROM (VALUES
+      {vals})
+    AS t(order_id, shipment_id, customer_id, customer_name, customer_age,
+         origin, price, currency)
+    """
+
+
+@_q("streaming_flagship_golden", _golden_values_sql())
+def q_streaming_flagship_golden(spark, sf):
+    """The reference's end-to-end correctness test through the STREAMING
+    path: seed files -> availableNow round (5 docs) -> D6 increment files
+    -> second round against the same checkpoints (6 docs).  The oracle is
+    the literal golden output of /root/reference/README.md:538-637 +
+    :675-679.  Independent of sf_dir (fixture-driven by design)."""
+    import json as _json
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.pipeline import (
+        run_flagship_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="flagship_stream_")
+    src, work = f"{base}/src", f"{base}/work"
+    seeds = {
+        "customers": (
+            ["id", "name", "age", "__deleted", "_offset"],
+            [("5", "fred", 34, False, 0), ("7", "sue", 25, False, 1),
+             ("2", "bill", 51, False, 2)],
+            [("9", "victor", 23, False, 3)],
+        ),
+        "orders": (
+            ["customer_id", "order_id", "price", "currency", "ts", "_offset"],
+            [("2", "13", 50.50, "usd", "2020-04-03T11:20:00", 0),
+             ("7", "29", 15.00, "aud", "2020-04-02T12:36:00", 1),
+             ("5", "17", 25.25, "eur", "2020-04-02T17:22:00", 2),
+             ("5", "15", 13.75, "usd", "2020-04-03T02:55:00", 3),
+             ("7", "22", 29.71, "aud", "2020-04-04T00:12:00", 4)],
+            [("9", "31", 525.50, "usd", "2020-04-03T11:20:00", 5)],
+        ),
+        "shipments": (
+            ["order_id", "shipment_id", "origin", "ts", "_offset"],
+            [("17", "75", "texas", "2020-04-04T19:20:00", 0),
+             ("22", "71", "iowa", "2020-04-04T12:25:00", 1),
+             ("29", "89", "california", "2020-04-05T13:21:00", 2),
+             ("13", "92", "maine", "2020-04-04T06:13:00", 3),
+             ("15", "95", "florida", "2020-04-04T01:13:00", 4)],
+            [("31", "97", "new jersey", "2020-04-04T19:20:00", 5)],
+        ),
+    }
+
+    def write(table, fname, rows):
+        import os as _os
+
+        cols, _, _ = seeds[table]
+        _os.makedirs(f"{src}/{table}", exist_ok=True)
+        with open(f"{src}/{table}/{fname}", "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(dict(zip(cols, r))) + "\n")
+
+    for t, (_, seed, _inc) in seeds.items():
+        write(t, "seed.jsonl", seed)
+    run_flagship_stream(spark, src, work)  # round 1: the 5 seed docs
+    for t, (_, _seed, inc) in seeds.items():
+        write(t, "inc.jsonl", inc)
+    out = run_flagship_stream(spark, src, work)  # round 2: +1 doc
+    return out.select(
+        "order_id", "shipment_id", "customer_id", "customer_name",
+        F.col("customer_age").cast("int").alias("customer_age"),
+        "origin", "price", "currency",
+    )
+
+
+# ===========================================================================
 # driver contract
 # ===========================================================================
 
