@@ -23,6 +23,7 @@ from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import 
     compaction,
     dedup,
     joins,
+    multimodal,
     similarity,
 )
 from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.plans import flagship
@@ -866,6 +867,52 @@ def q_multimodal_meta(spark, sf):
         F.length(blob).alias("n_bytes"),
         (F.floor(F.length(blob) / 1000) + 1).cast("bigint").alias("n_chunks"),
     )
+
+
+@_q(
+    "multimodal_chunks",
+    f"""
+    WITH m AS (
+      SELECT doc_id, hex(text::BLOB) AS hx, octet_length(text::BLOB) AS n
+      FROM documents WHERE octet_length(text::BLOB) > 0),
+    idx AS (
+      SELECT doc_id, hx,
+             unnest(generate_series(0, cast(ceil(n / {multimodal.CHUNK_SIZE}.0) AS INT) - 1)) AS chunk_idx
+      FROM m)
+    SELECT doc_id, cast(chunk_idx AS INT) AS chunk_idx,
+           md5(substr(hx, chunk_idx * {multimodal.CHUNK_SIZE * 2} + 1,
+                      {multimodal.CHUNK_SIZE * 2})) AS chunk_fp
+    FROM idx
+    """,
+)
+def q_multimodal_chunks(spark, sf):
+    """Binary payload -> fixed-size chunks -> per-chunk fingerprints
+    (the dedup/upload unit for opaque media columns).  The oracle chunks
+    the hex encoding (2 hex chars = 1 byte), which is byte-identical."""
+    media = multimodal.attach_media(load(spark, sf, "documents"))
+    return multimodal.chunk_media(media).select("doc_id", "chunk_idx", "chunk_fp")
+
+
+@_q(
+    "multimodal_decode",
+    """
+    WITH m AS (
+      SELECT doc_id, octet_length(text::BLOB) AS n,
+             CASE WHEN octet_length(text::BLOB) > 0
+                  THEN ('0x' || substr(hex(text::BLOB), 1, 2))::INT ELSE 0 END AS b0
+      FROM documents)
+    SELECT doc_id, 'application/octet-stream' AS media_type,
+           n AS n_bytes,
+           cast(100 + n % 540 AS INT) AS width,
+           cast(100 + b0 % 380 AS INT) AS height
+    FROM m
+    """,
+)
+def q_multimodal_decode(spark, sf):
+    """mapInPandas decode stage (Arrow-batched; decode itself is the
+    documented deterministic stub — no codec libs in this container)."""
+    media = multimodal.attach_media(load(spark, sf, "documents"))
+    return multimodal.decode_media(media)
 
 
 # ===========================================================================

@@ -17,9 +17,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import SparkSession
-
 import __spark_entry__ as entrymod
+from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.session import build_session
 
 # Representative slice of SURVEY.md §2 + LLM-pipeline operators: the
 # flagship CDC->join->compaction plan, the heavy joins/aggs over events,
@@ -44,15 +43,11 @@ HEADLINE = [
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        .config("spark.ui.enabled", "false")
-        .appName("bench")
-        .getOrCreate()
+    spark = build_session(
+        app_name="bench",
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 

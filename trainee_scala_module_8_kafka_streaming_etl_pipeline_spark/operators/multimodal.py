@@ -1,0 +1,127 @@
+"""Multimodal column handling for large-scale training-data pipelines.
+
+Media (image/audio/video) is carried as an opaque ``binary`` column plus
+a typed metadata struct — the storage pattern that keeps 100 TB of media
+bytes out of every shuffle: operators project the metadata columns and
+only touch the bytes inside narrow, Arrow-batched stages.
+
+Three stages:
+  attach_media — ingest: pack payload bytes + typed metadata struct
+                 (media_type, n_bytes) onto each row.
+  chunk_media  — split each payload into fixed-size byte chunks with a
+                 per-chunk fingerprint (content-defined dedup unit,
+                 CDN-block upload unit).  Pure JVM: posexplode over the
+                 offset sequence + binary substring + hex/md5 — no
+                 Python in the path.
+  decode_media — feature extraction via ``mapInPandas``: the Spark-side
+                 plumbing (schema, Arrow batching, partition-parallel
+                 execution) is real; the actual image/audio decode is
+                 STUBBED — this container ships no codec libraries, so a
+                 guarded import falls back to a deterministic synthetic
+                 decode (documented below) with identical schema/shape.
+
+At scale: chunking fans out rows but each output row holds one chunk's
+bytes — `spark.sql.files.maxPartitionBytes` bounds task input, and the
+fingerprint groupBy shuffles 32-char digests, never payloads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CHUNK_SIZE = 64  # bytes per chunk (tiny for test corpora; MB-scale in prod)
+
+
+def attach_media(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "text"
+) -> DataFrame:
+    """Ingest: opaque bytes + typed metadata struct per row."""
+    payload = F.col(payload_col).cast("binary")
+    return df.select(
+        F.col(id_col),
+        payload.alias("media_bytes"),
+        F.struct(
+            F.lit("application/octet-stream").alias("media_type"),
+            F.length(payload).alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+
+
+def chunk_media(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    bytes_col: str = "media_bytes",
+    chunk_size: int = CHUNK_SIZE,
+) -> DataFrame:
+    """Fixed-size byte chunks with per-chunk fingerprints.
+
+    Output: (id, chunk_idx, chunk_bytes, chunk_fp) — one row per chunk;
+    ``chunk_fp`` = md5 of the chunk's hex encoding (hex round-trip keeps
+    the fingerprint engine-portable: DuckDB's md5 is VARCHAR-only).
+    """
+    n_chunks = F.ceil(F.length(F.col(bytes_col)) / F.lit(chunk_size)).cast("int")
+    chunked = media.filter(F.length(bytes_col) > 0).select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        F.col(bytes_col),
+    )
+    chunk = F.expr(f"substring({bytes_col}, chunk_idx * {chunk_size} + 1, {chunk_size})")
+    return chunked.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        chunk.alias("chunk_bytes"),
+        F.md5(F.hex(chunk)).alias("chunk_fp"),
+    )
+
+
+DECODE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, width int, height int"
+)
+
+
+def decode_media(
+    media: DataFrame, id_col: str = "doc_id", bytes_col: str = "media_bytes"
+) -> DataFrame:
+    """Feature-extract each payload with an Arrow-batched ``mapInPandas``.
+
+    Real decoders (PIL / soundfile / av) are not installed in this
+    container; the import-guarded fallback is a DETERMINISTIC synthetic
+    decode so the pipeline shape is testable end-to-end:
+
+        width  = 100 + n_bytes mod 540
+        height = 100 + first_byte mod 380   (0 for empty payloads)
+
+    which a SQL oracle reproduces from octet_length + the first hex
+    byte.  Swapping in a real decoder changes only ``_decode_one``.
+    """
+
+    def _decode_one(buf: bytes) -> tuple[int, int]:
+        try:  # pragma: no cover - codec libs absent in this container
+            import PIL.Image  # noqa: F401
+
+            raise NotImplementedError(
+                "real image decode not wired; container has no codecs"
+            )
+        except ImportError:
+            pass
+        n = len(buf)
+        first = buf[0] if n else 0
+        return 100 + n % 540, 100 + first % 380
+
+    def _batches(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            dims = [_decode_one(b if b is not None else b"") for b in pdf[bytes_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "media_type": "application/octet-stream",
+                    "n_bytes": [len(b) if b is not None else 0 for b in pdf[bytes_col]],
+                    "width": [w for w, _ in dims],
+                    "height": [h for _, h in dims],
+                }
+            )
+
+    return media.mapInPandas(_batches, schema=DECODE_SCHEMA)

@@ -51,6 +51,10 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # driver test data carries INT64 TIMESTAMP(NANOS) columns; see
+        # catalog.load(), which also sets this at runtime for
+        # driver-owned sessions
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
