@@ -596,7 +596,7 @@ def _oracle_minhash() -> str:
       SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS n
       FROM documents),
     sh AS (
-      SELECT DISTINCT doc_id, substr(n, i, {dedup.SHINGLE_LEN}) AS shingle
+      SELECT doc_id, substr(n, i, {dedup.SHINGLE_LEN}) AS shingle
       FROM (SELECT doc_id, n,
                    unnest(generate_series(1, len(n) - {dedup.SHINGLE_LEN - 1})) AS i
             FROM norm WHERE len(n) >= {dedup.SHINGLE_LEN})),
@@ -611,7 +611,7 @@ def _oracle_minhash() -> str:
            count(*) AS n_sh
       FROM hashed GROUP BY doc_id),
     sets AS (
-      SELECT doc_id, list(DISTINCT h60) AS hs, count(*) AS n_sh
+      SELECT doc_id, list(DISTINCT h60) AS hs, count(DISTINCT h60) AS n_sh
       FROM hashed GROUP BY doc_id),
     bands AS (
       {bands}),
@@ -658,7 +658,7 @@ def _oracle_simhash_fp() -> str:
       SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS n
       FROM documents),
     sh AS (
-      SELECT DISTINCT doc_id, substr(n, i, {dedup.SHINGLE_LEN}) AS shingle
+      SELECT doc_id, substr(n, i, {dedup.SHINGLE_LEN}) AS shingle
       FROM (SELECT doc_id, n,
                    unnest(generate_series(1, len(n) - {dedup.SHINGLE_LEN - 1})) AS i
             FROM norm WHERE len(n) >= {dedup.SHINGLE_LEN})),
@@ -831,7 +831,50 @@ def q_ann_cosine_topk(spark, sf):
     return similarity.brute_force_topk(load(spark, sf, "embeddings"))
 
 
-@_q("ann_ivf_topk", None)  # approximate op — rows-only check
+def _cos_sql(x: str, y: str) -> str:
+    return (
+        f"round((SELECT sum({x}[i] * {y}[i]) FROM generate_series(1, 64) AS g(i))"
+        f" / (sqrt((SELECT sum({x}[i] * {x}[i]) FROM generate_series(1, 64) AS g(i)))"
+        f" * sqrt((SELECT sum({y}[i] * {y}[i]) FROM generate_series(1, 64) AS g(i)))), 6)"
+    )
+
+
+# IVF is approximate relative to exact top-k, but its *computation* is
+# fully deterministic (stride centroids, argmax assignment with fixed
+# tie-breaks, nprobe clusters) — so the oracle replays the algorithm
+# itself and the check is exact.
+@_q(
+    "ann_ivf_topk",
+    f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM c WHERE vec_id % 50 = 0),
+    ascore AS (
+      SELECT a.vec_id, a.v, cent.centroid_id, {_cos_sql('a.v', 'cent.cv')} AS ccos
+      FROM c a CROSS JOIN cent),
+    assigned AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, centroid_id) AS rn
+        FROM ascore) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+    pscore AS (
+      SELECT q.query_id, q.qv, cent.centroid_id, {_cos_sql('q.qv', 'cent.cv')} AS ccos
+      FROM q CROSS JOIN cent),
+    probes AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ccos DESC, centroid_id) AS rn
+        FROM pscore) WHERE rn <= 2),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, {_cos_sql('a.v', 'p.qv')} AS cos
+      FROM assigned a JOIN probes p USING (centroid_id)
+      WHERE a.vec_id <> p.query_id)
+    SELECT query_id, neighbor_id, cos, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored) WHERE rnk <= 5
+    """,
+)
 def q_ann_ivf_topk(spark, sf):
     return similarity.ivf_topk(load(spark, sf, "embeddings"))
 

@@ -74,11 +74,16 @@ def normalize_text(col: str = "text") -> F.Column:
 
 
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct char-N-gram shingles per document with their base hash.
+    """Char-N-gram shingle *occurrences* per document with their hashes —
+    a fully narrow pipeline (explode + projections, NO shuffle).
 
-    Narrow explode (no shuffle) followed by distinct (one shuffle on
-    (doc, shingle)); downstream stages reuse this frame, so cache it
-    when running several dedup ops over the same corpus.
+    Rows are deliberately not deduplicated: every consumer is
+    duplicate-insensitive (``min`` for minhash signatures,
+    ``collect_set`` for the verification hash sets, majority vote for
+    simhash is the one exception — see :func:`simhash_fingerprints`),
+    so the per-(doc, shingle) distinct — a shuffle of the entire
+    exploded corpus, the largest intermediate in the whole pipeline —
+    would buy nothing.
     """
     norm = normalize_text(text_col)
     base = df.select(F.col(id_col), norm.alias("_norm")).filter(
@@ -94,14 +99,10 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
     # h60: the full 60-bit md5 prefix, used by simhash (all bit positions
     # live).  h: reduced mod 2^30 so the minhash LCG products (a < 2^32)
     # stay under 2^62 — no overflow in Spark or DuckDB bigints.
-    hashed = (
-        sh.distinct()
-        .withColumn(
-            "h60",
-            F.expr("cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint)"),
-        )
-        .withColumn("h", F.pmod(F.col("h60"), F.lit(HASH_MOD)))
-    )
+    hashed = sh.withColumn(
+        "h60",
+        F.expr("cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint)"),
+    ).withColumn("h", F.pmod(F.col("h60"), F.lit(HASH_MOD)))
     return hashed
 
 
@@ -131,7 +132,7 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
         for i, (a, b) in enumerate(AB)
     ]
-    aggs.append(F.count(F.lit(1)).alias("n_shingles"))
+    aggs.append(F.count(F.lit(1)).alias("n_shingles"))  # occurrences, not distinct
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -219,8 +220,8 @@ def verified_near_dups(
         .filter(est >= EST_PREFILTER)
         .select("doc_a", "doc_b")
     )
-    sets = sh.groupBy(id_col).agg(
-        F.collect_set("h60").alias("hs"), F.count(F.lit(1)).alias("n_sh")
+    sets = sh.groupBy(id_col).agg(F.collect_set("h60").alias("hs")).withColumn(
+        "n_sh", F.size("hs")
     )
     sa = sets.select(
         F.col(id_col).alias("doc_a"), F.col("hs").alias("hs_a"), F.col("n_sh").alias("n_a")
@@ -250,11 +251,13 @@ def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """60-bit SimHash per doc: majority vote of each hash bit across the
-    doc's shingles. One groupBy(doc) with 60 conditional-sum aggs —
-    map-side combinable, no sort.  Votes come from the full 60-bit
-    shingle hash (h60) so every fingerprint bit is live — the reduced
-    31-bit minhash base would leave bits 30-59 identically zero and
-    degrade the pigeonhole blocking below to an all-pairs join."""
+    doc's shingle *occurrences* (frequency-weighted simhash — repeated
+    shingles vote repeatedly, the classic Charikar weighting).  One
+    groupBy(doc) with 60 conditional-sum aggs — map-side combinable, no
+    sort, and no dedup shuffle upstream.  Votes come from the full
+    60-bit shingle hash (h60) so every fingerprint bit is live — the
+    reduced 31-bit minhash base would leave bits 30-59 identically zero
+    and degrade the pigeonhole blocking below to an all-pairs join."""
     sh = shingles(df, id_col, text_col)
     bit_aggs = [
         F.sum(
