@@ -1088,6 +1088,56 @@ def q_streaming_interval_join(spark, sf):
     return spark.table("streaming_interval_join")
 
 
+@_q(
+    "streaming_cdc_upsert",
+    """
+    WITH ch AS (
+      SELECT user_id, value, event_id AS _offset,
+             (event_type = 'error') AS __deleted
+      FROM events)
+    SELECT user_id,
+           max_by(value, _offset) AS value,
+           max(_offset) AS _offset
+    FROM ch GROUP BY user_id
+    HAVING NOT max_by(__deleted, _offset)
+    """,
+)
+def q_streaming_cdc_upsert(spark, sf):
+    """The full CDC path under streaming execution (S1-shape -> S3 ->
+    S9/E2): events re-shaped into Debezium envelopes ('error' events play
+    deletes), streamed, unwrapped with the rewrite SMT, and folded into a
+    keyed-upsert state table by foreachBatch MERGE.  The oracle is the
+    equivalent batch changelog compaction with delete propagation."""
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.cdc import (
+        unwrap_rewrite,
+    )
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.upsert import (
+        keyed_upsert_sink,
+        read_state,
+    )
+
+    envelopes = _events_stream(spark, sf).select(
+        F.struct("user_id", "value").alias("after"),
+        F.when(F.col("event_type") == "error", F.lit("d")).otherwise(F.lit("u")).alias("op"),
+        F.col("event_id").alias("_offset"),
+    )
+    flat = unwrap_rewrite(envelopes, keep=("_offset",))
+    state_dir = tempfile.mkdtemp(prefix="cdc_upsert_state_")
+    q = (
+        flat.writeStream.outputMode("append")
+        .foreachBatch(
+            keyed_upsert_sink(state_dir, keys=["user_id"], offset_col="_offset")
+        )
+        .option("checkpointLocation", f"{state_dir}/_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_state(spark, state_dir)
+
+
 def _golden_values_sql() -> str:
     rows = [
         ("22", "71", "7", "sue", 25, "iowa", 29.71, "aud"),

@@ -27,12 +27,17 @@ DELETE_OP = "d"
 
 
 def unwrap_rewrite(
-    df: DataFrame, state_col: str = "after", op_col: str = "op"
+    df: DataFrame,
+    state_col: str = "after",
+    op_col: str = "op",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """S3: flatten envelope; deletes become flagged rows (``__deleted``)."""
+    """S3: flatten envelope; deletes become flagged rows (``__deleted``).
+    ``keep`` passes metadata columns (e.g. the topic offset) through."""
     return df.select(
         F.col(f"{state_col}.*"),
         (F.col(op_col) == DELETE_OP).alias("__deleted"),
+        *[F.col(c) for c in keep],
     )
 
 
