@@ -1138,6 +1138,95 @@ def q_streaming_cdc_upsert(spark, sf):
     return read_state(spark, state_dir)
 
 
+@_q(
+    "streaming_materialize_topic",
+    f"""
+    SELECT event_id AS purchase_id, user_id, value AS price, ts
+    FROM ({_PURCHASES_SQL})
+    """,
+)
+def q_streaming_materialize_topic(spark, sf):
+    """S8 (CSAS): persist a derived stream under a topic name — the
+    broker-free form of CREATE STREAM ... WITH (kafka_topic=...) AS
+    SELECT; the result is read back from the materialized topic dir."""
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.sinks import (
+        materialize_to_topic,
+    )
+
+    derived = (
+        _events_stream(spark, sf)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("value").alias("price"),
+            F.col("ts"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="topics_")
+    materialize_to_topic(derived, "purchases", base).awaitTermination()
+    return spark.read.parquet(f"{base}/purchases")
+
+
+@_q(
+    "ngram_jaccard",
+    """
+    WITH sets AS (
+      SELECT doc_id, lang, source,
+             list_distinct(list_transform(generate_series(1, len(w)-1),
+                                          i -> w[i] || ' ' || w[i+1])) AS grams
+      FROM (SELECT doc_id, lang, source,
+                   string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+            FROM documents)
+      WHERE len(w) >= 2),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.grams, b.grams)) AS i,
+             len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS u
+      FROM sets a JOIN sets b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, round(i / u, 6) AS jaccard
+    FROM pairs WHERE round(i / u, 6) >= 0.3
+    """,
+)
+def q_ngram_jaccard(spark, sf):
+    return dedup.ngram_jaccard_pairs(
+        load(spark, sf, "documents"), block_cols=["lang", "source"]
+    )
+
+
+@_q(
+    "hopping_agg",
+    """
+    WITH hopped AS (
+      SELECT cast(to_timestamp((cast(floor(epoch(ts) / 43200) AS BIGINT) - k) * 43200)
+                  AS TIMESTAMP) AS window_start,
+             event_type, value
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
+    SELECT window_start, event_type,
+           count(*) AS n_events,
+           cast(sum(cast(value AS decimal(18,6))) AS double) AS total_value
+    FROM hopped GROUP BY 1, 2
+    """,
+)
+def q_hopping_agg(spark, sf):
+    """Hopping (sliding) event-time window: 1-day windows every 12h —
+    each event lands in exactly two windows."""
+    return (
+        _events(spark, sf)
+        .groupBy(F.window("ts", "1 day", "12 hours").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
 def _golden_values_sql() -> str:
     rows = [
         ("22", "71", "7", "sue", 25, "iowa", 29.71, "aud"),

@@ -38,6 +38,11 @@ HEADLINE = [
     "text_stats",
     "ann_cosine_topk",
     "embedding_neardup",
+    "ngram_jaccard",
+    "hopping_agg",
+    "multimodal_chunks",
+    "streaming_interval_join",
+    "streaming_cdc_upsert",
 ]
 
 

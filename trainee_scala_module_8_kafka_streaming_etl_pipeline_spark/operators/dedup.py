@@ -28,6 +28,8 @@ collection — each stage is a single shuffle keyed well.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -89,6 +91,14 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
     base = df.select(F.col(id_col), norm.alias("_norm")).filter(
         F.length("_norm") >= SHINGLE_LEN
     )
+    # A small corpus often arrives as one parquet file -> one partition,
+    # which would serialize the ~300x explode and the per-shingle md5
+    # onto a single core.  Repartition only when the input is clearly
+    # under-parallel — a well-partitioned 100 TB corpus must NOT pay a
+    # full-text shuffle here.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < max(2, target // 2):
+        base = base.repartition(target, F.col(id_col))
     pos = F.explode(F.sequence(F.lit(1), F.length("_norm") - (SHINGLE_LEN - 1)))
     sh = base.select(
         F.col(id_col), pos.alias("_pos"), F.col("_norm")
@@ -203,7 +213,9 @@ def verified_near_dups(
     (~KB/doc) and joins candidates by key; the DuckDB oracle mirrors
     every stage, so both engines see the identical pair set.
     """
-    sh = shingles(df, id_col, text_col).cache()
+    # cache only the hash columns — the shingle strings are dead weight
+    # downstream (signatures use h, verification sets use h60)
+    sh = shingles(df, id_col, text_col).select(id_col, "h60", "h").cache()
     # sig feeds banding AND both sides of the estimate prefilter — cache
     # the (tiny: one 33-column row per doc) frame instead of recomputing
     # the 32-agg groupBy three times
@@ -245,6 +257,60 @@ def verified_near_dups(
         .select("doc_a", "doc_b", "jaccard")
     )
     return jac
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_cols: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Word-bigram Jaccard similarity between documents sharing a block
+    key (the direct n-gram-Jaccard dedup family: exact set overlap on
+    token n-grams, no hashing/sketching).
+
+    Blocking on ``block_cols`` (e.g. language + source) keeps the pair
+    space keyed — one shuffle equi-join, never all-pairs.  Each doc's
+    bigram set rides the join as one array column; the per-pair cost is
+    a single ``array_intersect``.  For unblocked corpora use the
+    MinHash-LSH path above, which discovers its own candidates.
+    """
+    norm = normalize_text(text_col)
+    words = F.split(norm, " ")
+    bigrams = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, size(_w) - 1), i -> concat(_w[i-1], ' ', _w[i]))"
+        )
+    )
+    sets = (
+        df.select(F.col(id_col), *[F.col(c) for c in block_cols], words.alias("_w"))
+        .filter(F.size("_w") >= 2)
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in block_cols],
+            bigrams.alias("grams"),
+        )
+    )
+    a = sets.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("doc_a"),
+        F.col("grams").alias("g_a"),
+    )
+    b = sets.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("doc_b"),
+        F.col("grams").alias("g_b"),
+    )
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size("g_a") + F.size("g_b") - inter
+    return (
+        a.join(b, list(block_cols))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def simhash_fingerprints(

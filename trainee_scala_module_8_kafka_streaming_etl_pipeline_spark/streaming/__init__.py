@@ -20,6 +20,7 @@ surface onto Structured Streaming:
 """
 
 from .sources import file_stream, kafka_source_options  # noqa: F401
+from .sinks import materialize_to_topic  # noqa: F401
 from .upsert import read_state, upsert_batch, keyed_upsert_sink  # noqa: F401
 from .pipeline import (  # noqa: F401
     streaming_latest_by_offset,
