@@ -983,15 +983,36 @@ def _events_stream(spark, sf):
     return sdf
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_partitions(spark, n: int = 8):
+    """Bound the number of streaming state-store partitions.
+
+    spark.sql.shuffle.partitions is captured at StreamingQuery start and
+    becomes the state-store instance count; it should track state SIZE,
+    not core count — at availableNow/backfill scale the per-instance
+    overhead of 32 stores quintuples wall time vs 8 (measured at sf0.1).
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _run_to_memory(df, name: str, mode: str) -> None:
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_partitions(df.sparkSession):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 @_q(
@@ -1125,16 +1146,17 @@ def q_streaming_cdc_upsert(spark, sf):
     )
     flat = unwrap_rewrite(envelopes, keep=("_offset",))
     state_dir = tempfile.mkdtemp(prefix="cdc_upsert_state_")
-    q = (
-        flat.writeStream.outputMode("append")
-        .foreachBatch(
-            keyed_upsert_sink(state_dir, keys=["user_id"], offset_col="_offset")
+    with _stream_partitions(spark):
+        q = (
+            flat.writeStream.outputMode("append")
+            .foreachBatch(
+                keyed_upsert_sink(state_dir, keys=["user_id"], offset_col="_offset")
+            )
+            .option("checkpointLocation", f"{state_dir}/_ckpt")
+            .trigger(availableNow=True)
+            .start()
         )
-        .option("checkpointLocation", f"{state_dir}/_ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return read_state(spark, state_dir)
 
 
@@ -1166,7 +1188,8 @@ def q_streaming_materialize_topic(spark, sf):
         )
     )
     base = tempfile.mkdtemp(prefix="topics_")
-    materialize_to_topic(derived, "purchases", base).awaitTermination()
+    with _stream_partitions(spark):
+        materialize_to_topic(derived, "purchases", base).awaitTermination()
     return spark.read.parquet(f"{base}/purchases")
 
 
@@ -1304,10 +1327,11 @@ def q_streaming_flagship_golden(spark, sf):
 
     for t, (_, seed, _inc) in seeds.items():
         write(t, "seed.jsonl", seed)
-    run_flagship_stream(spark, src, work)  # round 1: the 5 seed docs
-    for t, (_, _seed, inc) in seeds.items():
-        write(t, "inc.jsonl", inc)
-    out = run_flagship_stream(spark, src, work)  # round 2: +1 doc
+    with _stream_partitions(spark):
+        run_flagship_stream(spark, src, work)  # round 1: the 5 seed docs
+        for t, (_, _seed, inc) in seeds.items():
+            write(t, "inc.jsonl", inc)
+        out = run_flagship_stream(spark, src, work)  # round 2: +1 doc
     return out.select(
         "order_id", "shipment_id", "customer_id", "customer_name",
         F.col("customer_age").cast("int").alias("customer_age"),

@@ -283,6 +283,11 @@ def ngram_jaccard_pairs(
             "transform(sequence(1, size(_w) - 1), i -> concat(_w[i-1], ' ', _w[i]))"
         )
     )
+    # same under-parallel-input guard as shingles(): don't serialize the
+    # bigram build on a one-file corpus
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        df = df.repartition(target, F.col(id_col))
     sets = (
         df.select(F.col(id_col), *[F.col(c) for c in block_cols], words.alias("_w"))
         .filter(F.size("_w") >= 2)
