@@ -232,6 +232,47 @@ def q_flagship(spark, sf):
     return flagship.shipped_orders(spark, sf)
 
 
+_FLAGSHIP_SPARK_SQL = """
+    WITH p AS (SELECT event_id AS purchase_id, user_id, value AS price, ts
+               FROM events WHERE event_type = 'purchase'),
+    enriched AS (
+        SELECT /*+ BROADCAST(c) */
+               p.purchase_id, p.user_id, p.price, p.ts,
+               c.c_name AS customer_name, c.c_mktsegment AS customer_segment
+        FROM p LEFT JOIN customer c ON p.user_id = c.c_custkey),
+    shipped AS (
+        SELECT e.purchase_id, e.user_id AS customer_id, e.customer_name,
+               e.customer_segment, e.price, e.ts AS purchase_ts,
+               k.event_id AS click_id, k.ts AS click_ts
+        FROM enriched e
+        JOIN (SELECT * FROM events WHERE event_type = 'click') k
+          ON e.user_id = k.user_id
+         AND k.ts >= e.ts - INTERVAL 1 DAY
+         AND k.ts <= e.ts + INTERVAL 1 DAY)
+    SELECT purchase_id, customer_id, customer_name, customer_segment,
+           price, purchase_ts,
+           max(click_id)              AS last_click_id,
+           max_by(click_ts, click_id) AS last_click_ts,
+           count(*)                   AS n_clicks
+    FROM shipped
+    GROUP BY purchase_id, customer_id, customer_name, customer_segment,
+             price, purchase_ts
+    """
+
+
+# same pipeline through the Spark SQL surface (what a ksqlDB user would
+# write), with an explicit broadcast hint on the dimension — proving the
+# engine's SQL entry point plans the same analytics as the DataFrame API
+@_q("flagship_sql", _REGISTRY["flagship_shipped_orders"][1])
+def q_flagship_sql(spark, sf):
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.catalog import (
+        register_views,
+    )
+
+    register_views(spark, sf)
+    return spark.sql(_FLAGSHIP_SPARK_SQL)
+
+
 # S3 — CDC envelope unwrap, delete-rewrite mode
 _OP_CASE = "CASE WHEN event_type = 'signup' THEN 'c' WHEN event_type = 'error' THEN 'd' ELSE 'u' END"
 
