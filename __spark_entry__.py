@@ -1291,6 +1291,24 @@ def q_hopping_agg(spark, sf):
     )
 
 
+@_q(
+    "streaming_dropdup",
+    """
+    SELECT event_id, user_id, event_type FROM events
+    """,
+)
+def q_streaming_dropdup(spark, sf):
+    """Streaming exact deduplication: two copies of the topic unioned
+    (every record delivered twice — the at-least-once case) and
+    collapsed by stateful dropDuplicates on the record key, so each
+    event survives exactly once."""
+    ev1 = _events_stream(spark, sf).select("event_id", "user_id", "event_type")
+    ev2 = _events_stream(spark, sf).select("event_id", "user_id", "event_type")
+    deduped = ev1.unionByName(ev2).dropDuplicates(["event_id"])
+    _run_to_memory(deduped, "streaming_dropdup", "append")
+    return spark.table("streaming_dropdup")
+
+
 def _golden_values_sql() -> str:
     rows = [
         ("22", "71", "7", "sue", 25, "iowa", 29.71, "aud"),
