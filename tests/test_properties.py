@@ -134,3 +134,25 @@ def test_blocked_gemm_matches_bruteforce(spark):
         .collect()
     }
     assert gemm == brute
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must not change join results — only the key distribution.
+    Skewed fact: 80% of rows on one hot key."""
+    rnd = random.Random(5)
+    fact = spark.createDataFrame(
+        [(i, 1 if rnd.random() < 0.8 else rnd.randrange(2, 30), rnd.random())
+         for i in range(2000)],
+        ["row_id", "k", "x"],
+    )
+    dim = spark.createDataFrame(
+        [(k, f"name{k}") for k in range(0, 30, 2)], ["dk", "name"]
+    )
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.skew import (
+        salted_join,
+    )
+
+    salted = salted_join(fact, dim, on=[("k", "dk")], salt_partitions=4)
+    plain = fact.join(dim, fact["k"] == dim["dk"])
+    key = lambda r: (r.row_id, r.dk)
+    assert sorted(map(key, salted.collect())) == sorted(map(key, plain.collect()))
