@@ -1309,6 +1309,65 @@ def q_streaming_dropdup(spark, sf):
     return spark.table("streaming_dropdup")
 
 
+@_q(
+    "streaming_sessionize",
+    """
+    WITH d AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d)
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_streaming_sessionize(spark, sf):
+    """Custom stateful operator via applyInPandasWithState: streaming
+    sessionization with per-key open-session state, checked against the
+    batch gaps-and-islands oracle."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.pipeline import (
+        sessionize_stream,
+    )
+
+    ev = _events_stream(spark, sf).select("user_id", "ts")
+    out = sessionize_stream(ev)
+    _run_to_memory(out, "streaming_sessionize", "update")
+    return spark.table("streaming_sessionize")
+
+
+@_q(
+    "multimodal_frame_sample",
+    f"""
+    WITH m AS (
+      SELECT doc_id, hex(text::BLOB) AS hx, octet_length(text::BLOB) AS n
+      FROM documents WHERE octet_length(text::BLOB) > 0),
+    idx AS (
+      SELECT doc_id, hx,
+             unnest(generate_series(0, cast(ceil(n / {multimodal.CHUNK_SIZE}.0) AS INT) - 1)) AS chunk_idx
+      FROM m)
+    SELECT doc_id, cast(chunk_idx AS INT) AS chunk_idx,
+           md5(substr(hx, chunk_idx * {multimodal.CHUNK_SIZE * 2} + 1,
+                      {multimodal.CHUNK_SIZE * 2})) AS chunk_fp
+    FROM idx WHERE chunk_idx % 4 = 0
+    """,
+)
+def q_multimodal_frame_sample(spark, sf):
+    """Frame sampling over an opaque media column: keep every 4th
+    fixed-size block (the every-k-th-frame pattern for video payloads) —
+    the sample predicate sits on the chunk index, so unsampled chunk
+    fingerprints are never computed downstream."""
+    media = multimodal.attach_media(load(spark, sf, "documents"))
+    chunks = multimodal.chunk_media(media)
+    return chunks.filter(F.col("chunk_idx") % 4 == 0).select(
+        "doc_id", "chunk_idx", "chunk_fp"
+    )
+
+
 def _golden_values_sql() -> str:
     rows = [
         ("22", "71", "7", "sue", 25, "iowa", 29.71, "aud"),

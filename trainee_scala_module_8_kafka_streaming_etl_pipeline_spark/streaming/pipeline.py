@@ -91,6 +91,76 @@ def watermarked_interval_join(
     return l_df.join(r_df, cond, "inner")
 
 
+def sessionize_stream(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState`` —
+    the escape hatch for stateful logic ``session_window`` can't express
+    (per-key custom gap rules, richer session payloads).
+
+    Per key, the state struct carries the open session (start, count,
+    last event time).  Each micro-batch emits every session it touched —
+    closed sessions finally, the still-open session *provisionally* —
+    so a downstream keyed upsert on (key, session_start) with
+    ``n_events`` as the revision ordinal converges to the exact result;
+    a later batch that extends the open session re-emits the same
+    (key, session_start) with a larger count.  Assumes per-key event-
+    time-ordered arrival across batches (file/topic order), the same
+    assumption ksqlDB's session windows make for in-order topics.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        ts_list = []
+        for pdf in pdfs:
+            ts_list.extend(pdf[ts_col].tolist())
+        ts_list.sort()
+        if state.exists:
+            start_us, cnt, last_us = state.get
+        else:
+            start_us, cnt, last_us = None, 0, None
+        gap_us = gap_seconds * 1_000_000
+        out_start, out_n = [], []
+        for t in ts_list:
+            t_us = t.value // 1000  # pandas ns -> us
+            if start_us is None:
+                start_us, cnt = t_us, 1
+            elif t_us - last_us < gap_us:
+                cnt += 1
+            else:
+                out_start.append(start_us)
+                out_n.append(cnt)
+                start_us, cnt = t_us, 1
+            # clamp: an out-of-order straggler (violating the documented
+            # in-order assumption) may extend the open session but must
+            # not move its clock backward
+            last_us = t_us if last_us is None else max(last_us, t_us)
+        if start_us is not None:
+            out_start.append(start_us)  # provisional open session
+            out_n.append(cnt)
+            state.update((start_us, cnt, last_us))
+        yield pd.DataFrame(
+            {
+                key_col: key[0],
+                "session_start": pd.to_datetime(pd.Series(out_start), unit="us"),
+                "n_events": pd.Series(out_n, dtype="int64"),
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=f"{key_col} long, session_start timestamp, n_events long",
+        stateStructType="start_us long, cnt long, last_us long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # --------------------------------------------------------------------------
 # Composed flagship stream over CDC-shaped fixture directories
 # --------------------------------------------------------------------------
