@@ -628,10 +628,6 @@ def _oracle_minhash() -> str:
         + " AS band_key FROM sig"
         for bi in range(dedup.N_BANDS)
     )
-    est = " + ".join(
-        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
-        for i in range(dedup.N_HASHES)
-    )
     return f"""
     WITH norm AS (
       SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS n
@@ -657,24 +653,18 @@ def _oracle_minhash() -> str:
     bands AS (
       {bands}),
     cand0 AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id),
-    cand AS (
-      SELECT c.doc_a, c.doc_b
-      FROM cand0 c
-      JOIN sig sa ON sa.doc_id = c.doc_a
-      JOIN sig sb ON sb.doc_id = c.doc_b
-      WHERE ({est}) / {float(dedup.N_HASHES)} >= {dedup.EST_PREFILTER}),
     inter AS (
       SELECT c.doc_a, c.doc_b,
              len(list_intersect(na.hs, nb.hs)) AS n_inter,
              na.n_sh AS n_a, nb.n_sh AS n_b
-      FROM cand c
+      FROM cand0 c
       JOIN sets na ON na.doc_id = c.doc_a
       JOIN sets nb ON nb.doc_id = c.doc_b)
-    SELECT doc_a, doc_b,
+    SELECT DISTINCT doc_a, doc_b,
            round(n_inter / (n_a + n_b - n_inter), 6) AS jaccard
     FROM inter
     WHERE round(n_inter / (n_a + n_b - n_inter), 6) >= {dedup.JACCARD_THRESHOLD}

