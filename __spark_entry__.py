@@ -722,12 +722,12 @@ def _oracle_simhash_pairs() -> str:
     chunks AS (
       {chunks}),
     pairs AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.simhash AS sh_a, b.simhash AS sh_b
       FROM chunks a JOIN chunks b
         ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
        AND a.doc_id < b.doc_id)
-    SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+    SELECT DISTINCT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
     FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= {dedup.SIMHASH_MAX_HAMMING}
     """
 

@@ -400,11 +400,14 @@ def simhash_near_dups(
             F.col("a.simhash").alias("sh_a"),
             F.col("b.simhash").alias("sh_b"),
         )
-        .distinct()
+        # hamming is a two-instruction filter — run it on the raw
+        # (duplicate-bearing) block join output and dedupe only the tiny
+        # survivor set, instead of shuffling every candidate for distinct
         .withColumn(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
     return pairs
