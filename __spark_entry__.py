@@ -628,6 +628,10 @@ def _oracle_minhash() -> str:
         + " AS band_key FROM sig"
         for bi in range(dedup.N_BANDS)
     )
+    est_sum = " + ".join(
+        f"(CASE WHEN xa.mh{i} = xb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(dedup.N_HASHES)
+    )
     return f"""
     WITH norm AS (
       SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS n
@@ -657,11 +661,18 @@ def _oracle_minhash() -> str:
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id),
+    survivors AS (
+      -- signature-agreement prefilter, mirroring dedup.EST_CUTOFF
+      SELECT c.doc_a, c.doc_b
+      FROM cand0 c
+      JOIN sig xa ON xa.doc_id = c.doc_a
+      JOIN sig xb ON xb.doc_id = c.doc_b
+      WHERE ({est_sum}) >= {dedup.EST_CUTOFF}),
     inter AS (
       SELECT c.doc_a, c.doc_b,
              len(list_intersect(na.hs, nb.hs)) AS n_inter,
              na.n_sh AS n_a, nb.n_sh AS n_b
-      FROM cand0 c
+      FROM survivors c
       JOIN sets na ON na.doc_id = c.doc_a
       JOIN sets nb ON nb.doc_id = c.doc_b)
     SELECT DISTINCT doc_a, doc_b,

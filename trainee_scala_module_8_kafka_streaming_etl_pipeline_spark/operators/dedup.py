@@ -18,6 +18,16 @@ md5 is identical everywhere; 15 hex chars = 60 bits fits a signed
 bigint; a_i < 2^32 and h < 2^30 keep products under 2^62 (no overflow
 in either engine).
 
+P must be SMALL enough that ``a_i*h + b_i`` wraps it many times —
+P = 2^31-1 (Mersenne prime) makes each map a genuine pseudo-
+permutation of the shingle space.  (A larger prime like 2^61-1 never
+wraps: every map is then monotone in ``h``, all 32 "independent"
+minhashes collapse to functions of the single minimum base hash, and
+any two docs sharing the corpus's globally-minimal shingle collide in
+every band — LSH silently degenerates to an all-pairs join.  Measured
+on the sf0.1 corpus: 3.27M candidates with the monotone maps vs ~2k
+truly-similar candidates with wrapping maps.)
+
 Scale design: everything is explode → hash-aggregate → equi-join.
 Shingling is a narrow op; minhash signatures are one groupBy(doc_id)
 with map-side partial min; LSH banding turns the quadratic all-pairs
@@ -42,8 +52,14 @@ N_HASHES = 32
 N_BANDS = 8
 BAND_ROWS = N_HASHES // N_BANDS
 HASH_MOD = 1 << 30
-MINHASH_P = 2305843009213693951  # 2^61 - 1 (prime)
+MINHASH_P = 2147483647  # 2^31 - 1 (prime; small enough that a*h+b wraps it)
 JACCARD_THRESHOLD = 0.8
+# Signature-agreement prefilter before exact verification: a candidate
+# pair must match on >= EST_CUTOFF of the 32 minhashes (estimate >=
+# 0.5625).  At jaccard 0.8 the miss probability is ~1e-4 (3.6 sigma);
+# background pairs (j ~ 0.2 on a shared-vocabulary corpus) pass with
+# p < 1e-4 — the exact set-intersection then runs on survivors only.
+EST_CUTOFF = 18
 SIMHASH_BITS = 60
 SIMHASH_CHUNKS = 4  # pigeonhole blocks for hamming <= 3
 SIMHASH_MAX_HAMMING = 3
@@ -211,15 +227,25 @@ def verified_near_dups(
     template-heavy corpora where millions of pairs share half their
     shingles.
 
-    Plan shape (measured 2x faster than the staged form at sf0.1):
-    ONE per-doc aggregation produces both the 32 minhashes and the hash
-    set; band candidates are NOT deduplicated (a pair colliding in k
-    bands is verified k times — cheaper than shuffling the candidate
-    set for a distinct, since the per-doc frame broadcasts and
-    verification is map-side); the estimate prefilter is a lazy row
-    filter before the intersect; the final DISTINCT on the (tiny)
-    surviving output dedupes multi-band discoveries.  The DuckDB
-    oracle mirrors every stage, so both engines see the identical set.
+    Plan shape: ONE per-doc aggregation produces the 32 minhashes and
+    the hash set; band candidates are NOT deduplicated (a pair
+    colliding in k bands rides through the cheap stages k times — the
+    final DISTINCT on the tiny output dedupes multi-band discoveries,
+    avoiding a full candidate-set shuffle).  Verification is two
+    stages, cheap-first:
+
+      1. signature prefilter — join only the 32-minhash array (a
+         ~300-byte column; broadcastable at any realistic doc count /
+         executor ratio) and keep pairs matching >= EST_CUTOFF of 32.
+         This is map-side and kills the background pairs that banding
+         lets through on shared-vocabulary corpora.
+      2. exact Jaccard — join the full shingle-hash sets (the wide
+         ~kB-per-doc column) for the handful of survivors and
+         intersect (60-bit hashes: hash-set jaccard == string-set
+         jaccard for any realistic corpus).
+
+    The DuckDB oracle mirrors every stage, so both engines see the
+    identical set.
     """
     sh = shingles(df, id_col, text_col)
     mh_aggs = [
@@ -233,10 +259,21 @@ def verified_near_dups(
         .cache()
     )
     cand = lsh_candidate_pairs(perdoc, id_col, dedupe=False)
-    # verify against the hash sets only — dragging the 32 signature
-    # columns through the pair join (for a signature-estimate prefilter)
-    # costs more in row width than the filter prunes: the 8x4 banding
-    # already is the selection stage
+    sig = perdoc.select(
+        F.col(id_col), F.array(*[F.col(f"mh{i}") for i in range(N_HASHES)]).alias("mhs")
+    )
+    sa = sig.select(F.col(id_col).alias("doc_a"), F.col("mhs").alias("mhs_a"))
+    sb = sig.select(F.col(id_col).alias("doc_b"), F.col("mhs").alias("mhs_b"))
+    n_eq = F.expr(
+        "aggregate(zip_with(mhs_a, mhs_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),"
+        " 0, (acc, v) -> acc + v)"
+    )
+    survivors = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(n_eq >= F.lit(EST_CUTOFF))
+        .select("doc_a", "doc_b")
+    )
     pa = perdoc.select(
         F.col(id_col).alias("doc_a"),
         F.col("hs").alias("hs_a"),
@@ -248,7 +285,7 @@ def verified_near_dups(
         F.col("n_sh").alias("n_b"),
     )
     jac = (
-        cand.join(pa, "doc_a")
+        survivors.join(pa, "doc_a")
         .join(pb, "doc_b")
         .withColumn("n_inter", F.size(F.array_intersect("hs_a", "hs_b")))
         .withColumn(
