@@ -66,14 +66,21 @@ SIMHASH_MAX_HAMMING = 3
 
 
 def _ab_pairs(n: int = N_HASHES) -> list[tuple[int, int]]:
-    """Deterministic LCG-generated (a, b) constants — same table is
-    inlined into the DuckDB oracle SQL, keeping both engines in sync."""
-    x, pairs = 12345, []
-    for _ in range(n):
-        x = (1103515245 * x + 12345) % (1 << 31)
-        a = 2 * x + 1
-        x = (1103515245 * x + 12345) % (1 << 31)
-        pairs.append((a, x))
+    """Deterministic (a, b) constants per minhash function — the same
+    table is inlined into the DuckDB oracle SQL, keeping both engines in
+    sync.  Derived from md5 so the 32 maps behave as independent
+    permutations: sequential LCG outputs are lattice-correlated, which
+    correlates the match events across hash functions and inflates the
+    4-row band collision probability far above j^4 (measured at sf0.01:
+    21,765 LSH candidates with LCG constants vs 514 with md5 constants,
+    against ~1,240 expected for truly independent permutations)."""
+    import hashlib
+
+    pairs = []
+    for i in range(n):
+        da = int.from_bytes(hashlib.md5(f"minhash-a-{i}".encode()).digest()[:8], "big")
+        db = int.from_bytes(hashlib.md5(f"minhash-b-{i}".encode()).digest()[:8], "big")
+        pairs.append(((da % (1 << 31)) | 1, db % (1 << 31)))
     return pairs
 
 
@@ -258,6 +265,11 @@ def verified_near_dups(
         .withColumn("n_sh", F.size("hs"))
         .cache()
     )
+    # Materialize the cache before the plan fans out: perdoc appears six
+    # times downstream (bands x2, signatures x2, hash-sets x2), and
+    # concurrent stages racing an unpopulated cache each recompute the
+    # full shingle aggregation.
+    perdoc.count()
     cand = lsh_candidate_pairs(perdoc, id_col, dedupe=False)
     sig = perdoc.select(
         F.col(id_col), F.array(*[F.col(f"mh{i}") for i in range(N_HASHES)]).alias("mhs")
