@@ -24,6 +24,7 @@ from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import 
     dedup,
     joins,
     multimodal,
+    sampling,
     similarity,
 )
 from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.plans import flagship
@@ -754,6 +755,25 @@ _TOK_SQL = r"len(regexp_split_to_array(trim(text), '\s+'))"
 _PUNCT_SQL = r"len(regexp_extract_all(text, '[.,!?;:]'))"
 _BPE_SQL = r"len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))"
 _STOP_SQL = r"len(regexp_extract_all(lower(text), '\b(the|a|and|of|in|to|is|it)\b'))"
+_QUALITY_SQL = f"""round(least(length(text) / 200.0, 1.0) * 0.4
+                 + least(round({_STOP_SQL} / greatest({_TOK_SQL}, 1), 6) * 4.0, 1.0) * 0.4
+                 + (1.0 - least(round({_PUNCT_SQL} / greatest(length(text), 1), 6) * 10.0, 1.0)) * 0.2,
+                 6)"""
+
+
+def _pred_lang_sql() -> str:
+    """DuckDB mirror of functions.text.predicted_lang (argmax by encoded
+    score*8+rank; ties to alphabetically-last; zero hits -> 'und')."""
+    langs = sorted(T.LANG_MARKERS)
+    score = {
+        lg: rf"len(regexp_extract_all(lower(text), '\b({'|'.join(T.LANG_MARKERS[lg])})\b'))"
+        for lg in langs
+    }
+    encoded = ", ".join(f"{score[lg]} * 8 + {i}" for i, lg in enumerate(langs))
+    decode = " ".join(f"WHEN {i} THEN '{lg}'" for i, lg in enumerate(langs))
+    return f"""CASE WHEN greatest({encoded}) >= 8
+                THEN CASE greatest({encoded}) % 8 {decode} END
+                ELSE 'und' END"""
 
 
 @_q(
@@ -767,10 +787,7 @@ _STOP_SQL = r"len(regexp_extract_all(lower(text), '\b(the|a|and|of|in|to|is|it)\
            round({_STOP_SQL} / greatest({_TOK_SQL}, 1), 6)    AS stopword_ratio,
            round(length(regexp_replace(text, '\\s+', '', 'g'))
                  / greatest({_TOK_SQL}, 1), 6)                AS avg_token_len,
-           round(least(length(text) / 200.0, 1.0) * 0.4
-                 + least(round({_STOP_SQL} / greatest({_TOK_SQL}, 1), 6) * 4.0, 1.0) * 0.4
-                 + (1.0 - least(round({_PUNCT_SQL} / greatest(length(text), 1), 6) * 10.0, 1.0)) * 0.2,
-                 6) AS quality_score
+           {_QUALITY_SQL} AS quality_score
     FROM documents
     """,
 )
@@ -789,20 +806,9 @@ def q_text_stats(spark, sf):
 
 
 def _oracle_lang_id() -> str:
-    langs = sorted(T.LANG_MARKERS)
-    score = {
-        lg: rf"len(regexp_extract_all(lower(text), '\b({'|'.join(T.LANG_MARKERS[lg])})\b'))"
-        for lg in langs
-    }
-    encoded = ", ".join(f"{score[lg]} * 8 + {i}" for i, lg in enumerate(langs))
-    decode = " ".join(
-        f"WHEN {i} THEN '{lg}'" for i, lg in enumerate(langs)
-    )
     return f"""
     SELECT doc_id, lang,
-           CASE WHEN greatest({encoded}) >= 8
-                THEN CASE greatest({encoded}) % 8 {decode} END
-                ELSE 'und' END AS pred_lang
+           {_pred_lang_sql()} AS pred_lang
     FROM documents
     """
 
@@ -842,6 +848,87 @@ def q_token_count(spark, sf):
 def q_doc_fingerprint(spark, sf):
     return load(spark, sf, "documents").select(
         "doc_id", T.fingerprint().alias("fingerprint")
+    )
+
+
+# dataset assembly: splits, shard packing, corpus cleaning ------------------
+
+_BUCKET_SQL = "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100"
+
+
+@_q(
+    "hash_split",
+    f"""
+    SELECT doc_id,
+           {_BUCKET_SQL} AS bucket,
+           CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
+                WHEN {_BUCKET_SQL} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_hash_split(spark, sf):
+    """Deterministic train/val/test assignment (operators/sampling.py):
+    content-keyed md5 bucket, stable across reruns/retries/partitionings
+    — the reproducible alternative to rand()-based splits."""
+    return sampling.hash_split(load(spark, sf, "documents")).select(
+        "doc_id", "bucket", "split"
+    )
+
+
+_SHARD_BUDGET = 1000
+
+
+@_q(
+    "shard_pack",
+    f"""
+    SELECT doc_id, lang, {_TOK_SQL} AS n_tok,
+           CAST(floor((sum({_TOK_SQL}) OVER (PARTITION BY lang ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - {_TOK_SQL}) / {_SHARD_BUDGET}) AS BIGINT) AS shard_id
+    FROM documents
+    """,
+)
+def q_shard_pack(spark, sf):
+    """Token-budget shard packing per language (operators/sampling.py):
+    shard_id = floor(exclusive-prefix-sum(tokens)/budget) within each
+    lang, one window shuffle, groups pack in parallel."""
+    return sampling.pack_shards(
+        load(spark, sf, "documents"),
+        token_col=T.n_tokens(),
+        group_cols=("lang",),
+        budget=_SHARD_BUDGET,
+    )
+
+
+@_q(
+    "corpus_clean",
+    f"""
+    WITH keep AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    scored AS (
+      SELECT doc_id, {_pred_lang_sql()} AS pred_lang, {_QUALITY_SQL} AS quality
+      FROM documents JOIN keep USING (doc_id))
+    SELECT doc_id, pred_lang, quality
+    FROM scored
+    WHERE quality >= 0.5 AND pred_lang <> 'und'
+    """,
+)
+def q_corpus_clean(spark, sf):
+    """Composed training-corpus cleaning pipeline: exact-dedup (keep the
+    lowest doc_id per md5) -> quality-score filter -> language-ID filter.
+    Each stage is an existing oracle-checked operator; the composition
+    is one shuffle (the dedup groupBy) plus narrow projections."""
+    d = load(spark, sf, "documents")
+    keep = d.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    return (
+        d.join(keep.select("doc_id"), "doc_id")
+        .select(
+            "doc_id",
+            T.predicted_lang().alias("pred_lang"),
+            T.quality_score().alias("quality"),
+        )
+        .filter((F.col("quality") >= 0.5) & (F.col("pred_lang") != "und"))
     )
 
 
@@ -919,6 +1006,54 @@ def _cos_sql(x: str, y: str) -> str:
 )
 def q_ann_ivf_topk(spark, sf):
     return similarity.ivf_topk(load(spark, sf, "embeddings"))
+
+
+def _oracle_lsh() -> str:
+    """Mirror of similarity.lsh_topk: identical Rademacher hyperplanes
+    (inlined +-v[i] sum chains — same left-to-right double addition
+    order as Spark's aggregate fold), per-table buckets, candidate
+    union, exact-cosine ranking."""
+    tables = similarity.lsh_planes()
+
+    def bucket_sql(planes: list[list[float]]) -> str:
+        terms = []
+        for j, plane in enumerate(planes):
+            dot = " + ".join(
+                f"({'' if s > 0 else '-'}v[{i + 1}])" for i, s in enumerate(plane)
+            )
+            terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END)")
+        return " + ".join(terms)
+
+    b_union = "\n      UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS table_idx, {bucket_sql(tables[t])} AS bucket FROM c"
+        for t in range(similarity.LSH_TABLES)
+    )
+    return f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (
+      {b_union}),
+    q AS (SELECT vec_id AS query_id, table_idx, bucket FROM b WHERE vec_id < 10),
+    cand AS (
+      SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id
+      FROM b a JOIN q ON a.table_idx = q.table_idx AND a.bucket = q.bucket
+      WHERE a.vec_id <> q.query_id),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id, {_cos_sql("a.v", "b.v")} AS cos
+      FROM cand JOIN c a ON a.vec_id = cand.neighbor_id
+                JOIN c b ON b.vec_id = cand.query_id)
+    SELECT query_id, neighbor_id, cos, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored) WHERE rnk <= 5
+    """
+
+
+@_q("ann_lsh_topk", _oracle_lsh())
+def q_ann_lsh_topk(spark, sf):
+    """Multi-table random-hyperplane LSH ANN (operators/similarity.py):
+    data-independent bucketing (no centroid training pass), candidates =
+    union of the query's bucket across 4 tables of 8 sign bits."""
+    return similarity.lsh_topk(load(spark, sf, "embeddings"))
 
 
 @_q(

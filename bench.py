@@ -46,8 +46,11 @@ HEADLINE = [
     "simhash_near_dups",
     "text_stats",
     "ann_cosine_topk",
+    "ann_lsh_topk",
     "embedding_neardup",
     "ngram_jaccard",
+    "corpus_clean",
+    "shard_pack",
     "hopping_agg",
     "multimodal_chunks",
     "streaming_interval_join",

@@ -156,3 +156,71 @@ def test_salted_join_matches_plain_join(spark):
     plain = fact.join(dim, fact["k"] == dim["dk"])
     key = lambda r: (r.row_id, r.dk)
     assert sorted(map(key, salted.collect())) == sorted(map(key, plain.collect()))
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.sampling import (
+        hash_split,
+    )
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = hash_split(df).select("doc_id", "split")
+    b = hash_split(df.repartition(13)).select("doc_id", "split")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    frac = {
+        r["split"]: r["n"]
+        for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    # md5 buckets over 2000 keys: expect ~80/10/10 within a loose band
+    assert 0.7 < frac["train"] / 2000 < 0.9
+    assert 0.05 < frac["val"] / 2000 < 0.15
+    assert 0.05 < frac["test"] / 2000 < 0.15
+
+
+def test_pack_shards_budget_and_order_invariants(spark):
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.sampling import (
+        pack_shards,
+    )
+
+    rnd = random.Random(7)
+    rows = [(i, f"g{i % 3}", rnd.randrange(1, 200)) for i in range(600)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_tok"])
+    out = pack_shards(df, token_col="n_tok", group_cols=("lang",), budget=500)
+    per_shard = (
+        out.groupBy("lang", "shard_id")
+        .agg(F.sum("n_tok").alias("tok"), F.max("n_tok").alias("mx"))
+        .collect()
+    )
+    # each shard holds < budget before its last doc was added: total
+    # stays under budget + that doc's size
+    assert all(r["tok"] <= 500 + r["mx"] for r in per_shard)
+    # shard ids are dense consecutive per group starting at 0
+    for g in ("g0", "g1", "g2"):
+        ids = sorted(
+            r["shard_id"] for r in per_shard if r["lang"] == g
+        )
+        assert ids == list(range(len(ids)))
+
+
+def test_lsh_topk_neighbors_subset_of_bruteforce_space(spark):
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    rnd = random.Random(11)
+    rows = [
+        (i, [rnd.gauss(0, 1) for _ in range(64)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    lsh = lsh_topk(df, n_queries=5, k=3)
+    exact = brute_force_topk(df, n_queries=5, k=300)
+    # every LSH result is a real (query, neighbor) pair with the exact
+    # cosine the brute-force path computes
+    joined = lsh.alias("l").join(
+        exact.alias("e"),
+        (F.col("l.query_id") == F.col("e.query_id"))
+        & (F.col("l.neighbor_id") == F.col("e.neighbor_id")),
+    )
+    assert joined.count() == lsh.count()
+    assert joined.filter(F.col("l.cos") != F.col("e.cos")).count() == 0

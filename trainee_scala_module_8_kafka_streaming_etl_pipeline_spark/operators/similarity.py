@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths:
+Three paths:
   brute-force cosine top-k — the exactness baseline; broadcast the
     (small) query set against the full corpus, compute cosine JVM-side
     with higher-order array functions (zip_with/aggregate — no Python
@@ -9,6 +9,11 @@ Two paths:
     assign every vector to its nearest centroid (one broadcast pass),
     then probe only the `nprobe` nearest clusters per query. Search
     cost drops by ~K/nprobe; the cluster assignment is reusable state.
+  Hyperplane-LSH top-k — the data-independent scale path: L hash
+    tables of P random-hyperplane sign bits each; a vector lands in
+    one bucket per table, queries search the union of their L buckets.
+    No training pass (unlike IVF centroids), so it also fits the
+    streaming-ingest case where the corpus grows continuously.
 
 All float math accumulates in double, sequentially over the array, so
 the DuckDB oracle (same formula, DOUBLE[] casts) reproduces the values.
@@ -17,6 +22,7 @@ Cosines are rounded to 6 dp in both engines before comparison/ranking.
 
 from __future__ import annotations
 
+import hashlib
 import math
 
 from pyspark.sql import DataFrame, Window
@@ -129,6 +135,103 @@ def ivf_topk(
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )
+
+
+LSH_TABLES = 4
+LSH_PLANES = 8  # 2^8 = 256 buckets per table
+LSH_DIM = 64
+
+
+def lsh_planes(
+    n_tables: int = LSH_TABLES, n_planes: int = LSH_PLANES, dim: int = LSH_DIM
+) -> list[list[list[float]]]:
+    """Deterministic Rademacher (+-1) hyperplanes per (table, plane),
+    derived from md5 so both engines inline the identical constants.
+    Sign-pattern hyperplanes are a valid random-projection family for
+    angular LSH and make the dot products exact +-sums of the vector's
+    own doubles — no float-literal precision to coordinate."""
+    tables = []
+    for t in range(n_tables):
+        planes = []
+        for p in range(n_planes):
+            bits = hashlib.md5(f"lshplane-{t}-{p}".encode()).digest() * ((dim + 127) // 128 + 1)
+            planes.append(
+                [1.0 if (bits[i // 8] >> (i % 8)) & 1 else -1.0 for i in range(dim)]
+            )
+        tables.append(planes)
+    return tables
+
+
+def _bucket_col(vec_col: str, planes: list[list[float]]) -> F.Column:
+    """Bucket id: one sign bit per hyperplane, packed into an int."""
+    acc = F.lit(0)
+    for j, plane in enumerate(planes):
+        arr = F.array(*[F.lit(v) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        acc = acc + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return acc
+
+
+def lsh_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_tables: int = LSH_TABLES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH.
+
+    Each vector computes L x P sign bits in one narrow pass (zero
+    shuffles, the buckets are plain integer columns), then explodes to
+    L (table, bucket) rows.  Candidates = equi-join with the query
+    side's buckets — the same LSH trick as minhash banding: an O(N^2)
+    angular search becomes a keyed shuffle join whose bucket sizes are
+    ~N/2^P.  More tables -> higher recall; more planes -> smaller
+    buckets.  Candidates found in several tables are deduped BEFORE the
+    exact cosine (the expensive stage), then ranked per query.
+    """
+    tables = lsh_planes(n_tables)
+    buckets = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_idx"),
+                        _bucket_col(vec_col, tables[t]).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(id_col, vec_col, "tb.table_idx", "tb.bucket")
+    q = buckets.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        "table_idx",
+        "bucket",
+    )
+    cand = (
+        buckets.join(F.broadcast(q), ["table_idx", "bucket"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", "q_vec", F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine_col(vec_col, "q_vec").alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos", "rnk")
     )
