@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.catalog import load
@@ -688,6 +688,32 @@ def q_minhash_near_dups(spark, sf):
     return dedup.verified_near_dups(load(spark, sf, "documents"))
 
 
+@_q(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_oracle_minhash()})),
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+    lbl AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+    SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN lbl l USING (doc_id)
+    """,
+)
+def q_dedup_clusters(spark, sf):
+    """Near-dup connected components (operators/dedup.py:neardup_clusters):
+    min-label propagation over the verified MinHash pair graph; keep-list
+    = rows where doc_id == cluster_id. Oracle replays the fixpoint with
+    a recursive CTE — the iterative operator is value-hash-checked."""
+    return dedup.neardup_clusters(load(spark, sf, "documents"))
+
+
 def _oracle_simhash_fp() -> str:
     sums = ",\n           ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
@@ -904,11 +930,13 @@ def q_shard_pack(spark, sf):
 @_q(
     "corpus_clean",
     f"""
-    WITH keep AS (
-      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    WITH dedup AS (
+      SELECT doc_id, text,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+      FROM documents),
     scored AS (
       SELECT doc_id, {_pred_lang_sql()} AS pred_lang, {_QUALITY_SQL} AS quality
-      FROM documents JOIN keep USING (doc_id))
+      FROM dedup WHERE doc_id = keep_id)
     SELECT doc_id, pred_lang, quality
     FROM scored
     WHERE quality >= 0.5 AND pred_lang <> 'und'
@@ -917,12 +945,13 @@ def q_shard_pack(spark, sf):
 def q_corpus_clean(spark, sf):
     """Composed training-corpus cleaning pipeline: exact-dedup (keep the
     lowest doc_id per md5) -> quality-score filter -> language-ID filter.
-    Each stage is an existing oracle-checked operator; the composition
-    is one shuffle (the dedup groupBy) plus narrow projections."""
+    One shuffle total: the dedup keep-id is a min-over-window on the
+    md5 partition (no groupBy + join-back), scoring is narrow."""
     d = load(spark, sf, "documents")
-    keep = d.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    w = Window.partitionBy(F.md5("text"))
     return (
-        d.join(keep.select("doc_id"), "doc_id")
+        d.withColumn("keep_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keep_id"))
         .select(
             "doc_id",
             T.predicted_lang().alias("pred_lang"),

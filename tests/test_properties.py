@@ -224,3 +224,21 @@ def test_lsh_topk_neighbors_subset_of_bruteforce_space(spark):
     )
     assert joined.count() == lsh.count()
     assert joined.filter(F.col("l.cos") != F.col("e.cos")).count() == 0
+
+
+def test_neardup_clusters_label_propagation(spark):
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.dedup import (
+        neardup_clusters,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
+    # two chains (0-1-2, 5-6) and isolated nodes 3, 4, 7; chain edges
+    # deliberately not transitive pairs, so propagation must iterate
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], ["doc_a", "doc_b"]
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in neardup_clusters(docs, pairs=pairs).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5, 7: 7}

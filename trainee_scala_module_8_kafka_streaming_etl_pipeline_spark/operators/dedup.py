@@ -315,6 +315,66 @@ def verified_near_dups(
     return jac
 
 
+def neardup_clusters(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over the near-duplicate pair graph: every
+    doc gets a ``cluster_id`` = the smallest doc id reachable through
+    near-dup edges (isolated docs are their own cluster).  This is the
+    step that turns pairwise dedup output into an actionable keep-list:
+    keep ``doc_id == cluster_id``, drop the rest.
+
+    Algorithm: distributed min-label propagation (the Pregel/GraphX
+    pattern) — labels start as self, each round every node takes the
+    min of its own and its neighbors' labels, until a fixpoint.  Rounds
+    are whole DataFrame ops (one join + one groupBy each, both keyed
+    shuffles); the number of rounds is bounded by the graph diameter,
+    which for near-dup clusters is tiny (template families are
+    near-cliques).  The driver loop only checks a converged-count per
+    round — no row data ever reaches the driver.
+
+    The DuckDB oracle replays the same fixpoint with a recursive CTE
+    (transitive closure, then min over the reachable set), so even this
+    iterative operator is value-hash-checked, not rows-only.
+    """
+    if pairs is None:
+        pairs = verified_near_dups(df, id_col, text_col)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("lbl"))
+    for _ in range(max_iters):
+        labels = labels.cache()
+        neighbor_lbls = (
+            sym.join(labels, sym.dst == labels.node)
+            .select(F.col("src").alias("node"), "lbl")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_lbls)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("lbl").alias("cluster_id"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     block_cols: Sequence[str],
