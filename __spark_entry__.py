@@ -715,12 +715,24 @@ def q_dedup_clusters(spark, sf):
 
 
 def _oracle_simhash_fp() -> str:
+    # mirrors dedup.simhash_fingerprints' packed-counter aggregation:
+    # 3 one-counters per word in 20-bit fields, majority = 2*ones-n > 0
+    pk, fb = dedup._SIMHASH_PACK, dedup._SIMHASH_FIELD_BITS
+    mask = dedup._SIMHASH_FIELD_MASK
     sums = ",\n           ".join(
-        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
-        for b in range(dedup.SIMHASH_BITS)
+        "sum("
+        + " + ".join(f"(((h >> {w * pk + f}) & 1) << {f * fb})" for f in range(pk))
+        + f") AS w{w}"
+        for w in range(dedup._SIMHASH_WORDS)
     )
+
+    def ones(b: int) -> str:
+        w, f = divmod(b, pk)
+        return f"((w{w} >> {f * fb}) & {mask})"
+
     fp = " + ".join(
-        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(dedup.SIMHASH_BITS)
+        f"(CASE WHEN 2 * {ones(b)} - n_occ > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(dedup.SIMHASH_BITS)
     )
     return f"""
     WITH norm AS (
@@ -737,7 +749,8 @@ def _oracle_simhash_fp() -> str:
       FROM sh),
     voted AS (
       SELECT doc_id,
-           {sums}
+           {sums},
+           count(*) AS n_occ
       FROM hashed GROUP BY doc_id)
     SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM voted
     """
@@ -958,6 +971,63 @@ def q_corpus_clean(spark, sf):
             T.quality_score().alias("quality"),
         )
         .filter((F.col("quality") >= 0.5) & (F.col("pred_lang") != "und"))
+    )
+
+
+@_q(
+    "length_percentiles",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           round(quantile_cont(length(text)::DOUBLE, 0.5), 6)  AS p50_chars,
+           round(quantile_cont(length(text)::DOUBLE, 0.9), 6)  AS p90_chars,
+           round(quantile_cont(length(text)::DOUBLE, 0.99), 6) AS p99_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_length_percentiles(spark, sf):
+    """Per-language document-length distribution profile (continuous
+    percentiles — Spark `percentile` and DuckDB `quantile_cont` share
+    the interpolation definition; verified value-identical on doubles).
+    Exact percentiles buffer each group's values: fine for a bounded
+    group count (languages); for per-domain profiles at 100 TB switch
+    to approx_percentile (t-digest, map-side combinable)."""
+    d = load(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(length(text), 0.5D)"), 6).alias("p50_chars"),
+        F.round(F.expr("percentile(length(text), 0.9D)"), 6).alias("p90_chars"),
+        F.round(F.expr("percentile(length(text), 0.99D)"), 6).alias("p99_chars"),
+    )
+
+
+_SAMPLE_PER_GROUP = 20
+
+
+@_q(
+    "stratified_sample",
+    f"""
+    SELECT lang, doc_id, sample_rank FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(doc_id::VARCHAR)) AS sample_rank
+      FROM documents) t
+    WHERE sample_rank <= {_SAMPLE_PER_GROUP}
+    """,
+)
+def q_stratified_sample(spark, sf):
+    """Deterministic stratified sample: exactly N docs per language,
+    chosen by md5 rank of the key — reproducible across reruns and
+    engines (unlike TABLESAMPLE/rand()).  Quota sampling needs a
+    per-group ranking (one window shuffle); when an approximate rate
+    suffices at scale, prefer the shuffle-free hash-bucket filter of
+    operators/sampling.py:hash_bucket."""
+    d = load(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")))
+    return (
+        d.select("lang", "doc_id")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= _SAMPLE_PER_GROUP)
     )
 
 

@@ -7,14 +7,16 @@ Execution is forced with the `noop` datasource write (full pipeline runs,
 nothing is collected to the driver), matching how a cluster job would
 materialize results to a sink rather than the driver.
 
-Methodology: one untimed warmup pass over every headline query, then a
-timed steady-state pass.  At sf0.1 a complex plan's wall time is
-dominated by one-time whole-stage-codegen *compilation* (measured ~4s
-for a 60-aggregate plan whose execution is 0.5s); on the 100 TB target
-deployment that compile cost amortizes to zero, so steady-state is the
-representative number.  All DataFrame caches are dropped between the
-passes — the timed pass re-executes every scan, shuffle, and join from
-parquet, it only reuses JIT-compiled code.
+Methodology: one untimed warmup pass over every headline query, then
+TWO timed steady-state passes reporting the per-query minimum.  At
+sf0.1 a complex plan's wall time is dominated by one-time whole-stage-
+codegen *compilation* (measured ~4s for a 60-aggregate plan whose
+execution is 0.5s); on the 100 TB target deployment that compile cost
+amortizes to zero, so steady-state is the representative number, and
+the min-of-2 damps scheduler/GC noise on a shared host.  All DataFrame
+caches are dropped between passes — every timed run re-executes the
+full scan/shuffle/join path from parquet, reusing only JIT-compiled
+code.
 """
 
 from __future__ import annotations
@@ -80,13 +82,16 @@ def main() -> int:
     spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs.get(name)
-        if fn is None:
-            continue
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(2):
+        for name in HEADLINE:
+            fn = qs.get(name)
+            if fn is None:
+                continue
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            elapsed = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, elapsed), elapsed)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

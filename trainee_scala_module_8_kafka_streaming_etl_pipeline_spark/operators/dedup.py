@@ -434,29 +434,63 @@ def ngram_jaccard_pairs(
     )
 
 
+# packed-counter layout for the simhash vote aggregation: 3 bit-counters
+# per 64-bit word, 20-bit fields -> 20 agg buffer slots instead of 60.
+# A field counts ones for its bit, so it overflows only past 2^20-1
+# shingle occurrences in ONE document (~5 MB of text) — documented
+# bound, far above any sane per-doc chunking policy.
+_SIMHASH_PACK = 3
+_SIMHASH_FIELD_BITS = 20
+_SIMHASH_WORDS = SIMHASH_BITS // _SIMHASH_PACK
+_SIMHASH_FIELD_MASK = (1 << _SIMHASH_FIELD_BITS) - 1
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """60-bit SimHash per doc: majority vote of each hash bit across the
     doc's shingle *occurrences* (frequency-weighted simhash — repeated
-    shingles vote repeatedly, the classic Charikar weighting).  One
-    groupBy(doc) with 60 conditional-sum aggs — map-side combinable, no
-    sort, and no dedup shuffle upstream.  Votes come from the full
-    60-bit shingle hash (h60) so every fingerprint bit is live — the
-    reduced 31-bit minhash base would leave bits 30-59 identically zero
-    and degrade the pigeonhole blocking below to an all-pairs join."""
+    shingles vote repeatedly, the classic Charikar weighting).
+
+    One groupBy(doc) — map-side combinable, no sort, no dedup shuffle
+    upstream.  The per-bit one-counts are packed 3-to-a-word in 20-bit
+    fields, so the aggregate carries 20 bigint buffers instead of 60:
+    3x less agg-buffer memory traffic per row, identical results (a
+    bit's majority vote is ones > n/2, recovered by unpacking the
+    field and comparing 2*ones - n > 0).  The DuckDB oracle mirrors
+    the same packing arithmetic — all integer-exact.
+
+    Votes come from the full 60-bit shingle hash (h60) so every
+    fingerprint bit is live — a reduced 31-bit base would leave bits
+    30-59 identically zero and degrade the pigeonhole blocking below
+    to an all-pairs join."""
     sh = shingles(df, id_col, text_col)
-    bit_aggs = [
+    word_aggs = [
         F.sum(
-            F.when(F.shiftright(F.col("h60"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(SIMHASH_BITS)
+            sum(
+                F.shiftleft(
+                    F.shiftright(F.col("h60"), w * _SIMHASH_PACK + f).bitwiseAND(
+                        F.lit(1)
+                    ),
+                    f * _SIMHASH_FIELD_BITS,
+                )
+                for f in range(_SIMHASH_PACK)
+            )
+        ).alias(f"w{w}")
+        for w in range(_SIMHASH_WORDS)
     ]
-    voted = sh.groupBy(id_col).agg(*bit_aggs)
+    voted = sh.groupBy(id_col).agg(*word_aggs, F.count(F.lit(1)).alias("n_occ"))
+
+    def ones(b: int) -> F.Column:
+        w, f = divmod(b, _SIMHASH_PACK)
+        return F.shiftright(F.col(f"w{w}"), f * _SIMHASH_FIELD_BITS).bitwiseAND(
+            F.lit(_SIMHASH_FIELD_MASK)
+        )
+
     fp = voted.select(
         F.col(id_col),
         sum(
-            (F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+            F.when(2 * ones(b) - F.col("n_occ") > 0, F.lit(1 << b)).otherwise(F.lit(0))
             for b in range(SIMHASH_BITS)
         )
         .cast("long")
@@ -475,7 +509,12 @@ def simhash_near_dups(
     all-pairs scan: split the 60-bit fingerprint into 4 chunks of 15
     bits; any pair within hamming<=3 must agree exactly on >=1 chunk
     (pigeonhole), so block on (chunk_idx, chunk_value) equi-join."""
-    fp = simhash_fingerprints(df, id_col, text_col)
+    # cache + materialize: fp feeds both sides of the block self-join,
+    # and only the pre-shuffle exchange is reused — without the cache the
+    # 60-sum final aggregation and explode run twice (5000-row frame:
+    # ~100 KB cached; at any scale this frame is id + one long per doc)
+    fp = simhash_fingerprints(df, id_col, text_col).cache()
+    fp.count()
     chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
     mask = (1 << chunk_bits) - 1
     chunks = fp.select(

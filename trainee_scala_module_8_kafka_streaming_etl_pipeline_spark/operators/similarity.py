@@ -214,6 +214,13 @@ def lsh_topk(
             )
         ).alias("tb"),
     ).select(id_col, vec_col, "tb.table_idx", "tb.bucket")
+    # cache + materialize: the corpus side and the query side both read
+    # this frame, and the L x P sign-bit dot products are the expensive
+    # narrow stage — don't evaluate them twice.  (In a persistent
+    # deployment the bucket assignment is written once as an index
+    # table and reused across query batches.)
+    buckets = buckets.cache()
+    buckets.count()
     q = buckets.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
