@@ -128,3 +128,33 @@ def test_upsert_sink_delete_propagation(spark, tmp_path):
     b3 = spark.createDataFrame([("1", "a", False, 0)], ["id", "v", "__deleted", "_offset"])
     upsert_batch(b3, state, keys=["id"], offset_col="_offset")
     assert {(r.id, r.v) for r in read_state(spark, state).collect()} == {("1", "a2")}
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.sources.bucketed import (
+        bucketed,
+        materialize_bucketed,
+    )
+
+    # (warehouse dir is a static conf; managed tables are dropped below,
+    # which removes their files from the default warehouse)
+    a = spark.range(0, 5000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    b = spark.range(0, 5000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("w"))
+    materialize_bucketed(a, "bkt_a", ["k"], n_buckets=4, sort_cols=["k"])
+    materialize_bucketed(b, "bkt_b", ["k"], n_buckets=4, sort_cols=["k"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed(spark, "bkt_a").join(bucketed(spark, "bkt_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 5000
+        # same result as the plain (shuffling) join
+        plain = a.join(b, "k")
+        assert joined.exceptAll(plain).count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
