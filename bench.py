@@ -71,12 +71,26 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
+    failures: dict[str, str] = {}
+
+    def run_one(name: str) -> float | None:
+        """Execute one query with the noop sink; a single broken query
+        must not take down the whole bench artifact."""
+        fn = qs.get(name)
+        if fn is None:
+            return None
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 - record and continue
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+            return None
+        return round(time.perf_counter() - t0, 3)
+
     # Untimed warmup pass: compiles every plan's whole-stage codegen,
     # warms parquet footer/file-listing caches and the JVM JIT.
     for name in HEADLINE:
-        fn = qs.get(name)
-        if fn is not None:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        run_one(name)
     # Drop any DataFrame caches the operators created so the timed pass
     # re-executes the full data path from parquet.
     spark.catalog.clearCache()
@@ -84,27 +98,24 @@ def main() -> int:
     timings: dict[str, float] = {}
     for _ in range(2):
         for name in HEADLINE:
-            fn = qs.get(name)
-            if fn is None:
+            if name in failures:
                 continue
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, elapsed), elapsed)
+            elapsed = run_one(name)
+            if elapsed is not None:
+                timings[name] = min(timings.get(name, elapsed), elapsed)
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+    }
+    if failures:
+        payload["failures"] = failures
+    print(json.dumps(payload))
     spark.stop()
     return 0
 

@@ -114,9 +114,10 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
     # which would serialize the ~300x explode and the per-shingle md5
     # onto a single core.  Repartition only when the input is clearly
     # under-parallel — a well-partitioned 100 TB corpus must NOT pay a
-    # full-text shuffle here.
+    # full-text shuffle here.  (File count is metadata — no .rdd plan
+    # conversion, no job.)
     target = df.sparkSession.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < max(2, target // 2):
+    if len(df.inputFiles()) < max(2, target // 2):
         base = base.repartition(target, F.col(id_col))
     pos = F.explode(F.sequence(F.lit(1), F.length("_norm") - (SHINGLE_LEN - 1)))
     sh = base.select(
@@ -402,7 +403,7 @@ def ngram_jaccard_pairs(
     # same under-parallel-input guard as shingles(): don't serialize the
     # bigram build on a one-file corpus
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    if len(df.inputFiles()) < max(2, target // 2):
         df = df.repartition(target, F.col(id_col))
     sets = (
         df.select(F.col(id_col), *[F.col(c) for c in block_cols], words.alias("_w"))
