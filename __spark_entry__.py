@@ -1526,6 +1526,41 @@ def q_hopping_agg(spark, sf):
     )
 
 
+def _oracle_streaming_dedup() -> str:
+    return f"""
+    WITH pairs AS (SELECT doc_a, doc_b, jaccard FROM ({_oracle_minhash()}) p)
+    SELECT doc_b AS doc_id, doc_a AS dup_of, jaccard FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_b ORDER BY doc_a) AS rn
+      FROM pairs) t
+    WHERE rn = 1
+    """
+
+
+@_q("streaming_minhash_dedup", _oracle_streaming_dedup())
+def q_streaming_minhash_dedup(spark, sf):
+    """Incremental corpus dedup (streaming/dedup.py): each micro-batch's
+    docs are LSH-checked against the minhash state of everything
+    ingested earlier; flagged docs carry their smallest earlier
+    near-duplicate.  Under id-ordered ingest the result is batch-split
+    invariant, so the oracle is the batch pair query grouped per later
+    doc."""
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.dedup import (
+        read_flags,
+        run_minhash_dedup_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    sdf = spark.readStream.schema(schema).parquet(f"{sf}/documents.parque[t]")
+    with _stream_partitions(spark):
+        run_minhash_dedup_stream(
+            sdf.select("doc_id", "text"), f"{base}/state", f"{base}/out"
+        )
+    return read_flags(spark, f"{base}/out")
+
+
 @_q(
     "streaming_dropdup",
     """

@@ -78,3 +78,74 @@ def test_streaming_restart_processes_nothing_new(spark, tmp_path):
     first = _collect_golden(run_flagship_stream(spark, src, work))
     second = _collect_golden(run_flagship_stream(spark, src, work))
     assert first == second == GOLDEN_SEED
+
+
+def test_streaming_dedup_batch_split_invariant(spark, tmp_path):
+    """Incremental minhash dedup: chopping the ingest into two rounds
+    (cross-batch duplicates!) produces exactly the flags of a single
+    all-at-once run, and both match the expected earlier-partner set."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.dedup import (
+        read_flags,
+        run_minhash_dedup_stream,
+    )
+
+    tmpl = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm stone wall near the garden gate"
+    )
+    other = (
+        "completely unrelated text about spark shuffles partitions "
+        "and adaptive query execution plans for large clusters"
+    )
+    docs = [
+        (0, tmpl),
+        (1, other),
+        (2, tmpl),                     # dup of 0, same batch
+        (3, "zebra " * 25),
+        (4, tmpl + " extra tail"),     # near-dup of 0, LATER batch
+        (5, other + " with a twist"),  # near-dup of 1, later batch
+        (6, "zebra " * 25),            # dup of 3, later batch
+        (7, "lonely unique document about nothing in particular at all"),
+    ]
+    batch1, batch2 = docs[:4], docs[4:]
+    schema = "doc_id long, text string"
+
+    def _write(dirname, rows, fname):
+        path = tmp_path / dirname
+        path.mkdir(exist_ok=True)
+        with open(path / fname, "w") as fh:
+            for i, t in rows:
+                fh.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    # single-shot run
+    _write("src_all", batch1, "a.jsonl")
+    _write("src_all", batch2, "b.jsonl")
+    s_all = spark.readStream.schema(schema).json(str(tmp_path / "src_all"))
+    run_minhash_dedup_stream(
+        s_all, str(tmp_path / "st_all"), str(tmp_path / "out_all")
+    )
+    flags_all = {
+        (r["doc_id"], r["dup_of"])
+        for r in read_flags(spark, str(tmp_path / "out_all")).collect()
+    }
+
+    # two-round run against the same state/checkpoints
+    _write("src_split", batch1, "a.jsonl")
+    s1 = spark.readStream.schema(schema).json(str(tmp_path / "src_split"))
+    run_minhash_dedup_stream(
+        s1, str(tmp_path / "st_split"), str(tmp_path / "out_split")
+    )
+    _write("src_split", batch2, "b.jsonl")
+    s2 = spark.readStream.schema(schema).json(str(tmp_path / "src_split"))
+    run_minhash_dedup_stream(
+        s2, str(tmp_path / "st_split"), str(tmp_path / "out_split")
+    )
+    flags_split = {
+        (r["doc_id"], r["dup_of"])
+        for r in read_flags(spark, str(tmp_path / "out_split")).collect()
+    }
+
+    assert flags_all == flags_split
+    assert flags_all == {(2, 0), (4, 0), (5, 1), (6, 3)}

@@ -166,6 +166,49 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def minhash_perdoc(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document minhash state: the 32 signature columns plus the
+    distinct shingle-hash set and its size — everything both candidate
+    generation (banding) and exact verification need.  One groupBy with
+    map-side combine; also the row stored per doc by the incremental
+    streaming dedup state table."""
+    sh = shingles(df, id_col, text_col)
+    mh_aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(AB)
+    ]
+    return (
+        sh.groupBy(id_col)
+        .agg(*mh_aggs, F.collect_set("h60").alias("hs"))
+        .withColumn("n_sh", F.size("hs"))
+    )
+
+
+def band_stack(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band_idx, band_key) rows: each band key concatenates
+    BAND_ROWS consecutive minhashes — the LSH bucket address."""
+    band_cols = []
+    for bi in range(N_BANDS):
+        parts = []
+        for r in range(BAND_ROWS):
+            parts.append(F.col(f"mh{bi * BAND_ROWS + r}").cast("string"))
+            parts.append(F.lit("_"))
+        band_cols.append(F.concat(*parts[:-1]).alias(f"band{bi}"))
+    banded = sig.select(id_col, *band_cols)
+    return banded.select(
+        F.col(id_col),
+        F.expr(
+            "stack("
+            + str(N_BANDS)
+            + ", "
+            + ", ".join(f"{bi}, band{bi}" for bi in range(N_BANDS))
+            + ") as (band_idx, band_key)"
+        ),
+    ).select(id_col, "band_idx", "band_key")
+
+
 def lsh_candidate_pairs(
     sig: DataFrame, id_col: str = "doc_id", dedupe: bool = True
 ) -> DataFrame:
@@ -180,24 +223,7 @@ def lsh_candidate_pairs(
     appears k times) — callers whose downstream work is cheaper than a
     candidate shuffle dedupe at the end instead.
     """
-    band_cols = []
-    for bi in range(N_BANDS):
-        parts = []
-        for r in range(BAND_ROWS):
-            parts.append(F.col(f"mh{bi * BAND_ROWS + r}").cast("string"))
-            parts.append(F.lit("_"))
-        band_cols.append(F.concat(*parts[:-1]).alias(f"band{bi}"))
-    banded = sig.select(id_col, *band_cols)
-    stacked = banded.select(
-        F.col(id_col),
-        F.expr(
-            "stack("
-            + str(N_BANDS)
-            + ", "
-            + ", ".join(f"{bi}, band{bi}" for bi in range(N_BANDS))
-            + ") as (band_idx, band_key)"
-        ),
-    ).select(id_col, "band_idx", "band_key")
+    stacked = band_stack(sig, id_col)
     a = stacked.alias("a")
     b = stacked.alias("b")
     pairs = (
@@ -255,17 +281,7 @@ def verified_near_dups(
     The DuckDB oracle mirrors every stage, so both engines see the
     identical set.
     """
-    sh = shingles(df, id_col, text_col)
-    mh_aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
-        for i, (a, b) in enumerate(AB)
-    ]
-    perdoc = (
-        sh.groupBy(id_col)
-        .agg(*mh_aggs, F.collect_set("h60").alias("hs"))
-        .withColumn("n_sh", F.size("hs"))
-        .cache()
-    )
+    perdoc = minhash_perdoc(df, id_col, text_col).cache()
     # Materialize the cache before the plan fans out: perdoc appears six
     # times downstream (bands x2, signatures x2, hash-sets x2), and
     # concurrent stages racing an unpopulated cache each recompute the
