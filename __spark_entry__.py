@@ -890,6 +890,55 @@ def q_doc_fingerprint(spark, sf):
     )
 
 
+@_q(
+    "top_revenue_orders",
+    f"""
+    SELECT l_orderkey,
+           cast(sum(cast(l_extendedprice AS {_DEC}) * cast(1 - l_discount AS {_DEC}))
+                AS double) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate  > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_top_revenue_orders(spark, sf):
+    """TPC-H Q3 analogue over the three largest driver tables: filtered
+    dimension (customer segment) broadcast into orders, then one keyed
+    shuffle join with the filtered lineitem scan — both date filters
+    reach the parquet scans (PushedFilters).  Exact-decimal revenue
+    summed per order, deterministic top-10 (ties broken by key)."""
+    c = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.expr("TIMESTAMP '1998-06-01'")
+    )
+    li = load(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.expr("TIMESTAMP '1998-06-01'")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(_DEC)
+                * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
 # dataset assembly: splits, shard packing, corpus cleaning ------------------
 
 _BUCKET_SQL = "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100"

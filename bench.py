@@ -41,6 +41,8 @@ HEADLINE = [
     "stream_table_enrich",
     "interval_join_bucketed",
     "asof_join",
+    "agg_summary",
+    "top_revenue_orders",
     "windowed_agg_tumbling",
     "topn_per_group",
     "dedup_exact",
