@@ -939,6 +939,63 @@ def q_top_revenue_orders(spark, sf):
     )
 
 
+@_q(
+    "regional_supplier_volume",
+    f"""
+    SELECT n_name,
+           cast(sum(cast(l_extendedprice AS {_DEC}) * cast(1 - l_discount AS {_DEC}))
+                AS double) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_regional_supplier_volume(spark, sf):
+    """TPC-H Q5 analogue: the deepest join tree in the suite — fact
+    (lineitem) x orders keyed shuffle, then a broadcast chain of the
+    filtered dimension path region->nation->customer/supplier with the
+    local-supplier condition (s_nationkey = c_nationkey).  Exercises
+    Catalyst's join planning on a 6-table tree; every dimension filter
+    is pushed to its scan."""
+    r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf, "nation")
+    c = load(spark, sf, "customer")
+    s = load(spark, sf, "supplier")
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1996-01-01'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1998-01-01'"))
+    )
+    li = load(spark, sf, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(_DEC)
+                * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 # dataset assembly: splits, shard packing, corpus cleaning ------------------
 
 _BUCKET_SQL = "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100"

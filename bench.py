@@ -43,6 +43,7 @@ HEADLINE = [
     "asof_join",
     "agg_summary",
     "top_revenue_orders",
+    "regional_supplier_volume",
     "windowed_agg_tumbling",
     "topn_per_group",
     "dedup_exact",
