@@ -226,9 +226,10 @@ def _bucketize_pandas(
             )
             yield out
 
+    vec_type = emb.schema[vec_col].dataType.simpleString()
     return emb.select(id_col, vec_col).mapInPandas(
         _batches,
-        schema=f"{id_col} long, {vec_col} array<float>, table_idx int, bucket int",
+        schema=f"{id_col} long, {vec_col} {vec_type}, table_idx int, bucket int",
     )
 
 
