@@ -688,6 +688,40 @@ def q_minhash_near_dups(spark, sf):
     return dedup.verified_near_dups(load(spark, sf, "documents"))
 
 
+_DECON_W = dedup.DECON_GRAM_WORDS
+
+
+@_q(
+    "decontaminate",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS n
+      FROM documents),
+    w AS (
+      SELECT doc_id, regexp_split_to_array(n, ' ') AS ws FROM norm),
+    g AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(array_to_string(ws[i:i+{_DECON_W - 1}], ' ')), 1, 15))::BIGINT AS gh
+      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - {_DECON_W - 1})) AS i
+            FROM w WHERE len(ws) >= {_DECON_W})),
+    bench AS (SELECT DISTINCT gh FROM g WHERE doc_id < 20)
+    SELECT g.doc_id, count(*) AS n_overlapping_grams
+    FROM g JOIN bench USING (gh)
+    WHERE g.doc_id >= 20
+    GROUP BY g.doc_id
+    """,
+)
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination (operators/dedup.py:contamination_flags):
+    training docs (doc_id >= 20) sharing any 5-word n-gram with the
+    benchmark set (doc_id < 20), joined on 60-bit gram hashes with the
+    benchmark side broadcast."""
+    d = load(spark, sf, "documents")
+    return dedup.contamination_flags(
+        d.filter(F.col("doc_id") >= 20), d.filter(F.col("doc_id") < 20)
+    )
+
+
 @_q(
     "dedup_clusters",
     f"""
@@ -1630,6 +1664,38 @@ def q_hopping_agg(spark, sf):
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
+
+
+@_q(
+    "streaming_static_enrich",
+    """
+    SELECT e.event_id, e.user_id, e.value,
+           c.c_name AS customer_name, c.c_mktsegment AS customer_segment
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def q_streaming_static_enrich(spark, sf):
+    """J1 as Spark's native stream-static join (SURVEY §7.3 option (b)):
+    the purchase stream left-joins the static customer dimension inside
+    the continuous query — the dimension is re-read per micro-batch, so
+    a dim table updated in place enriches later batches with newer
+    state (the lookup-join behavior ksqlDB gives, without the
+    cooperating-queries machinery of the foreachBatch form)."""
+    ev = _events_stream(spark, sf)
+    dim = load(spark, sf, "customer").select(
+        F.col("c_custkey"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("customer_segment"),
+    )
+    out = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+        .join(dim, F.col("user_id") == F.col("c_custkey"), "left")
+        .drop("c_custkey")
+    )
+    _run_to_memory(out, "streaming_static_enrich", "append")
+    return spark.table("streaming_static_enrich")
 
 
 def _oracle_streaming_dedup() -> str:

@@ -332,6 +332,57 @@ def verified_near_dups(
     return jac
 
 
+DECON_GRAM_WORDS = 5
+
+
+def contamination_flags(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_words: int = DECON_GRAM_WORDS,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any
+    ``gram_words``-word n-gram with a held-out benchmark set — the
+    standard guard against test-set leakage in a training corpus.
+
+    Plan: both sides explode to distinct word-n-gram *hashes* (60-bit
+    md5 prefix — the same portable substrate as minhash; the join
+    shuffles 8-byte hashes, never gram strings), the benchmark gram set
+    deduplicates (it is small — benchmarks are thousands of docs, not
+    billions), and one hash equi-join + per-doc count yields
+    (doc_id, n_overlapping_grams).  At 100 TB the benchmark side is a
+    broadcast; flagged docs are then dropped or quarantined.
+    """
+
+    def grams(df: DataFrame) -> DataFrame:
+        norm = normalize_text(text_col)
+        words = F.split(norm, " ")
+        g = F.expr(
+            f"transform(sequence(1, size(_w) - {gram_words - 1}),"
+            f" i -> concat_ws(' ', slice(_w, i, {gram_words})))"
+        )
+        return (
+            df.select(F.col(id_col), words.alias("_w"))
+            .filter(F.size("_w") >= gram_words)
+            .select(F.col(id_col), F.explode(F.array_distinct(g)).alias("gram"))
+            .select(
+                F.col(id_col),
+                F.expr(
+                    "cast(conv(substr(md5(gram), 1, 15), 16, 10) as bigint)"
+                ).alias("gh"),
+            )
+        )
+
+    bench_grams = grams(benchmark).select("gh").distinct()
+    return (
+        grams(train)
+        .join(F.broadcast(bench_grams), "gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlapping_grams"))
+    )
+
+
 def neardup_clusters(
     df: DataFrame,
     pairs: DataFrame | None = None,
