@@ -1141,6 +1141,77 @@ def q_length_percentiles(spark, sf):
     )
 
 
+@_q(
+    "repetition_stats",
+    """
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS n
+      FROM documents),
+    w AS (SELECT doc_id, regexp_split_to_array(n, ' ') AS ws FROM norm),
+    base AS (
+      SELECT doc_id, len(ws) AS n_tok, len(list_distinct(ws)) AS n_distinct, ws
+      FROM w WHERE len(ws) >= 2),
+    bg AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS b
+      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM base)),
+    cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+    top AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM cnt GROUP BY doc_id)
+    SELECT base.doc_id, n_tok,
+           round(n_distinct::DOUBLE / n_tok, 6) AS distinct_ratio,
+           round(mx::DOUBLE / tot, 6)           AS top_bigram_ratio
+    FROM base JOIN top USING (doc_id)
+    """,
+)
+def q_repetition_stats(spark, sf):
+    """Repetition quality signals (the Gopher-style repetition filters):
+    distinct-token ratio and the most-frequent-bigram occupancy per doc.
+    Highly repetitive docs (boilerplate, keyword stuffing, generation
+    loops) score low/high respectively and get filtered before
+    training.  Two keyed shuffles: (doc, bigram) count, then per-doc
+    max/sum — both map-side combining; token arrays never shuffle."""
+    d = load(spark, sf, "documents")
+    base = (
+        d.select(
+            "doc_id", F.split(dedup.normalize_text("text"), " ").alias("w")
+        )
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.size("w").alias("n_tok"),
+            F.size(F.array_distinct("w")).alias("n_distinct"),
+            F.expr(
+                "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))"
+            ).alias("bgs"),
+        )
+    )
+    cnt = (
+        base.select("doc_id", F.explode("bgs").alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = cnt.groupBy("doc_id").agg(
+        F.max("c").alias("mx"), F.sum("c").alias("tot")
+    )
+    return (
+        base.select(
+            "doc_id",
+            "n_tok",
+            F.round(F.col("n_distinct").cast("double") / F.col("n_tok"), 6).alias(
+                "distinct_ratio"
+            ),
+        )
+        .join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_tok",
+            "distinct_ratio",
+            F.round(F.col("mx").cast("double") / F.col("tot"), 6).alias(
+                "top_bigram_ratio"
+            ),
+        )
+    )
+
+
 _SAMPLE_PER_GROUP = 20
 
 

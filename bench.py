@@ -50,6 +50,7 @@ HEADLINE = [
     "minhash_near_dups",
     "simhash_near_dups",
     "text_stats",
+    "repetition_stats",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "embedding_neardup",
