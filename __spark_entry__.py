@@ -1030,6 +1030,281 @@ def q_regional_supplier_volume(spark, sf):
     )
 
 
+# TPC-H Q18 analogue — large-quantity orders -------------------------------
+
+_BIG_QTY = 250
+
+
+@_q(
+    "large_order_customers",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey,
+             cast(sum(cast(l_quantity AS {_DEC})) AS double) AS sum_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(cast(l_quantity AS {_DEC})) > {_BIG_QTY})
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q_large_order_customers(spark, sf):
+    """TPC-H Q18 analogue (large-volume orders).  The lineitem HAVING
+    pre-aggregate is map-side combined on the fact table and keeps ~1%
+    of order keys, so the orders join shuffles each side once on
+    o_orderkey (AQE can demote it to broadcast when the surviving key
+    set is small) and the customer dimension is broadcast outright."""
+    li = load(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("_qty"))
+        .filter(F.col("_qty") > _BIG_QTY)
+        .select("l_orderkey", F.col("_qty").cast("double").alias("sum_qty"))
+    )
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+# TPC-H Q14 analogue — promo revenue share by ship month --------------------
+
+_DISC_SQL = f"cast(l_extendedprice AS {_DEC}) * cast(1 - l_discount AS {_DEC})"
+
+
+@_q(
+    "promo_revenue_share",
+    f"""
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           cast(coalesce(sum(CASE WHEN p_type = 'PROMO' THEN {_DISC_SQL} END), 0)
+                AS double) AS promo_revenue,
+           cast(sum({_DISC_SQL}) AS double) AS total_revenue,
+           round(cast(coalesce(sum(CASE WHEN p_type = 'PROMO' THEN {_DISC_SQL} END), 0)
+                      AS double)
+                 / cast(sum({_DISC_SQL}) AS double), 6) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+)
+def q_promo_revenue_share(spark, sf):
+    """TPC-H Q14 analogue: conditional aggregation over a fact x dim
+    join.  part is broadcast (no fact shuffle); the CASE WHEN promo
+    split happens inside one map-side-combined aggregate, so the fact
+    table is scanned and shuffled exactly once (on ship_month)."""
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part")
+    disc = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast(_DEC)
+    promo = F.coalesce(
+        F.col("_promo").cast("double"), F.lit(0.0)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", disc)).alias("_promo"),
+            F.sum(disc).alias("_tot"),
+        )
+        .select(
+            "ship_month",
+            promo.alias("promo_revenue"),
+            F.col("_tot").cast("double").alias("total_revenue"),
+            F.round(promo / F.col("_tot").cast("double"), 6).alias("promo_share"),
+        )
+    )
+
+
+# TPC-H Q10 analogue — top customers by returned-item revenue ---------------
+
+
+@_q(
+    "returned_item_customers",
+    f"""
+    SELECT c_custkey, c_name, n_name,
+           cast(sum({_DISC_SQL}) AS double) AS returned_revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY returned_revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_returned_item_customers(spark, sf):
+    """TPC-H Q10 analogue: returned-item revenue per customer, top 20.
+    The returnflag + date filters are pushed to the two fact scans;
+    customer/nation broadcast; the deterministic (revenue DESC,
+    c_custkey) sort makes the LIMIT boundary engine-independent —
+    revenue is an exact decimal sum, so ties resolve identically."""
+    li = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1997-01-01'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1998-01-01'"))
+    )
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    disc = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast(_DEC)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(disc).cast("double").alias("returned_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("returned_revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# TPC-H Q22 analogue — dormant high-balance customers -----------------------
+
+
+@_q(
+    "dormant_customers",
+    f"""
+    WITH thresh AS (
+      SELECT round(cast(sum(cast(c_acctbal AS {_DEC})) AS double) / count(*), 2) AS t
+      FROM customer WHERE c_acctbal > 0),
+    recent AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+    SELECT c_mktsegment,
+           count(*) AS n_custs,
+           cast(sum(cast(c_acctbal AS {_DEC})) AS double) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT t FROM thresh)
+      AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_dormant_customers(spark, sf):
+    """TPC-H Q22 analogue: above-average-balance customers with no
+    order since 1999.  The scalar average is a 1-row frame cross-joined
+    in (Catalyst plans it as a broadcast, no collect); the NOT IN is a
+    left_anti join against the date-filtered distinct key set.  The
+    threshold uses exact decimal accumulation + round(2) so the strict
+    > boundary is identical across engines."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    thresh = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.round(
+                F.sum(F.col("c_acctbal").cast(_DEC)).cast("double")
+                / F.count(F.lit(1)),
+                2,
+            ).alias("t")
+        )
+    )
+    recent = (
+        o.filter(F.col("o_orderdate") >= F.expr("TIMESTAMP '1999-01-01'"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("t"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("total_bal"),
+        )
+    )
+
+
+# TPC-H Q4 analogue — correlated-EXISTS semi join ---------------------------
+
+
+@_q(
+    "priority_semi_counts",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_priority_semi_counts(spark, sf):
+    """TPC-H Q4 analogue: correlated EXISTS with a non-equi condition
+    (l_shipdate > o_orderdate), expressed as a left_semi join with a
+    compound predicate — the equi part (orderkey) drives the shuffle
+    partitioning, the range part is evaluated post-match, and the semi
+    join stops at the first matching lineitem per order."""
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1997-01-01'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1998-01-01'"))
+    )
+    li = load(spark, sf, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# Running-total window — cumulative customer spend --------------------------
+
+
+@_q(
+    "cumulative_revenue",
+    f"""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           row_number() OVER w AS order_seq,
+           cast(sum(cast(o_totalprice AS {_DEC})) OVER w AS double) AS cum_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_cumulative_revenue(spark, sf):
+    """Running total per customer: one shuffle on o_custkey, one sort
+    within partitions, both window functions computed in the same
+    window exec pass (shared frame).  Partition-bounded state — no
+    global sort, scales with the per-customer order count."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.row_number().over(w).alias("order_seq"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double").alias("cum_spend"),
+    )
+
+
 # dataset assembly: splits, shard packing, corpus cleaning ------------------
 
 _BUCKET_SQL = "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100"
