@@ -1442,13 +1442,25 @@ def q_repetition_stats(spark, sf):
     distinct-token ratio and the most-frequent-bigram occupancy per doc.
     Highly repetitive docs (boilerplate, keyword stuffing, generation
     loops) score low/high respectively and get filtered before
-    training.  Two keyed shuffles: (doc, bigram) count, then per-doc
-    max/sum — both map-side combining; token arrays never shuffle."""
+    training.  Entirely per-document, so the plan is a single
+    zero-shuffle projection: the top-bigram count is the longest
+    equal-run in the sorted bigram array (one `aggregate` fold), not an
+    explode + groupBy + self-join — embarrassingly parallel at any
+    scale."""
     d = load(spark, sf, "documents")
-    base = (
-        d.select(
-            "doc_id", F.split(dedup.normalize_text("text"), " ").alias("w")
-        )
+    best_run = F.expr(
+        """
+        aggregate(
+          array_sort(bgs),
+          struct('' AS prev, 0 AS run, 0 AS best),
+          (a, x) -> struct(x AS prev,
+                           if(x = a.prev, a.run + 1, 1) AS run,
+                           greatest(a.best, if(x = a.prev, a.run + 1, 1)) AS best),
+          a -> a.best)
+        """
+    )
+    return (
+        d.select("doc_id", F.split(dedup.normalize_text("text"), " ").alias("w"))
         .filter(F.size("w") >= 2)
         .select(
             "doc_id",
@@ -1458,29 +1470,13 @@ def q_repetition_stats(spark, sf):
                 "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))"
             ).alias("bgs"),
         )
-    )
-    cnt = (
-        base.select("doc_id", F.explode("bgs").alias("b"))
-        .groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    top = cnt.groupBy("doc_id").agg(
-        F.max("c").alias("mx"), F.sum("c").alias("tot")
-    )
-    return (
-        base.select(
+        .select(
             "doc_id",
             "n_tok",
             F.round(F.col("n_distinct").cast("double") / F.col("n_tok"), 6).alias(
                 "distinct_ratio"
             ),
-        )
-        .join(top, "doc_id")
-        .select(
-            "doc_id",
-            "n_tok",
-            "distinct_ratio",
-            F.round(F.col("mx").cast("double") / F.col("tot"), 6).alias(
+            F.round(best_run.cast("double") / F.size("bgs"), 6).alias(
                 "top_bigram_ratio"
             ),
         )
