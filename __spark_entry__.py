@@ -1513,6 +1513,309 @@ def q_stratified_sample(spark, sf):
     )
 
 
+# text analytics: TF-IDF and vocabulary ------------------------------------
+
+_TOK_CTE = """
+    norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS n
+      FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(n, ' ')) AS term
+      FROM norm WHERE len(n) > 0)
+"""
+
+_TFIDF_TOP = 3
+
+
+@_q(
+    "tfidf_top_terms",
+    f"""
+    WITH {_TOK_CTE},
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    nd AS (SELECT count(DISTINCT doc_id) AS nd FROM tok),
+    scored AS (
+      SELECT doc_id, term, tf,
+             round(tf * round(ln((nd + 1.0) / (df + 1.0)), 6), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN nd)
+    SELECT doc_id, term, tf, tfidf, term_rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS term_rank
+      FROM scored) WHERE term_rank <= {_TFIDF_TOP}
+    """,
+)
+def q_tfidf_top_terms(spark, sf):
+    """Per-document top-k terms by smoothed TF-IDF.  The doc-term
+    counts aggregate map-side off one explode; the document-frequency
+    table collapses to vocabulary size and is broadcast back, so the
+    only fact-sized shuffle is the (doc, term) groupBy.  idf is rounded
+    to 6 dp before the multiply so the ranking key is engine-exact."""
+    d = load(spark, sf, "documents")
+    toks = (
+        d.select("doc_id", dedup.normalize_text("text").alias("n"))
+        .filter(F.length("n") > 0)
+        .select("doc_id", F.explode(F.split("n", " ")).alias("term"))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    nd = toks.agg(F.countDistinct("doc_id").alias("nd"))
+    idf = F.round(F.log((F.col("nd") + 1.0) / (F.col("df") + 1.0)), 6)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+        .withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= _TFIDF_TOP)
+    )
+
+
+_VOCAB_TOP = 50
+
+
+@_q(
+    "vocab_coverage",
+    f"""
+    WITH {_TOK_CTE},
+    cnt AS (SELECT term, count(*) AS n_occur FROM tok GROUP BY 1)
+    SELECT term, n_occur, term_rank, cum_share FROM (
+      SELECT term, n_occur,
+             row_number() OVER (ORDER BY n_occur DESC, term) AS term_rank,
+             round(sum(n_occur) OVER (ORDER BY n_occur DESC, term
+                                      ROWS UNBOUNDED PRECEDING)::DOUBLE
+                   / sum(n_occur) OVER (), 6) AS cum_share
+      FROM cnt) WHERE term_rank <= {_VOCAB_TOP}
+    """,
+)
+def q_vocab_coverage(spark, sf):
+    """Corpus vocabulary head: top-N terms with cumulative corpus
+    coverage — the 'how big must the vocab be' curve for tokenizer
+    design.  The term-count aggregate is fact-sized and map-side
+    combined; everything after it operates on vocabulary-cardinality
+    data, so the single-partition ranking window is over tiny input
+    (the global sort only ever sees |vocab| rows, not |corpus|)."""
+    d = load(spark, sf, "documents")
+    cnt = (
+        d.select("doc_id", dedup.normalize_text("text").alias("n"))
+        .filter(F.length("n") > 0)
+        .select(F.explode(F.split("n", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occur"))
+    )
+    w = Window.orderBy(F.desc("n_occur"), "term")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    return (
+        cnt.select(
+            "term",
+            "n_occur",
+            F.row_number().over(w).alias("term_rank"),
+            F.round(
+                F.sum("n_occur").over(wcum).cast("double")
+                / F.sum("n_occur").over(wall),
+                6,
+            ).alias("cum_share"),
+        )
+        .filter(F.col("term_rank") <= _VOCAB_TOP)
+    )
+
+
+# embedding analytics: per-dimension stats, int8 quantization ---------------
+
+
+@_q(
+    "embedding_dim_stats",
+    """
+    SELECT dim, count(*) AS n_vecs,
+           round(avg(v), 6)         AS mean_v,
+           round(stddev_samp(v), 6) AS std_v,
+           round(min(v), 6)         AS min_v,
+           round(max(v), 6)         AS max_v
+    FROM (SELECT g.i AS dim, embedding[g.i]::DOUBLE AS v
+          FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i))
+    GROUP BY dim
+    """,
+)
+def q_embedding_dim_stats(spark, sf):
+    """Per-dimension distribution stats over the embedding column —
+    the drift/normalization health check before indexing.  posexplode
+    keeps the dim index JVM-side; the groupBy on 64 keys is fully
+    map-side combined, so the shuffle carries 64 rows per task no
+    matter the corpus size."""
+    e = load(spark, sf, "embeddings")
+    return (
+        e.select(
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "v"
+            )
+        )
+        .groupBy((F.col("pos") + 1).alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("v"), 6).alias("mean_v"),
+            F.round(F.stddev_samp("v"), 6).alias("std_v"),
+            F.round(F.min("v"), 6).alias("min_v"),
+            F.round(F.max("v"), 6).alias("max_v"),
+        )
+    )
+
+
+_QUANT_SCALE_SQL = (
+    "127.0 / greatest(list_max(list_transform(embedding::DOUBLE[],"
+    " x -> abs(x))), 1e-12)"
+)
+
+
+@_q(
+    "embedding_quantize",
+    f"""
+    SELECT vec_id,
+           round({_QUANT_SCALE_SQL}, 6) AS scale,
+           list_transform(embedding::DOUBLE[],
+                          x -> cast(floor(x * ({_QUANT_SCALE_SQL}) + 0.5)
+                                    AS INTEGER)) AS q
+    FROM embeddings
+    """,
+)
+def q_embedding_quantize(spark, sf):
+    """Symmetric int8 scalar quantization (max-abs scaling) of the
+    embedding column — 4x compression before ANN indexing.  Pure
+    per-row array expressions, zero shuffles; floor(x*scale + 0.5) is
+    used instead of round() so the half-way rule is the same arithmetic
+    in every engine."""
+    e = load(spark, sf, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    scale = F.lit(127.0) / F.greatest(
+        F.array_max(F.transform(emb, lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    return e.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.transform(emb, lambda x: F.floor(x * scale + 0.5).cast("int")).alias(
+            "q"
+        ),
+    )
+
+
+# event analytics: funnel and retention -------------------------------------
+
+
+@_q(
+    "event_funnel",
+    """
+    WITH fv AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+      FROM events GROUP BY user_id),
+    fc AS (
+      SELECT e.user_id, min(ts) AS first_click
+      FROM events e JOIN fv ON e.user_id = fv.user_id
+      WHERE event_type = 'click' AND ts > first_view
+      GROUP BY e.user_id),
+    fp AS (
+      SELECT e.user_id, min(ts) AS first_purchase
+      FROM events e JOIN fc ON e.user_id = fc.user_id
+      WHERE event_type = 'purchase' AND ts > first_click
+      GROUP BY e.user_id)
+    SELECT fv.user_id, first_view, first_click, first_purchase,
+           CASE WHEN first_view IS NULL THEN 0 ELSE 1 END
+           + CASE WHEN fc.user_id IS NULL THEN 0 ELSE 1 END
+           + CASE WHEN fp.user_id IS NULL THEN 0 ELSE 1 END AS funnel_depth
+    FROM fv LEFT JOIN fc ON fv.user_id = fc.user_id
+            LEFT JOIN fp ON fv.user_id = fp.user_id
+    """,
+)
+def q_event_funnel(spark, sf):
+    """Strict-ordering conversion funnel (view -> click -> purchase):
+    each stage takes the min event time after the previous stage's
+    timestamp.  Every aggregate and join is keyed on user_id, so one
+    hash partitioning is reused across all three stages (no re-shuffle
+    between them at scale)."""
+    ev = _events(spark, sf)
+    fv = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        )
+    )
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(fv, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    depth = (
+        F.when(F.col("first_view").isNull(), 0).otherwise(1)
+        + F.when(F.col("first_click").isNull(), 0).otherwise(1)
+        + F.when(F.col("first_purchase").isNull(), 0).otherwise(1)
+    )
+    return (
+        fv.join(fc, "user_id", "left")
+        .join(fp, "user_id", "left")
+        .select(
+            "user_id",
+            "first_view",
+            "first_click",
+            "first_purchase",
+            depth.alias("funnel_depth"),
+        )
+    )
+
+
+@_q(
+    "user_retention",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, cast(date_trunc('day', ts) AS TIMESTAMP) AS d
+      FROM events)
+    SELECT a.d AS day, count(*) AS n_active, count(b.user_id) AS n_retained,
+           round(count(b.user_id)::DOUBLE / count(*), 6) AS retention_rate
+    FROM days a LEFT JOIN days b
+      ON a.user_id = b.user_id AND b.d = a.d + INTERVAL 1 DAY
+    GROUP BY a.d
+    """,
+)
+def q_user_retention(spark, sf):
+    """Next-day retention per activity day: of the users active on day
+    d, the share also active on d+1.  The (user, day) distinct set is a
+    map-side-combined aggregate of the fact table; the self-join is
+    equi-keyed on user_id (the day offset rides along as a post-match
+    filter), reusing the same hash partitioning for both sides."""
+    ev = _events(spark, sf)
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    b = days.select(F.col("user_id").alias("u2"), F.col("d").alias("d2"))
+    return (
+        days.join(
+            b,
+            (days.user_id == b.u2)
+            & (b.d2 == days.d + F.expr("INTERVAL 1 DAY")),
+            "left",
+        )
+        .groupBy(F.col("d").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.count("u2").alias("n_retained"),
+            F.round(
+                F.count("u2").cast("double") / F.count(F.lit(1)), 6
+            ).alias("retention_rate"),
+        )
+    )
+
+
 # similarity search ---------------------------------------------------------
 
 _COS_PAIR_SQL = (
