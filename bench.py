@@ -100,10 +100,15 @@ def main() -> int:
     spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE:
             if name in failures:
                 continue
+            # A forced full GC between queries keeps one query's garbage
+            # from being collected (and billed) inside the next query's
+            # wall time — per-query attribution noise otherwise reaches
+            # 2x on a shared host.  The GC itself runs outside the timer.
+            spark.sparkContext._jvm.System.gc()
             elapsed = run_one(name)
             if elapsed is not None:
                 timings[name] = min(timings.get(name, elapsed), elapsed)
