@@ -1,0 +1,130 @@
+"""Edge-case tests for the analytics queries added on top of the
+reference surface: strict funnel ordering, retention day boundaries,
+quantization guards, and TF-IDF ranking — run against handcrafted tiny
+tables by substituting the catalog loader, so they pin the *semantics*
+the DuckDB oracles then re-verify at scale factor."""
+
+import pyspark.sql.functions as F
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+def _fake_load(tables):
+    def load(spark, sf_dir, name):
+        return tables[name]
+
+    return load
+
+
+@pytest.fixture()
+def patch_load(monkeypatch):
+    def apply(tables):
+        monkeypatch.setattr(entrymod, "load", _fake_load(tables))
+
+    return apply
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_event_funnel_strict_ordering(spark, patch_load):
+    rows = [
+        # user 1: full ordered funnel
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 10:01:00", 1, "click", 1.0, "{}"),
+        (3, "2024-01-01 10:02:00", 1, "purchase", 1.0, "{}"),
+        # user 2: click BEFORE first view must not count; purchase
+        # without a qualifying click must not count either
+        (4, "2024-01-01 09:00:00", 2, "click", 1.0, "{}"),
+        (5, "2024-01-01 10:00:00", 2, "view", 1.0, "{}"),
+        (6, "2024-01-01 11:00:00", 2, "purchase", 1.0, "{}"),
+        # user 3: never views
+        (7, "2024-01-01 10:00:00", 3, "purchase", 1.0, "{}"),
+    ]
+    patch_load({"events": _events_df(spark, rows)})
+    out = {
+        r.user_id: r.funnel_depth
+        for r in entrymod.queries()["event_funnel"](spark, "ignored").collect()
+    }
+    assert out == {1: 3, 2: 1, 3: 0}
+
+
+def test_event_funnel_equal_ts_not_after(spark, patch_load):
+    # click at exactly first_view's timestamp is NOT strictly after
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+    ]
+    patch_load({"events": _events_df(spark, rows)})
+    [r] = entrymod.queries()["event_funnel"](spark, "ignored").collect()
+    assert r.funnel_depth == 1 and r.first_click is None
+
+
+def test_user_retention_day_boundary(spark, patch_load):
+    rows = [
+        # day 1: users 1, 2; day 2: user 1 only (23:59 still day 1)
+        (1, "2024-01-01 08:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 23:59:59", 2, "view", 1.0, "{}"),
+        (3, "2024-01-02 00:00:00", 1, "view", 1.0, "{}"),
+    ]
+    patch_load({"events": _events_df(spark, rows)})
+    out = {
+        str(r.day)[:10]: (r.n_active, r.n_retained)
+        for r in entrymod.queries()["user_retention"](spark, "ignored").collect()
+    }
+    assert out == {"2024-01-01": (2, 1), "2024-01-02": (1, 0)}
+
+
+def test_embedding_quantize_range_and_zero_guard(spark, patch_load):
+    emb = spark.createDataFrame(
+        [(1, [0.5, -0.5, 0.25, 0.0], 0), (2, [0.0, 0.0, 0.0, 0.0], 0)],
+        ["vec_id", "embedding", "label"],
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    patch_load({"embeddings": emb})
+    out = {
+        r.vec_id: r for r in entrymod.queries()["embedding_quantize"](spark, "i").collect()
+    }
+    # max-abs 0.5 -> scale 254; -0.5 maps to exactly -127, bounds hold
+    assert out[1].q == [127, -127, 64, 0]
+    assert out[1].scale == 254.0
+    # all-zero vector: guarded scale, quantized to zeros (no inf/NaN)
+    assert out[2].q == [0, 0, 0, 0]
+
+
+def test_tfidf_ranks_distinctive_terms_first(spark, patch_load):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana banana", "en", "s", 0),
+            (2, "apple cherry", "en", "s", 0),
+            (3, "apple durian", "en", "s", 0),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    patch_load({"documents": docs})
+    out = entrymod.queries()["tfidf_top_terms"](spark, "i").collect()
+    top = {
+        r.doc_id: r.term for r in out if r.term_rank == 1
+    }
+    # the doc-unique term always outranks the corpus-wide 'apple'
+    assert top == {1: "banana", 2: "cherry", 3: "durian"}
+    # idf of a term present in every doc is ln(4/4)=0 -> tfidf 0
+    apple = [r for r in out if r.term == "apple"]
+    assert apple and all(r.tfidf == 0.0 for r in apple)
+
+
+def test_vocab_coverage_cumulative_monotone(spark, patch_load):
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c", "en", "s", 0)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    patch_load({"documents": docs})
+    rows = sorted(
+        entrymod.queries()["vocab_coverage"](spark, "i").collect(),
+        key=lambda r: r.term_rank,
+    )
+    assert [r.term for r in rows] == ["a", "b", "c"]
+    assert [r.cum_share for r in rows] == [0.5, pytest.approx(5 / 6, abs=1e-6), 1.0]
