@@ -46,11 +46,15 @@ HEADLINE = [
     "regional_supplier_volume",
     "windowed_agg_tumbling",
     "topn_per_group",
+    "large_order_customers",
+    "returned_item_customers",
+    "user_retention",
     "dedup_exact",
     "minhash_near_dups",
     "simhash_near_dups",
     "text_stats",
     "repetition_stats",
+    "tfidf_top_terms",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "embedding_neardup",
