@@ -1557,8 +1557,12 @@ def q_tfidf_top_terms(spark, sf):
         .select("doc_id", F.explode(F.split("n", " ")).alias("term"))
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    nd = toks.agg(F.countDistinct("doc_id").alias("nd"))
+    # df and N both derive from the tf aggregate (its rows are already
+    # distinct (doc, term)), so all three branches share one identical
+    # tokenize->shuffle subtree and ReuseExchange runs it once — not
+    # three corpus-scale tokenization passes.
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = tf.agg(F.countDistinct("doc_id").alias("nd"))
     idf = F.round(F.log((F.col("nd") + 1.0) / (F.col("df") + 1.0)), 6)
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
     return (
