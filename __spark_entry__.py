@@ -26,6 +26,7 @@ from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import 
     multimodal,
     sampling,
     similarity,
+    sketches,
 )
 from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.plans import flagship
 
@@ -598,6 +599,95 @@ def q_json_extract(spark, sf):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# probabilistic sketches: HLL cardinality, CMS heavy hitters ----------------
+
+_HLL_M = sketches.HLL_M
+_HLL_SCALE = repr(sketches.hll_alpha(_HLL_M) * _HLL_M * _HLL_M * float(1 << 55))
+_H60_SQL = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+@_q(
+    "hll_cardinality",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             {_H60_SQL.format(x="event_id::VARCHAR")} AS hv
+      FROM events),
+    b AS (SELECT event_type, hv % {_HLL_M} AS bucket, hv // {_HLL_M} AS w FROM h),
+    r AS (
+      SELECT event_type, bucket,
+             max(CASE WHEN w = 0 THEN {1 << 53} ELSE w & (-w) END) AS v_max
+      FROM b GROUP BY 1, 2),
+    agg AS (
+      SELECT event_type, count(*) AS buckets_used,
+             sum({1 << 54} // v_max) AS s_used
+      FROM r GROUP BY 1),
+    ex AS (SELECT event_type, count(DISTINCT event_id) AS n_exact
+           FROM events GROUP BY 1)
+    SELECT event_type, n_exact, buckets_used,
+           round({_HLL_SCALE}
+                 / (s_used + ({_HLL_M} - buckets_used) * {1 << 55})::DOUBLE,
+                 2) AS hll_estimate
+    FROM agg JOIN ex USING (event_type)
+    """,
+)
+def q_hll_cardinality(spark, sf):
+    """HyperLogLog distinct-count estimate per group next to the exact
+    count (operators/sketches.py).  The sketch state is 64 integer
+    registers per group however large the input; registers merge with
+    min() so partial aggregation is native.  All register arithmetic is
+    integer-exact in both engines — no libm on the estimation path."""
+    ev = _events(spark, sf)
+    est = sketches.hll_estimate(ev, "event_id", ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("n_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "n_exact", "buckets_used", "hll_estimate"
+    )
+
+
+def _cms_oracle() -> str:
+    d, w, k = sketches.CMS_D, sketches.CMS_W, 10
+    cell_parts = "\n      UNION ALL ".join(
+        f"SELECT {i} AS i, "
+        + _H60_SQL.format(x=f"'{i}_' || user_id::VARCHAR")
+        + f" % {w} AS col FROM events"
+        for i in range(d)
+    )
+    probe_parts = "\n      UNION ALL ".join(
+        f"SELECT user_id, {i} AS i, "
+        + _H60_SQL.format(x=f"'{i}_' || user_id::VARCHAR")
+        + f" % {w} AS col FROM ids"
+        for i in range(d)
+    )
+    return f"""
+    WITH cells AS (
+      SELECT i, col, count(*) AS cnt FROM (
+      {cell_parts}) GROUP BY 1, 2),
+    ids AS (SELECT DISTINCT user_id FROM events),
+    probes AS (
+      {probe_parts}),
+    est AS (
+      SELECT user_id, min(cnt) AS cms_count
+      FROM probes JOIN cells USING (i, col) GROUP BY user_id)
+    SELECT user_id, cms_count, rank FROM (
+      SELECT user_id, cms_count,
+             row_number() OVER (ORDER BY cms_count DESC, user_id) AS rank
+      FROM est) WHERE rank <= {k}
+    """
+
+
+@_q("cms_heavy_hitters", _cms_oracle())
+def q_cms_heavy_hitters(spark, sf):
+    """Count-min-sketch heavy hitters (operators/sketches.py): d=4
+    md5-derived hash rows x 256 columns, estimate = min over rows,
+    top-10 by estimate.  The cell table is d*w rows regardless of input
+    size and is broadcast for the probe join; counts are exact integers
+    so ordering and ties are engine-independent."""
+    return sketches.cms_topk(_events(spark, sf), "user_id")
 
 
 # ===========================================================================

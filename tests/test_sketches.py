@@ -1,0 +1,54 @@
+"""Sketch-quality tests (operators/sketches.py).  The DuckDB oracle
+proves Spark and SQL compute the same numbers; these tests prove the
+numbers are *good* — an estimator whose oracle mirrors a broken formula
+still hashes green, so accuracy bounds need their own assertions."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+    sketches,
+)
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    # 3000 distinct keys, zipf-ish repetition for the CMS side
+    rows = [(f"k{i}",) for i in range(3000)] + [
+        (f"k{i % 7}",) for i in range(2000)
+    ]
+    return spark.createDataFrame(rows, ["k"])
+
+
+def test_hll_estimate_within_rse_bounds(spark, keyed):
+    [row] = sketches.hll_estimate(keyed, "k").collect()
+    # m=64 -> relative standard error ~13%; assert a 4-sigma corridor
+    assert 3000 * 0.48 < row.hll_estimate < 3000 * 1.52
+    assert row.buckets_used == 64  # n >> m saturates every register
+
+
+def test_hll_registers_merge_by_max(spark):
+    a = spark.createDataFrame([(f"a{i}",) for i in range(500)], ["k"])
+    b = spark.createDataFrame([(f"b{i}",) for i in range(500)], ["k"])
+    both = sketches.hll_registers(a.union(b), "k")
+    merged = (
+        sketches.hll_registers(a, "k")
+        .union(sketches.hll_registers(b, "k"))
+        .groupBy("bucket")
+        .agg(F.max("v_max").alias("v_max"))
+    )
+    assert sorted(map(tuple, both.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+
+def test_cms_never_underestimates_and_ranks_hot_keys(spark, keyed):
+    top = sketches.cms_topk(keyed, "k", k=7).collect()
+    exact = {
+        r.k: r.cnt
+        for r in keyed.groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    # the 7 hot keys (286+ occurrences each vs 1 for the tail) must win
+    assert {r.k for r in top} == {f"k{i}" for i in range(7)}
+    for r in top:
+        assert r.cms_count >= exact[r.k]  # CMS error is one-sided

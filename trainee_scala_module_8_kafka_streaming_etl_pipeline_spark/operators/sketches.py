@@ -1,0 +1,175 @@
+"""Probabilistic sketch operators: HyperLogLog cardinality and
+count-min-sketch heavy hitters.
+
+At 100 TB these are the tools that replace exact `count(DISTINCT ...)`
+and exact per-key counts: the sketch state is O(m) / O(d*w) per group
+regardless of input size, merges associatively across partitions, and
+every stage below is an ordinary map-side-combining hash aggregate — no
+sort, no full distinct shuffle of the raw keys.
+
+Cross-engine determinism (the DuckDB oracle must hash-match): every
+hash is the shared md5-derived 60-bit substrate of operators/dedup.py,
+and the HLL register arithmetic is *integer-only* — the classic
+"position of the lowest set bit" rank is carried as the power-of-two
+value ``v = w & -w`` itself, and ``2^(55-rho)`` terms are computed as
+exact integer divisions ``2^54 // v``, so no engine ever calls a libm
+function (log2 in particular is not guaranteed correctly rounded) on
+the estimation path.  The only floating-point step is one final
+constant/Sum division, identical in both engines.
+
+The reference has no sketch surface (SURVEY.md §2.7: no UDFs at all);
+this extends the engine for the LLM-pipeline workloads the survey's §8
+inventory covers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# HLL geometry: m = 64 registers (b = 6 bucket bits).  Standard-error
+# ~ 1.04/sqrt(64) = 13% — the demo setting; m is a parameter and the
+# arithmetic below holds for any power of two up to 2^10.
+HLL_M = 64
+# Bias constant alpha_m = 0.7213 / (1 + 1.079/m); computed once in
+# Python so Spark and the SQL oracle embed the *identical* double.
+def hll_alpha(m: int) -> float:
+    return 0.7213 / (1 + 1.079 / m)
+
+
+# The 60-bit hash leaves w = h // m with < 2^54 usable bits; a zero w
+# (probability 2^-54 per key) is pinned to the max rank's value.
+_W_ZERO_V = 1 << 53
+_NUM = 1 << 54  # numerator of the exact 2^(55-rho) = 2^54 // v identity
+_EMPTY_TERM = 1 << 55  # empty register: rho = 0 -> 2^(55-0)
+
+# CMS geometry: d independent hash rows, w columns.  Collision bias is
+# ~ n/w per row; min over d rows keeps the overestimate tight.
+CMS_D = 4
+CMS_W = 256
+
+
+def _h60(col: F.Column) -> F.Column:
+    """The shared portable 60-bit hash (dedup.py substrate)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    m: int = HLL_M,
+) -> DataFrame:
+    """Per-(group, bucket) HLL register state: ``v_max`` is the maximum
+    lowest-set-bit value of the rank bits — the exact-integer carrier of
+    the classic register M_j = max(rho) (v = 2^(rho-1) is monotone in
+    rho, so max over v IS max over rho).  This frame IS the mergeable
+    sketch: to union two datasets, union the frames and re-aggregate
+    max(v_max)."""
+    h = _h60(F.col(key_col))
+    w = F.expr(f"_hll_h div {m}")
+    v = F.when(w == 0, F.lit(_W_ZERO_V)).otherwise(
+        w.bitwiseAND(-w)
+    )
+    return (
+        df.select(*group_cols, h.alias("_hll_h"))
+        .select(
+            *group_cols,
+            (F.col("_hll_h") % m).alias("bucket"),
+            v.alias("v"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("v").alias("v_max"))
+    )
+
+
+def hll_estimate(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    m: int = HLL_M,
+) -> DataFrame:
+    """Raw HLL cardinality estimate per group.  Two map-side-combining
+    aggregates; state per group is m registers independent of input
+    rows.  The estimate column is ``alpha*m^2*2^55 / S`` with S an
+    exact integer, so both engines divide the same two numbers."""
+    regs = hll_registers(df, key_col, group_cols, m)
+    scale = hll_alpha(m) * m * m * float(1 << 55)
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("buckets_used"),
+        F.sum(F.expr(f"{_NUM} div v_max")).alias("_s_used"),
+    )
+    s_total = F.col("_s_used") + (m - F.col("buckets_used")) * F.lit(_EMPTY_TERM)
+    return agg.select(
+        *group_cols,
+        "buckets_used",
+        F.round(F.lit(scale) / s_total.cast("double"), 2).alias("hll_estimate"),
+    )
+
+
+def cms_cells(
+    df: DataFrame, key_col: str, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """Count-min-sketch table: (row i, column, count) cells.  One
+    explode (factor d) + one hash aggregate over d*w cells; the cell
+    frame is the mergeable sketch (sum counts cell-wise)."""
+    hashes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                (_h60(F.concat(F.lit(f"{i}_"), F.col(key_col).cast("string"))) % w)
+                .alias("col"),
+            )
+            for i in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(hashes).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_topk(
+    df: DataFrame,
+    key_col: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    k: int = 10,
+) -> DataFrame:
+    """Heavy hitters by CMS estimate: probe every candidate key's d
+    cells and take the min, then rank.  The cell table (d*w rows) is
+    broadcast, so probing is shuffle-free; the candidate set here is
+    the exact distinct keys (at 100 TB you'd feed a sampled or
+    domain-known candidate list instead — the probe path is the same).
+    Estimates are exact integers -> deterministic ordering, ties broken
+    by key."""
+    cells = cms_cells(df, key_col, d, w)
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                (_h60(F.concat(F.lit(f"{i}_"), F.col(key_col).cast("string"))) % w)
+                .alias("col"),
+            )
+            for i in range(d)
+        ]
+    )
+    est = (
+        df.select(key_col).distinct()
+        .select(key_col, F.explode(probes).alias("c"))
+        .select(key_col, F.col("c.i").alias("i"), F.col("c.col").alias("col"))
+        .join(F.broadcast(cells), ["i", "col"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("cms_count"))
+    )
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.orderBy(F.desc("cms_count"), F.col(key_col))
+    )
+    return est.withColumn("rank", rank).filter(F.col("rank") <= k)
