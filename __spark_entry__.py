@@ -601,6 +601,137 @@ def q_json_extract(spark, sf):
     )
 
 
+# event-shape analytics: pivot, histogram, outliers -------------------------
+
+_ETYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@_q(
+    "event_type_pivot",
+    f"""
+    SELECT user_id,
+           {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS {t}"
+                      for t in _ETYPES)},
+           count(*) AS total
+    FROM events GROUP BY user_id
+    """,
+)
+def q_event_type_pivot(spark, sf):
+    """Wide per-user activity matrix via the pivot relational operator
+    (fixed value list — no discovery pass).  Catalyst compiles this to
+    ONE hash aggregate with a conditional count per column: same plan
+    shape as hand-written FILTER aggregates, one shuffle total."""
+    piv = (
+        _events(spark, sf)
+        .groupBy("user_id")
+        .pivot("event_type", _ETYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    total = sum(F.coalesce(F.col(t), F.lit(0)) for t in _ETYPES)
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _ETYPES],
+        total.alias("total"),
+    )
+
+
+_HIST_BIN_W = 25.0
+_HIST_BINS = 20
+
+
+@_q(
+    "value_histogram",
+    f"""
+    WITH b AS (
+      SELECT cast(least(greatest(floor(value / {_HIST_BIN_W}), 0),
+                        {_HIST_BINS - 1}) AS INT) AS bin
+      FROM events)
+    SELECT bin, bin * {_HIST_BIN_W} AS bin_lo, count(*) AS n_events,
+           cast(sum(count(*)) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_events,
+           round(sum(count(*)) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                   ::DOUBLE
+                 / sum(count(*)) OVER (), 6) AS cum_share
+    FROM b GROUP BY bin
+    """,
+)
+def q_value_histogram(spark, sf):
+    """Fixed-bin histogram with a cumulative-distribution column — the
+    deterministic scale substitute for approx quantiles (sketch-free:
+    bin assignment is pure per-row arithmetic, the aggregate carries
+    one count per bin, and the window runs over |bins| rows only)."""
+    bins = _events(spark, sf).select(
+        F.least(
+            F.greatest(F.floor(F.col("value") / _HIST_BIN_W), F.lit(0)),
+            F.lit(_HIST_BINS - 1),
+        )
+        .cast("int")
+        .alias("bin")
+    )
+    cnt = bins.groupBy("bin").agg(F.count(F.lit(1)).alias("n_events"))
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    return cnt.select(
+        "bin",
+        (F.col("bin") * _HIST_BIN_W).alias("bin_lo"),
+        "n_events",
+        F.sum("n_events").over(wcum).cast("bigint").alias("cum_events"),
+        F.round(
+            F.sum("n_events").over(wcum).cast("double")
+            / F.sum("n_events").over(wall),
+            6,
+        ).alias("cum_share"),
+    )
+
+
+_VAL_DEC = "decimal(18,4)"
+
+
+@_q(
+    "value_outliers",
+    f"""
+    WITH st AS (
+      SELECT event_type, count(*) AS n,
+             cast(sum(cast(value AS {_VAL_DEC})) AS double) AS s1,
+             cast(sum(cast(value AS {_VAL_DEC}) * cast(value AS {_VAL_DEC}))
+                  AS double) AS s2
+      FROM events GROUP BY 1)
+    SELECT event_id, e.event_type, value,
+           round((value - s1 / n)
+                 / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS z
+    FROM events e JOIN st ON e.event_type = st.event_type
+    WHERE abs((value - s1 / n)
+              / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 3
+    """,
+)
+def q_value_outliers(spark, sf):
+    """Per-group z-score outliers (|z| > 3).  The group moments come
+    from exact decimal sums cast to double once, and the z expression
+    is the identical association order in both engines (sqrt is
+    IEEE-correctly-rounded, so even the filter boundary is engine-
+    exact).  Plan: one map-side-combined stats aggregate, broadcast
+    back over the fact scan — a two-pass screen with zero fact
+    shuffles."""
+    ev = _events(spark, sf)
+    dec = F.col("value").cast(_VAL_DEC)
+    st = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    z = (F.col("value") - F.col("s1") / F.col("n")) / F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return (
+        ev.join(F.broadcast(st), "event_type")
+        .filter(F.abs(z) > 3)
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
+    )
+
+
 # probabilistic sketches: HLL cardinality, CMS heavy hitters ----------------
 
 _HLL_M = sketches.HLL_M
