@@ -2604,6 +2604,54 @@ def q_streaming_minhash_dedup(spark, sf):
 
 
 @_q(
+    "streaming_hll",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             {_H60_SQL.format(x="event_id::VARCHAR")} AS hv
+      FROM events),
+    b AS (SELECT event_type, hv % {_HLL_M} AS bucket, hv // {_HLL_M} AS w FROM h),
+    r AS (
+      SELECT event_type, bucket,
+             max(CASE WHEN w = 0 THEN {1 << 53} ELSE w & (-w) END) AS v_max
+      FROM b GROUP BY 1, 2),
+    agg AS (
+      SELECT event_type, count(*) AS buckets_used,
+             sum({1 << 54} // v_max) AS s_used
+      FROM r GROUP BY 1)
+    SELECT event_type, buckets_used,
+           round({_HLL_SCALE}
+                 / (s_used + ({_HLL_M} - buckets_used) * {1 << 55})::DOUBLE,
+                 2) AS hll_estimate
+    FROM agg
+    """,
+)
+def q_streaming_hll(spark, sf):
+    """Continuously-maintained distinct-count sketch
+    (streaming/sketches.py): each micro-batch max-merges its HLL
+    registers into a versioned state table — bounded O(m)-per-group
+    state over an unbounded stream, idempotent under re-delivery.
+    Batch-split invariance of the max merge makes the batch HLL SQL the
+    exact oracle."""
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.sketches import (
+        read_hll_estimate,
+        run_hll_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_hll_")
+    with _stream_partitions(spark):
+        run_hll_stream(
+            _events_stream(spark, sf).select("event_type", "event_id"),
+            f"{base}/state",
+            "event_id",
+            ["event_type"],
+        )
+    return read_hll_estimate(spark, f"{base}/state", ["event_type"])
+
+
+@_q(
     "streaming_dropdup",
     """
     SELECT event_id, user_id, event_type FROM events

@@ -42,6 +42,44 @@ def test_hll_registers_merge_by_max(spark):
     )
 
 
+def test_streaming_hll_two_rounds_match_batch(spark, tmp_path):
+    """Chopping the ingest into two availableNow rounds (with keys
+    overlapping across rounds) leaves exactly the registers — and so
+    the estimate — of a single batch pass over the union."""
+    import json
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.sketches import (
+        read_hll_estimate,
+        run_hll_stream,
+    )
+
+    rows1 = [{"g": "a", "k": f"x{i}"} for i in range(400)]
+    rows2 = [{"g": "a", "k": f"x{i}"} for i in range(200, 600)]  # overlap
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "g string, k string"
+
+    def _ingest(rows, fname):
+        with open(src / fname, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        sdf = spark.readStream.schema(schema).json(str(src))
+        run_hll_stream(sdf, str(tmp_path / "state"), "k", ["g"])
+
+    _ingest(rows1, "r1.jsonl")
+    _ingest(rows2, "r2.jsonl")
+
+    [streamed] = read_hll_estimate(spark, str(tmp_path / "state"), ["g"]).collect()
+    union = spark.createDataFrame(
+        [(r["g"], r["k"]) for r in rows1 + rows2], ["g", "k"]
+    )
+    [batch] = sketches.hll_estimate(union, "k", ["g"]).collect()
+    assert streamed.hll_estimate == batch.hll_estimate
+    assert streamed.buckets_used == batch.buckets_used
+    # 600 true distinct; sanity-check the estimate is in the corridor
+    assert 600 * 0.5 < streamed.hll_estimate < 600 * 1.5
+
+
 def test_cms_never_underestimates_and_ranks_hot_keys(spark, keyed):
     top = sketches.cms_topk(keyed, "k", k=7).collect()
     exact = {

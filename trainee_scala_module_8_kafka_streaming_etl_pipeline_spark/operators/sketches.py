@@ -87,17 +87,15 @@ def hll_registers(
     )
 
 
-def hll_estimate(
-    df: DataFrame,
-    key_col: str,
+def hll_estimate_from_registers(
+    regs: DataFrame,
     group_cols: Sequence[str] = (),
     m: int = HLL_M,
 ) -> DataFrame:
-    """Raw HLL cardinality estimate per group.  Two map-side-combining
-    aggregates; state per group is m registers independent of input
-    rows.  The estimate column is ``alpha*m^2*2^55 / S`` with S an
-    exact integer, so both engines divide the same two numbers."""
-    regs = hll_registers(df, key_col, group_cols, m)
+    """Estimate from a register frame (hll_registers output or any
+    max-merge of such frames).  The estimate column is
+    ``alpha*m^2*2^55 / S`` with S an exact integer, so both engines
+    divide the same two numbers."""
     scale = hll_alpha(m) * m * m * float(1 << 55)
     agg = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("buckets_used"),
@@ -108,6 +106,20 @@ def hll_estimate(
         *group_cols,
         "buckets_used",
         F.round(F.lit(scale) / s_total.cast("double"), 2).alias("hll_estimate"),
+    )
+
+
+def hll_estimate(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    m: int = HLL_M,
+) -> DataFrame:
+    """Raw HLL cardinality estimate per group.  Two map-side-combining
+    aggregates; state per group is m registers independent of input
+    rows."""
+    return hll_estimate_from_registers(
+        hll_registers(df, key_col, group_cols, m), group_cols, m
     )
 
 

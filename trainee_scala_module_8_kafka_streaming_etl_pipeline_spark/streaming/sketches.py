@@ -1,0 +1,76 @@
+"""Incremental sketch maintenance over a stream.
+
+The point of a mergeable sketch at 100 TB: the register state is O(m)
+per group *forever*, so a continuously-running query (reference E1
+semantics) can maintain distinct-count estimates over unbounded input
+with bounded state — the streaming analogue of A3 materialized-table
+maintenance, but with sub-linear state instead of per-key rows.
+
+Each micro-batch folds its HLL registers (operators/sketches.py) into
+the versioned state table with a max() merge.  max is associative,
+commutative, and idempotent, so the result is batch-split invariant
+AND re-delivery tolerant: replaying a batch after a failed commit
+cannot move any register backwards.  The DuckDB oracle is therefore
+simply the batch HLL query over the same rows.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import sketches as SK
+from .upsert import read_state, write_version
+
+
+def merge_hll_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    m: int = SK.HLL_M,
+) -> None:
+    """One register merge: state' = max-merge(state, registers(batch))."""
+    regs = SK.hll_registers(batch_df, key_col, group_cols, m)
+    prior = read_state(batch_df.sparkSession, state_dir)
+    merged = regs if prior is None else prior.unionByName(regs)
+    folded = merged.groupBy(*group_cols, "bucket").agg(
+        F.max("v_max").alias("v_max")
+    )
+    write_version(folded, state_dir)
+
+
+def run_hll_stream(
+    stream_df: DataFrame,
+    state_dir: str,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    m: int = SK.HLL_M,
+) -> None:
+    """Maintain streaming HLL registers as a real StreamingQuery
+    (availableNow) with checkpointed source offsets next to the state."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        merge_hll_batch(batch_df, state_dir, key_col, group_cols, m)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", os.path.join(state_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_hll_estimate(
+    spark: SparkSession,
+    state_dir: str,
+    group_cols: Sequence[str] = (),
+    m: int = SK.HLL_M,
+) -> DataFrame:
+    """Current cardinality estimate from the maintained registers."""
+    regs = read_state(spark, state_dir)
+    return SK.hll_estimate_from_registers(regs, group_cols, m)

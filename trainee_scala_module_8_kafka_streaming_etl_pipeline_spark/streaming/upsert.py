@@ -87,10 +87,17 @@ def upsert_batch(
     if deleted_col:
         compacted = compacted.filter(~F.col(deleted_col)).drop(deleted_col)
 
+    write_version(compacted, state_dir)
+
+
+def write_version(df: DataFrame, state_dir: str) -> None:
+    """Commit ``df`` as the next state version with an atomic pointer
+    swap — the shared primitive under every state table (upsert MERGE,
+    sketch register merges)."""
     prev = _state_version(state_dir)
     next_v = 0 if prev is None else prev + 1
     os.makedirs(state_dir, exist_ok=True)
-    compacted.write.mode("overwrite").parquet(os.path.join(state_dir, f"v={next_v}"))
+    df.write.mode("overwrite").parquet(os.path.join(state_dir, f"v={next_v}"))
     tmp = os.path.join(state_dir, f"{_POINTER}.tmp")
     with open(tmp, "w") as fh:
         fh.write(str(next_v))
