@@ -62,6 +62,8 @@ HEADLINE = [
     "corpus_clean",
     "shard_pack",
     "hopping_agg",
+    "hll_cardinality",
+    "cms_heavy_hitters",
     "multimodal_chunks",
     "streaming_interval_join",
     "streaming_cdc_upsert",
