@@ -509,6 +509,102 @@ def q_rollup_agg(spark, sf):
     )
 
 
+# Grouping-sets surface beyond ROLLUP: full CUBE with the grouping_id
+# bitmask exposed, so consumers can tell a real NULL group from a
+# subtotal row.  Spark's grouping_id() and DuckDB's GROUPING(a, b) use
+# the same bit convention (first listed column = most significant bit).
+@_q(
+    "cube_agg",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           count(*) AS n_orders,
+           cast(sum(cast(o_totalprice AS decimal(18,4))) AS double) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_agg(spark, sf):
+    """CUBE = 4 grouping sets in ONE pass: Catalyst expands the input
+    with an Expand node (4 rows per input row) feeding a single hash
+    aggregate — no four-scan union, and partial aggregation still
+    collapses each grouping set map-side before the one shuffle."""
+    o = load(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("total_price"),
+    ).select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price")
+
+
+@_q(
+    "interarrival_stats",
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events)
+    SELECT user_id,
+           count(gap_us)                               AS n_gaps,
+           cast(min(gap_us) AS bigint)                 AS min_gap_us,
+           cast(max(gap_us) AS bigint)                 AS max_gap_us,
+           cast(sum(gap_us) AS bigint)                 AS total_gap_us
+    FROM g GROUP BY user_id
+    """,
+)
+def q_interarrival_stats(spark, sf):
+    """Per-user inter-arrival gaps via lag().  One hash-partition
+    exchange on user_id serves both the window sort and the following
+    groupBy (Catalyst reuses the partitioning), so the plan is
+    scan -> exchange -> sort -> window -> partial/final agg.  Gaps stay
+    in exact integer microseconds end to end — no float drift."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = _events(spark, sf).select(
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.sum("gap_us").alias("total_gap_us"),
+    )
+
+
+@_q(
+    "value_quartiles",
+    """
+    WITH t AS (
+      SELECT event_type, value,
+             ntile(4) OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS quartile
+      FROM events)
+    SELECT event_type, quartile,
+           count(*) AS n,
+           round(min(value), 6) AS lo,
+           round(max(value), 6) AS hi,
+           cast(sum(cast(value AS decimal(18,4))) AS double) AS total
+    FROM t GROUP BY event_type, quartile
+    """,
+)
+def q_value_quartiles(spark, sf):
+    """ntile(4) bucket stats per event type.  The ORDER BY carries
+    event_id as a tiebreak so bucket boundaries are deterministic under
+    duplicate values; the exchange on event_type is reused by the
+    groupBy, mirroring interarrival_stats' single-shuffle shape."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    t = _events(spark, sf).select(
+        "event_type", "value", "event_id", F.ntile(4).over(w).alias("quartile")
+    )
+    return t.groupBy("event_type", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+        F.sum(F.col("value").cast(_VAL_DEC)).cast("double").alias("total"),
+    )
+
+
 @_q(
     "join_semi",
     """

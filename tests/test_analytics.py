@@ -128,3 +128,60 @@ def test_vocab_coverage_cumulative_monotone(spark, patch_load):
     )
     assert [r.term for r in rows] == ["a", "b", "c"]
     assert [r.cum_share for r in rows] == [0.5, pytest.approx(5 / 6, abs=1e-6), 1.0]
+
+
+def test_cube_agg_grouping_id_bitmask(spark, patch_load):
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 100.0, "2024-01-01", "1-URGENT"),
+            (2, 11, "O", 200.0, "2024-01-02", "5-LOW"),
+            (3, 12, "F", 400.0, "2024-01-03", "1-URGENT"),
+        ],
+        [
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority",
+        ],
+    )
+    patch_load({"orders": orders})
+    rows = entrymod.queries()["cube_agg"](spark, "i").collect()
+    # 4 grouping sets: (s,p)=gid 0, (s,*)=gid 1, (*,p)=gid 2, (*,*)=gid 3
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r.gid, []).append(r)
+    assert set(by_gid) == {0, 1, 2, 3}
+    grand = by_gid[3]
+    assert len(grand) == 1 and grand[0].n_orders == 3
+    assert grand[0].total_price == 700.0
+    # status subtotal rows null out priority only
+    assert all(r.o_orderpriority is None and r.o_orderstatus is not None
+               for r in by_gid[1])
+
+
+def test_interarrival_gaps_exact_and_per_user(spark, patch_load):
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 10:00:01", 1, "view", 1.0, "{}"),
+        (3, "2024-01-01 10:01:01", 1, "view", 1.0, "{}"),
+        (4, "2024-01-01 09:00:00", 2, "view", 1.0, "{}"),  # single event -> no gap
+    ]
+    patch_load({"events": _events_df(spark, rows)})
+    out = {r.user_id: r for r in
+           entrymod.queries()["interarrival_stats"](spark, "i").collect()}
+    assert out[1].n_gaps == 2
+    assert out[1].min_gap_us == 1_000_000
+    assert out[1].max_gap_us == 60_000_000
+    assert out[1].total_gap_us == 61_000_000
+    # a lone event yields zero gaps, not a null row dropped
+    assert out[2].n_gaps == 0 and out[2].total_gap_us is None
+
+
+def test_value_quartiles_deterministic_ties(spark, patch_load):
+    # 8 equal values: ntile(4) must split 2/2/2/2 with event_id tiebreak
+    rows = [(i, "2024-01-01 10:00:00", 1, "view", 5.0, "{}") for i in range(8)]
+    patch_load({"events": _events_df(spark, rows)})
+    out = sorted(
+        entrymod.queries()["value_quartiles"](spark, "i").collect(),
+        key=lambda r: r.quartile,
+    )
+    assert [r.quartile for r in out] == [1, 2, 3, 4]
+    assert all(r.n == 2 and r.lo == 5.0 and r.hi == 5.0 for r in out)
