@@ -1946,6 +1946,109 @@ def q_vocab_coverage(spark, sf):
     )
 
 
+# boilerplate detection: shared word-trigram analysis -----------------------
+
+_NGRAM_N = 3
+_BOILER_DF = 3  # a trigram present in >= 3 distinct docs is boilerplate
+
+_NGRAM_CTE = f"""
+    norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS n
+      FROM documents),
+    arr AS (SELECT doc_id, regexp_split_to_array(n, ' ') AS a
+            FROM norm WHERE len(n) > 0),
+    g AS (SELECT DISTINCT doc_id, array_to_string(a[i:i+{_NGRAM_N - 1}], ' ') AS gram
+          FROM arr, LATERAL unnest(range(1, len(a) - {_NGRAM_N - 2})) AS s(i)),
+    gdf AS (SELECT gram, count(*) AS nd FROM g GROUP BY 1)
+"""
+
+
+def _doc_ngrams(spark, sf) -> DataFrame:
+    """Distinct (doc_id, word-trigram) pairs — shared subtree of the
+    boilerplate queries.  DISTINCT here is the one corpus-scale shuffle;
+    both consumers aggregate off its partitioning."""
+    d = load(spark, sf, "documents")
+    toks = (
+        d.select("doc_id", dedup.normalize_text("text").alias("n"))
+        .filter(F.length("n") > 0)
+        .select("doc_id", F.split("n", " ").alias("a"))
+    )
+    return toks.select(
+        "doc_id", F.explode(T.word_ngrams(F.col("a"), _NGRAM_N)).alias("gram")
+    ).distinct()
+
+
+@_q(
+    "boilerplate_ngrams",
+    f"""
+    WITH {_NGRAM_CTE},
+    boiler AS (SELECT gram FROM gdf WHERE nd >= {_BOILER_DF}),
+    tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+    hit AS (SELECT doc_id, count(*) AS n_boiler
+            FROM g JOIN boiler USING (gram) GROUP BY doc_id)
+    SELECT doc_id, n_grams,
+           coalesce(n_boiler, 0)                   AS n_boiler,
+           round(coalesce(n_boiler, 0) / n_grams, 6) AS boiler_ratio
+    FROM tot LEFT JOIN hit USING (doc_id)
+    """,
+)
+def q_boilerplate_ngrams(spark, sf):
+    """CCNet-style boilerplate share per document: the fraction of a
+    doc's distinct word-trigrams that appear in >= {_BOILER_DF} docs
+    corpus-wide.  The boilerplate dictionary (high-document-frequency
+    grams) is tiny relative to the gram vocabulary, so the membership
+    probe is a broadcastable semi-join against the fact-sized gram
+    table — the full gram->nd map is never joined back to the corpus.
+    Docs shorter than the gram width carry no grams and are excluded
+    (identically on the oracle side, where range() is empty)."""
+    grams = _doc_ngrams(spark, sf)
+    gdf = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
+    boiler = gdf.filter(F.col("nd") >= _BOILER_DF).select("gram")
+    tot = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hit = (
+        grams.join(boiler, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    return tot.join(hit, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+        F.round(
+            F.coalesce("n_boiler", F.lit(0)) / F.col("n_grams"), 6
+        ).alias("boiler_ratio"),
+    )
+
+
+_COMMON_NGRAM_TOP = 40
+
+
+@_q(
+    "common_ngrams",
+    f"""
+    WITH {_NGRAM_CTE}
+    SELECT gram, nd, rnk FROM (
+      SELECT gram, nd,
+             row_number() OVER (ORDER BY nd DESC, gram) AS rnk
+      FROM gdf) WHERE rnk <= {_COMMON_NGRAM_TOP}
+    """,
+)
+def q_common_ngrams(spark, sf):
+    """The boilerplate dictionary itself: top-k word-trigrams by
+    document frequency.  Global top-k via orderBy().limit() — Spark
+    plans TakeOrderedAndProject (per-partition heaps + tiny driver
+    merge), NOT a single-partition sort of the gram vocabulary; the
+    rank window then runs over just the k survivors."""
+    gdf = (
+        _doc_ngrams(spark, sf)
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    top = gdf.orderBy(F.desc("nd"), "gram").limit(_COMMON_NGRAM_TOP)
+    w = Window.orderBy(F.desc("nd"), "gram")
+    return top.withColumn("rnk", F.row_number().over(w))
+
+
 # embedding analytics: per-dimension stats, int8 quantization ---------------
 
 

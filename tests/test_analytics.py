@@ -185,3 +185,48 @@ def test_value_quartiles_deterministic_ties(spark, patch_load):
     )
     assert [r.quartile for r in out] == [1, 2, 3, 4]
     assert all(r.n == 2 and r.lo == 5.0 and r.hi == 5.0 for r in out)
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def test_boilerplate_ngrams_threshold_and_short_docs(spark, patch_load):
+    docs = _docs_df(spark, [
+        # "x y z" appears in 3 docs -> boilerplate; "p q r" in only 2 -> not
+        (1, "x y z p q r", "en", "s", 0),
+        (2, "x y z p q r", "en", "s", 0),
+        (3, "x y z unique words here", "en", "s", 0),
+        (4, "too short", "en", "s", 0),  # < 3 tokens: no grams, excluded
+    ])
+    patch_load({"documents": docs})
+    out = {r.doc_id: r for r in
+           entrymod.queries()["boilerplate_ngrams"](spark, "i").collect()}
+    assert 4 not in out
+    # doc 1 grams: "x y z","y z p","z p q","p q r" -> only "x y z" shared by 3
+    assert out[1].n_grams == 4 and out[1].n_boiler == 1
+    assert out[1].boiler_ratio == 0.25
+    assert out[3].n_boiler == 1  # shares only "x y z"
+    # a doc with zero boilerplate still appears with ratio 0.0
+    docs2 = _docs_df(spark, [(9, "a b c d", "en", "s", 0),
+                             (1, "x y z", "en", "s", 0),
+                             (2, "x y z", "en", "s", 0),
+                             (3, "x y z", "en", "s", 0)])
+    patch_load({"documents": docs2})
+    out2 = {r.doc_id: r for r in
+            entrymod.queries()["boilerplate_ngrams"](spark, "i").collect()}
+    assert out2[9].n_boiler == 0 and out2[9].boiler_ratio == 0.0
+
+
+def test_common_ngrams_rank_ties_break_on_gram(spark, patch_load):
+    docs = _docs_df(spark, [
+        (1, "a b c", "en", "s", 0),
+        (2, "a b c", "en", "s", 0),
+        (3, "z z z", "en", "s", 0),
+        (4, "z z z", "en", "s", 0),
+    ])
+    patch_load({"documents": docs})
+    rows = sorted(entrymod.queries()["common_ngrams"](spark, "i").collect(),
+                  key=lambda r: r.rnk)
+    # both grams have nd=2; lexicographic tiebreak fixes the order
+    assert [(r.gram, r.nd) for r in rows] == [("a b c", 2), ("z z z", 2)]

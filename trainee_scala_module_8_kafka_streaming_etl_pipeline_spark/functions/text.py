@@ -112,3 +112,23 @@ def fingerprint(col: str = "text") -> Column:
     """Document fingerprint: md5 of the alnum-normalized text — robust
     to whitespace/punctuation-only edits, portable across engines."""
     return F.md5(F.regexp_replace(F.lower(F.col(col)), "[^a-z0-9]", ""))
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Sliding word n-grams over a token array, space-joined.
+
+    Pure JVM higher-order functions (transform/slice/array_join): a
+    narrow projection with no shuffle, so n-gram generation scales with
+    the scan like the char-shingle path in operators/dedup.py.  Returns
+    an empty array when the document has fewer than ``n`` tokens —
+    Spark's ``sequence(1, 0)`` would count *down*, so the guard is
+    load-bearing, not cosmetic.
+    """
+    toks = col
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
