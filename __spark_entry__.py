@@ -2049,6 +2049,92 @@ def q_common_ngrams(spark, sf):
     return top.withColumn("rnk", F.row_number().over(w))
 
 
+@_q(
+    "bigram_lm_score",
+    """
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS n
+      FROM documents),
+    arr AS (SELECT doc_id, regexp_split_to_array(n, ' ') AS a
+            FROM norm WHERE len(n) > 0),
+    bg AS (SELECT doc_id, array_to_string(a[i:i+1], ' ') AS gram
+           FROM arr, LATERAL unnest(range(1, len(a))) AS s(i)),
+    cb AS (SELECT gram, count(*) AS cnt FROM bg GROUP BY 1),
+    ctx AS (SELECT split_part(gram, ' ', 1) AS w1, count(*) AS ctx_cnt
+            FROM bg GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT term) AS v
+              FROM (SELECT unnest(a) AS term FROM arr)),
+    scored AS (
+      SELECT bg.doc_id,
+             cast(round(round(ln((cnt + 1.0) / (ctx_cnt + v)), 6) * 1e6)
+                  AS bigint) AS logp_micro
+      FROM bg JOIN cb USING (gram)
+      JOIN ctx ON split_part(bg.gram, ' ', 1) = ctx.w1
+      CROSS JOIN vocab)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(cast(sum(logp_micro) AS bigint) / count(*)) / 1e6 AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_bigram_lm_score(spark, sf):
+    """Per-document fluency under an add-one-smoothed bigram language
+    model trained on the corpus itself — the classic cheap perplexity
+    filter for pretraining data.  Two corpus-scale aggregates (bigram
+    counts keyed on the gram, context counts keyed on the first word)
+    are joined back to the bigram occurrences; the context table and
+    the scalar vocabulary size are unigram-cardinality, so at scale
+    they broadcast while the bigram-count join shuffles on the gram
+    key.  Per-bigram log-probs are rounded to 6 dp before averaging so
+    the ranking quantity is engine-exact."""
+    d = load(spark, sf, "documents")
+    toks = (
+        d.select("doc_id", dedup.normalize_text("text").alias("n"))
+        .filter(F.length("n") > 0)
+        .select("doc_id", F.split("n", " ").alias("a"))
+    )
+    bg = toks.select(
+        "doc_id", F.explode(T.word_ngrams(F.col("a"), 2)).alias("gram")
+    )
+    cb = bg.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    ctx = (
+        bg.select(F.substring_index("gram", " ", 1).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("ctx_cnt"))
+    )
+    vocab = toks.select(F.explode("a").alias("term")).agg(
+        F.countDistinct("term").alias("v")
+    )
+    scored = (
+        bg.join(cb, "gram")
+        .withColumn("w1", F.substring_index("gram", " ", 1))
+        .join(F.broadcast(ctx), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            # exact integer micro-nats: ln is 6-dp rounded (1-ulp libm
+            # deltas can't survive), then scaled to BIGINT so the final
+            # average is an integer division — identical in both
+            # engines, unlike round(avg(double)) whose half-boundary
+            # cases depend on float summation order.
+            F.round(
+                F.round(
+                    F.log((F.col("cnt") + F.lit(1.0)) / (F.col("ctx_cnt") + F.col("v"))),
+                    6,
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("logp_micro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.round(F.sum("logp_micro") / F.count(F.lit(1)), 0) / F.lit(1e6)
+        ).alias("avg_logprob"),
+    )
+
+
 # embedding analytics: per-dimension stats, int8 quantization ---------------
 
 
@@ -2377,6 +2463,60 @@ def q_embedding_neardup(spark, sf):
     # moderate threshold (this corpus has no cos>0.7 pairs) -> metric
     # blocking cannot prune; use the exact blocked-GEMM all-pairs path
     return similarity.cosine_pairs_blocked(load(spark, sf, "embeddings"), threshold=0.4)
+
+
+# k-means: like ann_ivf_topk, the clustering is approximate as a
+# learner but exact as a computation — stride init, fixed 2 Lloyd
+# rounds, 6-dp-rounded cosines/means — so the oracle replays the
+# algorithm itself, unrolled one CTE block per iteration.
+_KM_STRIDE = 100
+
+
+def _km_iter_sql(cent: str, a: str, m: str, out: str) -> str:
+    return f"""
+    s_{a} AS (
+      SELECT c.vec_id, c.v, {cent}.cluster_id, {_cos_sql('c.v', f'{cent}.cv')} AS ccos
+      FROM c CROSS JOIN {cent}),
+    {a} AS (
+      SELECT vec_id, v, cluster_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, cluster_id) AS rn
+        FROM s_{a}) WHERE rn = 1),
+    {m} AS (
+      SELECT cluster_id, g.i AS dim, round(avg(v[g.i]), 6) AS mv
+      FROM {a}, generate_series(1, 64) AS g(i) GROUP BY cluster_id, g.i),
+    {out} AS (SELECT cluster_id, list(mv ORDER BY dim) AS cv
+              FROM {m} GROUP BY cluster_id)
+    """
+
+
+@_q(
+    "kmeans_embeddings",
+    f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent0 AS (SELECT vec_id AS cluster_id, v AS cv FROM c
+              WHERE vec_id % {_KM_STRIDE} = 0),
+    {_km_iter_sql('cent0', 'a1', 'm1', 'cent1')},
+    {_km_iter_sql('cent1', 'a2', 'm2', 'cent2')}
+    SELECT n.cluster_id, n.n_members,
+           round((SELECT sum(cv[g.i]) FROM generate_series(1, 64) AS g(i)), 6)
+             AS centroid_sum
+    FROM (SELECT cluster_id, count(*) AS n_members FROM a2 GROUP BY 1) n
+    JOIN cent2 USING (cluster_id)
+    """,
+)
+def q_kmeans_embeddings(spark, sf):
+    assigned, cent = similarity.kmeans_fixed(
+        load(spark, sf, "embeddings"), n_iters=2, centroid_stride=_KM_STRIDE
+    )
+    sizes = assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    sums = cent.select(
+        "cluster_id",
+        F.round(
+            F.aggregate("c_vec", F.lit(0.0), lambda acc, v: acc + v), 6
+        ).alias("centroid_sum"),
+    )
+    return sizes.join(sums, "cluster_id")
 
 
 @_q(

@@ -230,3 +230,18 @@ def test_common_ngrams_rank_ties_break_on_gram(spark, patch_load):
                   key=lambda r: r.rnk)
     # both grams have nd=2; lexicographic tiebreak fixes the order
     assert [(r.gram, r.nd) for r in rows] == [("a b c", 2), ("z z z", 2)]
+
+
+def test_bigram_lm_score_add_one_smoothing(spark, patch_load):
+    docs = _docs_df(spark, [(1, "a b a b", "en", "s", 0),
+                            (2, "a b", "en", "s", 0)])
+    patch_load({"documents": docs})
+    out = {r.doc_id: r for r in
+           entrymod.queries()["bigram_lm_score"](spark, "i").collect()}
+    # C(a b)=3, C(b a)=1, ctx a=3, ctx b=1, V=2
+    # logp(a b) = ln(4/5) = -0.223144 ; logp(b a) = ln(2/3) = -0.405465
+    assert out[2].n_bigrams == 1
+    assert out[2].avg_logprob == pytest.approx(-0.223144, abs=1e-9)
+    assert out[1].n_bigrams == 3
+    # exact integer-micro average: round((-223144*2 - 405465)/3)/1e6
+    assert out[1].avg_logprob == pytest.approx(-0.283918, abs=1e-9)

@@ -158,3 +158,30 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_kmeans_fixed_converges_on_separated_clusters(spark):
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        similarity,
+    )
+
+    # two tight angular clusters around (1,0,...) and (0,1,...); stride-5
+    # init picks seeds 0 (even cluster) and 5 (odd cluster)
+    rows = []
+    for i in range(10):
+        if i % 2 == 0:
+            rows.append((i, [1.0, 0.01 * i] + [0.0] * 62))
+        else:
+            rows.append((i, [0.01 * i, 1.0] + [0.0] * 62))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    assigned, cent = similarity.kmeans_fixed(emb, n_iters=2, centroid_stride=5)
+    got = {r.vec_id: r.cluster_id for r in assigned.collect()}
+    # every even vec joins seed-0's cluster, odd vecs a different one
+    even_clusters = {got[i] for i in range(0, 10, 2)}
+    odd_clusters = {got[i] for i in range(1, 10, 2)}
+    assert len(even_clusters) == 1 and len(odd_clusters) == 1
+    assert even_clusters != odd_clusters
+    cents = {r.cluster_id: r.c_vec for r in cent.collect()}
+    # centroid of the odd cluster points along dim 2 (index 1)
+    odd_c = cents[odd_clusters.pop()]
+    assert odd_c[1] > 0.9 and odd_c[0] < 0.2

@@ -424,3 +424,62 @@ def neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .distinct()
     )
+
+
+def kmeans_fixed(
+    emb: DataFrame,
+    n_iters: int = 2,
+    centroid_stride: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means with deterministic stride init and a FIXED
+    iteration count, so the whole computation is replayable by a SQL
+    oracle (no RNG, no convergence-dependent stopping).
+
+    Each iteration is the canonical distributed k-means round:
+    broadcast the K centroids, score every vector against all K in one
+    narrow pass (cosine, rounded to 6 dp so both engines rank
+    identically), pick the argmax with a centroid-id tie-break via
+    ``max_by`` (map-side combining — no window sort over the N x K
+    expansion), then recompute per-dimension means with one
+    (cluster, dim)-keyed aggregate. Means are rounded to 6 dp before
+    the next round so the following iteration's inputs are
+    engine-exact. Shuffled bytes per iteration: N ids for the argmax +
+    K x dim means — the vectors themselves move only in the posexplode
+    aggregate, which partial-aggregates map-side.
+
+    Returns (assignments, centroids) from the final round:
+    assignments = (id, cluster_id), centroids = (cluster_id, c_vec).
+    """
+    cent = emb.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("cluster_id"), F.col(vec_col).alias("c_vec")
+    )
+    assigned = None
+    for _ in range(n_iters):
+        scored = emb.join(F.broadcast(cent)).select(
+            id_col,
+            vec_col,
+            "cluster_id",
+            cosine_col(vec_col, "c_vec").alias("ccos"),
+        )
+        assigned = scored.groupBy(id_col).agg(
+            F.first(vec_col).alias(vec_col),
+            F.max_by(
+                "cluster_id",
+                F.struct(F.col("ccos"), (-F.col("cluster_id")).alias("nid")),
+            ).alias("cluster_id"),
+        )
+        dims = assigned.select(
+            "cluster_id", F.posexplode(F.col(vec_col).cast("array<double>"))
+        )
+        means = dims.groupBy("cluster_id", "pos").agg(
+            F.round(F.avg("col"), 6).alias("m")
+        )
+        cent = means.groupBy("cluster_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.getField("m"),
+            ).alias("c_vec")
+        )
+    return assigned.select(id_col, "cluster_id"), cent
