@@ -1622,6 +1622,194 @@ def q_cumulative_revenue(spark, sf):
     )
 
 
+# TPC-H Q19 analogue — disjunctive join predicate (OR of brand/size/
+# quantity conjunctions).  Catalyst extracts the common l_partkey equi-
+# key, pushes the per-side conjuncts below the join (part arm prunes the
+# build side, quantity bounds prune the probe side), and evaluates the
+# residual OR post-join — the plan shape Q19 exists to test.
+@_q(
+    "disjunctive_part_revenue",
+    f"""
+    SELECT p_brand,
+           count(*) AS n_lines,
+           cast(sum(cast(l_extendedprice AS {_DEC})
+                    * cast(1 - l_discount AS {_DEC})) AS double) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#3'  AND p_size BETWEEN 1  AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 40)
+       OR (p_brand = 'Brand#24' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 25 AND 50)
+    GROUP BY p_brand
+    """,
+)
+def q_disjunctive_part_revenue(spark, sf):
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part")
+    arm = lambda brand, s_lo, s_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s_lo, s_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    cond = (
+        arm("Brand#3", 1, 15, 1, 20)
+        | arm("Brand#12", 10, 30, 10, 40)
+        | arm("Brand#24", 20, 50, 25, 50)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.col("l_extendedprice").cast(_DEC)
+                * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+# TPC-H Q16 analogue — supplier variety per part group, excluding
+# blacklisted suppliers.  No partsupp table in this corpus; lineitem
+# serves as the observed part<->supplier relation.
+@_q(
+    "supplier_part_variety",
+    """
+    SELECT p_brand, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+)
+def q_supplier_part_variety(spark, sf):
+    """count(DISTINCT) after a blacklist anti-join.  The blacklist
+    (negative-balance suppliers) is tiny -> broadcast anti-join, no
+    shuffle; the distinct-count expands to a two-level aggregate
+    ((brand,size,supp) partial dedup, then count) keyed on the group
+    columns, so the only corpus shuffle is on (p_brand, p_size)."""
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").filter(
+        F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = load(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# TPC-H Q21 analogue — correlated EXISTS + NOT EXISTS.  The reference
+# Q21 blames the sole late supplier on multi-supplier orders; this
+# corpus has no receipt/commit dates, so 'returned' (l_returnflag='R')
+# plays 'late'.
+_Q21_TOP = 20
+
+
+@_q(
+    "sole_blame_supplier",
+    f"""
+    WITH l AS (SELECT l_orderkey, l_suppkey, l_returnflag FROM lineitem),
+    blamed AS (
+      SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+      FROM l l1
+      JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+      WHERE l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM l l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM l l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')),
+    agg AS (
+      SELECT s_name, count(*) AS numwait
+      FROM blamed JOIN supplier ON s_suppkey = l_suppkey
+      GROUP BY s_name)
+    SELECT s_name, numwait, rnk FROM (
+      SELECT *, row_number() OVER (ORDER BY numwait DESC, s_name) AS rnk
+      FROM agg) WHERE rnk <= {_Q21_TOP}
+    """,
+)
+def q_sole_blame_supplier(spark, sf):
+    """EXISTS/NOT EXISTS pair rewritten as ONE per-order aggregate
+    instead of two correlated self-joins: per (order, supplier) compute
+    the order's distinct-supplier count and its distinct R-flagged
+    suppliers, then filter (multi-supplier) AND (exactly one R = mine).
+    One shuffle on l_orderkey replaces Q21's three lineitem scans; the
+    top-k plans as TakeOrderedAndProject."""
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.array_sort(
+            F.collect_set(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            )
+        ).alias("r_supps"),
+    )
+    blamed = (
+        per_order.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter((F.col("n_supp") > 1) & (F.size("r_supps") == 1))
+        .select("l_orderkey", F.col("r_supps")[0].alias("l_suppkey"))
+    )
+    s = load(spark, sf, "supplier")
+    agg = (
+        blamed.join(
+            F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    top = agg.orderBy(F.desc("numwait"), "s_name").limit(_Q21_TOP)
+    w = Window.orderBy(F.desc("numwait"), "s_name")
+    return top.withColumn("rnk", F.row_number().over(w))
+
+
+# SCD2 (slowly-changing-dimension type 2) derivation from a changelog:
+# each per-user purchase becomes a validity interval [valid_from,
+# valid_to) closed by the next change; the open interval is current.
+@_q(
+    "scd2_history",
+    """
+    SELECT user_id, event_id, value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             IS NULL) AS is_current
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_scd2_history(spark, sf):
+    """The batch form of the keyed-upsert sink's history dimension:
+    one exchange on user_id + one sort serves both lead() columns
+    (same window frame -> single Window node).  At scale this is the
+    standard changelog->SCD2 rewrite: no self-join, no per-key
+    collect."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return _purchases(spark, sf).select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
 # dataset assembly: splits, shard packing, corpus cleaning ------------------
 
 _BUCKET_SQL = "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100"

@@ -245,3 +245,52 @@ def test_bigram_lm_score_add_one_smoothing(spark, patch_load):
     assert out[1].n_bigrams == 3
     # exact integer-micro average: round((-223144*2 - 405465)/3)/1e6
     assert out[1].avg_logprob == pytest.approx(-0.283918, abs=1e-9)
+
+
+def test_scd2_history_interval_chain(spark, patch_load):
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "purchase", 10.0, "{}"),
+        (2, "2024-01-02 10:00:00", 1, "purchase", 20.0, "{}"),
+        (3, "2024-01-03 10:00:00", 1, "view", 99.0, "{}"),  # non-purchase ignored
+        (4, "2024-01-01 10:00:00", 2, "purchase", 5.0, "{}"),
+    ]
+    patch_load({"events": _events_df(spark, rows)})
+    out = sorted(entrymod.queries()["scd2_history"](spark, "i").collect(),
+                 key=lambda r: (r.user_id, r.event_id))
+    u1 = [r for r in out if r.user_id == 1]
+    assert len(u1) == 2
+    # first version closes exactly at the next version's valid_from
+    assert u1[0].valid_to == u1[1].valid_from and not u1[0].is_current
+    assert u1[1].valid_to is None and u1[1].is_current
+    u2 = [r for r in out if r.user_id == 2]
+    assert len(u2) == 1 and u2[0].is_current
+
+
+def test_sole_blame_requires_multi_supplier_and_unique_r(spark, patch_load):
+    li_rows = [
+        # order 1: two suppliers, only supp 10 has R -> blamed
+        (1, 1, 10, 1, 1.0, 10.0, 0.0, 0.0, "R", "F", "1995-01-01"),
+        (1, 2, 20, 2, 1.0, 10.0, 0.0, 0.0, "N", "F", "1995-01-01"),
+        # order 2: single supplier with R -> NOT blamed (no coworker)
+        (2, 1, 10, 1, 1.0, 10.0, 0.0, 0.0, "R", "F", "1995-01-01"),
+        # order 3: two R suppliers -> neither blamed
+        (3, 1, 10, 1, 1.0, 10.0, 0.0, 0.0, "R", "F", "1995-01-01"),
+        (3, 2, 30, 2, 1.0, 10.0, 0.0, 0.0, "R", "F", "1995-01-01"),
+    ]
+    li = spark.createDataFrame(li_rows, [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate"])
+    orders = spark.createDataFrame(
+        [(1, 1, "F", 1.0, "1995-01-01", "1-URGENT"),
+         (2, 1, "F", 1.0, "1995-01-01", "1-URGENT"),
+         (3, 1, "F", 1.0, "1995-01-01", "1-URGENT")],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"])
+    supplier = spark.createDataFrame(
+        [(10, "Supp#10", 1, 100.0), (20, "Supp#20", 1, 100.0),
+         (30, "Supp#30", 1, 100.0)],
+        ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"])
+    patch_load({"lineitem": li, "orders": orders, "supplier": supplier})
+    out = entrymod.queries()["sole_blame_supplier"](spark, "i").collect()
+    assert [(r.s_name, r.numwait) for r in out] == [("Supp#10", 1)]
