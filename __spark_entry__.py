@@ -2284,10 +2284,12 @@ def q_bigram_lm_score(spark, sf):
         "doc_id", F.explode(T.word_ngrams(F.col("a"), 2)).alias("gram")
     )
     cb = bg.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    # context counts re-aggregate the bigram counts (vocab-sized input)
+    # instead of re-scanning the corpus: ctx(w1) = sum of cnt over grams
+    # starting with w1 — same ReuseExchange trick as tfidf_top_terms.
     ctx = (
-        bg.select(F.substring_index("gram", " ", 1).alias("w1"))
-        .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("ctx_cnt"))
+        cb.groupBy(F.substring_index("gram", " ", 1).alias("w1"))
+        .agg(F.sum("cnt").alias("ctx_cnt"))
     )
     vocab = toks.select(F.explode("a").alias("term")).agg(
         F.countDistinct("term").alias("v")

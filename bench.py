@@ -65,6 +65,10 @@ HEADLINE = [
     "hll_cardinality",
     "cms_heavy_hitters",
     "multimodal_chunks",
+    "boilerplate_ngrams",
+    "bigram_lm_score",
+    "kmeans_embeddings",
+    "sole_blame_supplier",
     "streaming_interval_join",
     "streaming_cdc_upsert",
 ]
