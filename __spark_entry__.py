@@ -1810,6 +1810,460 @@ def q_scd2_history(spark, sf):
     )
 
 
+# TPC-H Q13 analogue — customer order-count distribution -------------------
+
+
+@_q(
+    "order_count_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c_custkey, count(o_orderkey) AS n_orders
+      FROM customer
+      LEFT JOIN orders ON o_custkey = c_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    SELECT n_orders, count(*) AS n_custs
+    FROM per_cust
+    GROUP BY n_orders
+    """,
+)
+def q_order_count_distribution(spark, sf):
+    """TPC-H Q13 analogue (customer distribution).  Two-level aggregate:
+    the outer-join preserves zero-order customers (count(o_orderkey)
+    skips the null-extended rows), the first groupBy shuffles on
+    c_custkey, and the second on the tiny n_orders domain — at scale
+    the second exchange moves only |distinct counts| rows thanks to
+    map-side partial aggregation."""
+    c = load(spark, sf, "customer").select("c_custkey")
+    o = load(spark, sf, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_custs"))
+    )
+
+
+# TPC-H Q15 analogue — top supplier(s) by shipped revenue -------------------
+
+
+@_q(
+    "top_supplier_revenue",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             cast(sum({_DISC_SQL}) AS double) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-07-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q_top_supplier_revenue(spark, sf):
+    """TPC-H Q15 analogue (top supplier 'view').  The per-supplier
+    revenue aggregate is computed once and reused for both the scalar
+    max and the final filter — Catalyst plans the scalar subquery as a
+    1-row broadcast, so the fact table is scanned and shuffled exactly
+    once.  Ties (several suppliers at the max) are all returned, as in
+    the reference query."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1997-01-01'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1997-07-01'"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast(_DEC)
+            * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+        )
+        .cast("double")
+        .alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("_max"))
+    s = load(spark, sf, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("_max"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# TPC-H Q17 analogue — small-quantity-order revenue -------------------------
+
+
+@_q(
+    "small_qty_part_revenue",
+    f"""
+    WITH avg_qty AS (
+      SELECT l_partkey AS ap_partkey,
+             round(cast(sum(cast(l_quantity AS {_DEC})) AS double)
+                   / count(*), 6) AS aq
+      FROM lineitem GROUP BY l_partkey)
+    SELECT p_brand,
+           count(*) AS n_lines,
+           round(cast(sum(cast(l_extendedprice AS {_DEC})) AS double) / 7.0, 4)
+             AS avg_yearly
+    FROM lineitem
+    JOIN part    ON p_partkey = l_partkey
+    JOIN avg_qty ON ap_partkey = l_partkey
+    WHERE p_size <= 10
+      AND l_quantity < 0.4 * aq
+    GROUP BY p_brand
+    """,
+)
+def q_small_qty_part_revenue(spark, sf):
+    """TPC-H Q17 analogue (small-quantity orders).  The correlated
+    scalar subquery avg(l_quantity per part) is decorrelated into one
+    per-part aggregate joined back to the fact on l_partkey — the same
+    shuffle key as the join, so AQE coalesces the two into one exchange
+    reuse.  round(6) pins the float boundary so the strict < filter is
+    engine-identical."""
+    li = load(spark, sf, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.round(
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("aq")
+    )
+    p = load(spark, sf, "part").filter(F.col("p_size") <= 10)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_qty, F.col("l_partkey") == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < 0.4 * F.col("aq"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / 7.0,
+                4,
+            ).alias("avg_yearly"),
+        )
+    )
+
+
+# TPC-H Q20 analogue — suppliers dominating a part's shipped volume ---------
+
+
+@_q(
+    "dominant_part_supplier",
+    f"""
+    WITH per_ps AS (
+      SELECT l_partkey, l_suppkey,
+             sum(cast(l_quantity AS {_DEC})) AS supp_qty
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    shares AS (
+      SELECT l_suppkey,
+             cast(supp_qty AS double)
+               / cast(sum(supp_qty) OVER (PARTITION BY l_partkey) AS double)
+               AS share
+      FROM per_ps)
+    SELECT s_suppkey, s_name,
+           count(*) AS n_dominated_parts
+    FROM shares JOIN supplier ON s_suppkey = l_suppkey
+    WHERE share > 0.5
+    GROUP BY s_suppkey, s_name
+    """,
+)
+def q_dominant_part_supplier(spark, sf):
+    """TPC-H Q20 spirit (suppliers holding excess share of a part's
+    flow) on the lineitem-observed part<->supplier relation: per-(part,
+    supplier) quantities, a window total per part turning them into
+    shares, and a >50% dominance filter.  The groupBy and the window
+    both key on l_partkey, so the sort-free window reuses the aggregate
+    exchange; supplier is broadcast at the end."""
+    li = load(spark, sf, "lineitem")
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast(_DEC)).alias("supp_qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    shares = per_ps.select(
+        "l_suppkey",
+        (
+            F.col("supp_qty").cast("double")
+            / F.sum("supp_qty").over(w).cast("double")
+        ).alias("share"),
+    )
+    s = load(spark, sf, "supplier")
+    return (
+        shares.filter(F.col("share") > 0.5)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
+    )
+
+
+# TPC-H Q7 analogue — bilateral trade volume between nation pairs -----------
+
+
+@_q(
+    "nation_trade_volume",
+    f"""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           year(l_shipdate) AS ship_year,
+           cast(sum({_DISC_SQL}) AS double) AS volume
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    WHERE sn.n_name <> cn.n_name
+    GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+    """,
+)
+def q_nation_trade_volume(spark, sf):
+    """TPC-H Q7 analogue (volume shipping): cross-nation trade lanes by
+    ship year.  nation appears twice under different roles — Spark
+    disambiguates via aliased broadcast copies; the only fact shuffle
+    is lineitem x orders, every dimension hop is a broadcast, and the
+    final groupBy keys on the tiny (nation, nation, year) domain."""
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    sn = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(_DEC)
+                * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+            )
+            .cast("double")
+            .alias("volume")
+        )
+    )
+
+
+# TPC-H Q11 analogue — parts above a global revenue-share threshold ---------
+
+
+@_q(
+    "important_parts",
+    f"""
+    WITH per_part AS (
+      SELECT l_partkey,
+             cast(sum({_DISC_SQL}) AS double) AS part_revenue
+      FROM lineitem GROUP BY l_partkey),
+    total AS (
+      SELECT cast(sum({_DISC_SQL}) AS double) AS t FROM lineitem)
+    SELECT l_partkey, p_name, part_revenue
+    FROM per_part
+    JOIN part ON p_partkey = l_partkey
+    WHERE part_revenue > 0.0005 * (SELECT t FROM total)
+    """,
+)
+def q_important_parts(spark, sf):
+    """TPC-H Q11 analogue (important stock): parts whose revenue
+    exceeds a fraction of the global total.  The global scalar is the
+    map-side-combined re-aggregate of the same per-part pass — Spark
+    computes it by summing the per-part aggregate (no second fact
+    scan), then broadcasts the 1-row frame into the HAVING filter."""
+    li = load(spark, sf, "lineitem")
+    disc = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast(_DEC)
+    per_part = li.groupBy("l_partkey").agg(F.sum(disc).alias("_rev"))
+    total = per_part.agg(F.sum("_rev").cast("double").alias("t"))
+    p = load(spark, sf, "part").select("p_partkey", "p_name")
+    return (
+        per_part.select(
+            "l_partkey", F.col("_rev").cast("double").alias("part_revenue")
+        )
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("part_revenue") > 0.0005 * F.col("t"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "p_name", "part_revenue")
+    )
+
+
+# Gap-based batch sessionization -------------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+@_q(
+    "sessionize_stats",
+    f"""
+    WITH t AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, event_id, us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+      FROM t)
+    SELECT user_id, cast(session_seq AS bigint) AS session_seq,
+           count(*) AS n_events,
+           cast(min(us) AS bigint) AS session_start_us,
+           cast(max(us) AS bigint) AS session_end_us,
+           cast(max(us) - min(us) AS bigint) AS duration_us
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def q_sessionize_stats(spark, sf):
+    """Batch gap-based sessionization (the batch twin of
+    streaming_sessionize): lag() marks session starts where the
+    inter-event gap exceeds 30 minutes, a running sum numbers sessions
+    per user, and one groupBy emits per-session stats.  All three
+    steps key on user_id, so Spark plans ONE exchange + one sort —
+    both window functions and the aggregate reuse the same
+    partitioning.  Microsecond integers (unix_micros) keep every
+    boundary comparison engine-exact."""
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = _events(spark, sf).select(
+        "user_id",
+        "event_id",
+        us.alias("us"),
+        F.when(
+            F.lag(us).over(w).isNull()
+            | ((us - F.lag(us).over(w)) > _SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = t.select(
+        "user_id", "event_id", "us", F.sum("new_s").over(w2).alias("session_seq")
+    )
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("session_start_us"),
+        F.max("us").alias("session_end_us"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )
+
+
+# Rolling 7-day distinct-user window over daily aggregates ------------------
+
+
+@_q(
+    "rolling_dau",
+    """
+    WITH daily AS (
+      SELECT cast(ts AS DATE) AS day, count(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1)
+    SELECT day, dau,
+           cast(sum(dau) OVER w AS bigint) AS dau_7d_sum,
+           round(avg(cast(dau AS double)) OVER w, 6) AS dau_7d_avg
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_dau(spark, sf):
+    """Daily active users with a 7-day trailing window.  The heavy
+    distinct-count collapses the corpus to one row per day FIRST
+    (two-level aggregate, map-side partial dedup on (day, user)); the
+    unpartitioned window then runs over only |days| rows, so the
+    single-partition window sort — normally an anti-pattern — touches
+    ~30 rows regardless of corpus size."""
+    daily = (
+        _events(spark, sf)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("dau"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "day",
+        "dau",
+        F.sum("dau").over(w).alias("dau_7d_sum"),
+        F.round(F.avg(F.col("dau").cast("double")).over(w), 6).alias("dau_7d_avg"),
+    )
+
+
+# Per-document token-distribution entropy -----------------------------------
+
+
+@_q(
+    "token_entropy",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    counts AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM tok WHERE tok <> '' GROUP BY doc_id, tok),
+    tot AS (
+      SELECT doc_id, sum(c) AS n, count(*) AS n_distinct FROM counts
+      GROUP BY doc_id),
+    terms AS (
+      SELECT counts.doc_id,
+             cast(round(round((c / n) * ln(c / n), 6) * 1e6) AS bigint)
+               AS term_micro
+      FROM counts JOIN tot ON counts.doc_id = tot.doc_id)
+    SELECT tot.doc_id,
+           cast(n AS bigint) AS n_tokens,
+           cast(n_distinct AS bigint) AS n_types,
+           -cast(sum(term_micro) AS bigint) / 1e6 AS token_entropy
+    FROM terms JOIN tot ON terms.doc_id = tot.doc_id
+    GROUP BY tot.doc_id, n, n_distinct
+    """,
+)
+def q_token_entropy(spark, sf):
+    """Shannon entropy of each document's unigram distribution — the
+    standard gibberish/boilerplate signal (low entropy = repetitive).
+    Token counts per (doc, term) aggregate map-side before the one
+    doc_id-keyed shuffle; each p·ln p term is rounded to 6 dp and
+    scaled to integer micros so the final sum is an exact bigint —
+    order-independent, hence engine-identical.  No Python UDFs: split,
+    explode, ln all JVM expressions."""
+    d = load(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    p = F.col("c") / F.col("n")
+    terms = counts.join(tot, "doc_id").select(
+        "doc_id",
+        F.round(F.round(p * F.log(p), 6) * 1e6).cast("bigint").alias("term_micro"),
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(F.sum("term_micro").alias("_s"))
+        .join(tot, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            F.col("n_distinct").cast("bigint").alias("n_types"),
+            (-F.col("_s").cast("bigint") / 1e6).alias("token_entropy"),
+        )
+    )
+
+
 # dataset assembly: splits, shard packing, corpus cleaning ------------------
 
 _BUCKET_SQL = "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100"
