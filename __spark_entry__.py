@@ -2264,9 +2264,122 @@ def q_token_entropy(spark, sf):
     )
 
 
-# dataset assembly: splits, shard packing, corpus cleaning ------------------
+# Per-label centroid + within-cluster scatter over embeddings --------------
+
+
+@_q(
+    "label_centroid_scatter",
+    """
+    WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    cent0 AS (
+      SELECT label, i, round(avg(v[i]), 6) AS m
+      FROM c, generate_series(1, 64) AS g(i)
+      GROUP BY label, i),
+    cent AS (SELECT label, list(m ORDER BY i) AS cv FROM cent0 GROUP BY label),
+    d AS (
+      SELECT c.label,
+             round((SELECT sum((v[i] - cv[i]) * (v[i] - cv[i]))
+                    FROM generate_series(1, 64) AS g(i)), 6) AS sq
+      FROM c JOIN cent ON c.label = cent.label)
+    SELECT label, count(*) AS n_vecs,
+           round(cast(sum(cast(round(sq * 1e6) AS bigint)) AS bigint)
+                 / 1e6 / count(*), 6) AS avg_sqdist,
+           min(sq) AS min_sqdist,
+           max(sq) AS max_sqdist
+    FROM d GROUP BY label
+    """,
+)
+def q_label_centroid_scatter(spark, sf):
+    """Per-label centroid and within-cluster scatter — the compactness
+    diagnostic behind embedding-space QA (collapsed clusters, outlier
+    labels).  Centroids use the kmeans posexplode pattern: one
+    (label, dim)-keyed aggregate (map-side combined, N x 64 rows but
+    only |labels| x 64 cross the exchange after partials), rebuilt into
+    arrays and broadcast back; per-vector squared distance is a
+    sequential JVM fold (zip_with/aggregate), and the per-label mean
+    uses the integer-micro exact-sum trick so it's order-independent."""
+    emb = load(spark, sf, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    )
+    cent = dims.groupBy("label", "pos").agg(F.round(F.avg("col"), 6).alias("m"))
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s.getField("m"),
+        ).alias("c_vec")
+    )
+    sq = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("c_vec"),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ),
+        6,
+    )
+    d = emb.join(F.broadcast(cent_arr), "label").select("label", sq.alias("sq"))
+    return d.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(F.round(F.col("sq") * 1e6).cast("bigint")).cast("bigint")
+            / 1e6
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_sqdist"),
+        F.min("sq").alias("min_sqdist"),
+        F.max("sq").alias("max_sqdist"),
+    )
+
+
+# Deterministic per-source mixture weighting --------------------------------
 
 _BUCKET_SQL = "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100"
+
+
+@_q(
+    "source_mixture",
+    f"""
+    WITH rated AS (
+      SELECT doc_id, source,
+             20 + 4 * (cast(substr(source, 4, 10) AS INT) % 15) AS keep_pct,
+             {_BUCKET_SQL} AS bucket
+      FROM documents)
+    SELECT source, keep_pct,
+           count(*) AS n_total,
+           cast(count(*) FILTER (WHERE bucket < keep_pct) AS bigint) AS n_kept
+    FROM rated GROUP BY source, keep_pct
+    """,
+)
+def q_source_mixture(spark, sf):
+    """Mixture weighting for corpus assembly: each source gets a
+    deterministic keep rate (derived here from its numeric suffix;
+    in production, a curated weights table) and rows are kept by md5
+    hash bucket — operators/sampling.py:weighted_sample.  rand()-free,
+    so retries/re-runs/incremental appends sample consistently; the
+    whole operator is a narrow projection + filter with one tiny
+    groupBy on the source key — one scan, no joins (the per-row keep
+    verdict is exactly weighted_sample's hash_bucket < rate test)."""
+    d = load(spark, sf, "documents")
+    rate = (
+        F.lit(20)
+        + F.lit(4) * F.pmod(F.substring("source", 4, 10).cast("int"), F.lit(15))
+    ).alias("keep_pct")
+    rated = d.select(
+        "source", rate, sampling.hash_bucket("doc_id").alias("bucket")
+    )
+    return rated.groupBy("source", "keep_pct").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("bucket") < F.col("keep_pct"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+    )
+
+
+# dataset assembly: splits, shard packing, corpus cleaning ------------------
 
 
 @_q(
@@ -3421,6 +3534,48 @@ def q_streaming_cdc_upsert(spark, sf):
             .foreachBatch(
                 keyed_upsert_sink(state_dir, keys=["user_id"], offset_col="_offset")
             )
+            .option("checkpointLocation", f"{state_dir}/_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return read_state(spark, state_dir)
+
+
+@_q(
+    "streaming_topn",
+    """
+    SELECT event_id, user_id, value, ts
+    FROM events WHERE event_type = 'purchase'
+    ORDER BY value DESC, event_id
+    LIMIT 20
+    """,
+)
+def q_streaming_topn(spark, sf):
+    """Continuously-maintained global top-n leaderboard: each micro-
+    batch folds its local top-20 purchases into an O(n) state table
+    (streaming/sinks.py:topn_sink).  Top-n is an associative batch-
+    split-invariant fold, so the maintained state equals the batch
+    top-n over all data seen — the oracle is the plain LIMIT query."""
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.sinks import (
+        topn_sink,
+    )
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.upsert import (
+        read_state,
+    )
+
+    src = (
+        _events_stream(spark, sf)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value", "ts")
+    )
+    state_dir = tempfile.mkdtemp(prefix="stream_topn_")
+    with _stream_partitions(spark):
+        q = (
+            src.writeStream.outputMode("append")
+            .foreachBatch(topn_sink(state_dir, "value", 20, ["event_id"]))
             .option("checkpointLocation", f"{state_dir}/_ckpt")
             .trigger(availableNow=True)
             .start()

@@ -185,3 +185,48 @@ def test_kmeans_fixed_converges_on_separated_clusters(spark):
     # centroid of the odd cluster points along dim 2 (index 1)
     odd_c = cents[odd_clusters.pop()]
     assert odd_c[1] > 0.9 and odd_c[0] < 0.2
+
+
+def test_topn_sink_batch_split_invariant(spark, tmp_path):
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.sinks import (
+        topn_sink,
+    )
+
+    rows = [(i, float((i * 37) % 50)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "score"])
+    expected = [
+        (r.id, r.score)
+        for r in df.orderBy(F.desc("score"), F.asc("id")).limit(5).collect()
+    ]
+
+    # one batch vs three uneven batches must converge to the same state
+    one = str(tmp_path / "one")
+    sink1 = topn_sink(one, "score", 5, ["id"])
+    sink1(df, 0)
+    split = str(tmp_path / "split")
+    sink2 = topn_sink(split, "score", 5, ["id"])
+    for lo, hi in [(0, 10), (10, 75), (75, 100)]:
+        sink2(df.filter((F.col("id") >= lo) & (F.col("id") < hi)), hi)
+
+    def state(d):
+        got = read_state(spark, d).orderBy(F.desc("score"), F.asc("id")).collect()
+        return [(r.id, r.score) for r in got]
+
+    assert state(one) == expected
+    assert state(split) == expected
+
+
+def test_weighted_sample_deterministic_and_monotone(spark):
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        sampling,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(500)], ["doc_id"])
+    k30 = {r.doc_id for r in sampling.weighted_sample(df, F.lit(30)).collect()}
+    k30_again = {
+        r.doc_id for r in sampling.weighted_sample(df, F.lit(30)).collect()
+    }
+    k60 = {r.doc_id for r in sampling.weighted_sample(df, F.lit(60)).collect()}
+    assert k30 == k30_again  # rerun-stable
+    assert k30 <= k60  # raising the rate only adds rows
+    assert 0.2 < len(k30) / 500 < 0.4 and 0.5 < len(k60) / 500 < 0.7

@@ -72,6 +72,25 @@ def hash_split(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    rate_pct: F.Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-row weighted downsampling: keep a row iff its
+    md5 hash bucket falls below ``rate_pct`` (a per-row column in
+    [0, 100], typically derived from the source/domain).
+
+    This is the mixture-weighting step of a corpus build (e.g. upsample
+    curated sources, downsample crawl) done without ``rand()``: the
+    same row always gets the same verdict, so reruns, retries, and
+    incremental appends are consistent, and the realized rate
+    concentrates tightly around ``rate_pct`` per source.  Narrow
+    projection + filter — no shuffle, pushed to the scan.
+    """
+    return df.filter(hash_bucket(id_col) < rate_pct)
+
+
 def pack_shards(
     df: DataFrame,
     token_col: F.Column | str,

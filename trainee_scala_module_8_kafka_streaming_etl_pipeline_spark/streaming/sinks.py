@@ -10,9 +10,44 @@ a Kafka deployment swaps ``format("kafka").option("topic", name)``.
 from __future__ import annotations
 
 import os
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+
+def topn_sink(
+    state_dir: str,
+    order_col: str,
+    n: int,
+    tiebreak_cols: Sequence[str] = (),
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` function maintaining a global top-n leaderboard
+    across micro-batches.
+
+    Each batch first reduces to ITS top-n (a TakeOrderedAndProject —
+    map-side partial top-n per partition, only n rows per task cross the
+    exchange), then merges with the prior leaderboard and keeps the
+    combined top-n.  Because top-n is an associative, batch-split-
+    invariant fold (top_n(A ∪ B) = top_n(top_n(A) ∪ top_n(B))), the
+    maintained state equals the batch query over all data seen so far —
+    which makes the plain batch top-n SQL an exact oracle, and state
+    size O(n) regardless of stream length.  Ties are broken by
+    ``tiebreak_cols`` ascending so re-delivery is idempotent.
+    """
+    from .upsert import read_state, write_version
+
+    order = [F.desc(order_col), *[F.asc(c) for c in tiebreak_cols]]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        local = batch_df.orderBy(*order).limit(n)
+        prior = read_state(spark, state_dir)
+        merged = local if prior is None else prior.unionByName(local)
+        write_version(merged.orderBy(*order).limit(n), state_dir)
+
+    return _sink
 
 
 def materialize_to_topic(
