@@ -2379,6 +2379,91 @@ def q_source_mixture(spark, sf):
     )
 
 
+# RANGE-frame window: trailing 30-day revenue per customer -----------------
+
+
+@_q(
+    "range_frame_revenue",
+    f"""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           count(*) OVER w AS n_orders_30d,
+           cast(sum(cast(o_totalprice AS {_DEC})) OVER w AS double) AS rev_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY cast(epoch(o_orderdate) AS BIGINT)
+                 RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_range_frame_revenue(spark, sf):
+    """Value-based (RANGE) window frame — each order sees every order of
+    the same customer within the trailing 30 days, *including* same-
+    timestamp peers (the semantic difference from ROWS frames that
+    makes RANGE the correct choice for event-time lookbacks).  One
+    exchange on o_custkey + one sort serves both frame aggregates;
+    the decimal sum keeps the revenue engine-exact."""
+    # o_orderdate is TIMESTAMP_NTZ; route through TIMESTAMP (session TZ
+    # is pinned UTC in load()) to get epoch seconds for the RANGE frame
+    epoch = F.col("o_orderdate").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-30 * 86400, Window.currentRow)
+    )
+    return load(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double").alias("rev_30d"),
+    )
+
+
+# Cross-document chunk-level dedup over binary media ------------------------
+
+
+@_q(
+    "multimodal_dedup",
+    f"""
+    WITH m AS (
+      SELECT doc_id, hex(text::BLOB) AS hx, octet_length(text::BLOB) AS n
+      FROM documents WHERE octet_length(text::BLOB) > 0),
+    chunks AS (
+      SELECT doc_id,
+             md5(substr(hx, chunk_idx * {multimodal.CHUNK_SIZE * 2} + 1,
+                        {multimodal.CHUNK_SIZE * 2})) AS chunk_fp
+      FROM (SELECT doc_id, hx,
+                   unnest(generate_series(0,
+                     cast(ceil(n / {multimodal.CHUNK_SIZE}.0) AS INT) - 1))
+                     AS chunk_idx
+            FROM m))
+    SELECT chunk_fp,
+           count(*) AS n_copies,
+           count(DISTINCT doc_id) AS n_docs,
+           min(doc_id) AS canonical_doc
+    FROM chunks
+    GROUP BY chunk_fp
+    HAVING count(*) > 1
+    """,
+)
+def q_multimodal_dedup(spark, sf):
+    """Chunk-level exact dedup across media payloads — the storage-
+    dedup pass of a multimodal corpus (shared headers, repeated
+    frames, re-uploaded assets).  Chunks fingerprint JVM-side
+    (operators/multimodal.py:chunk_media); the groupBy shuffles only
+    32-char digests + doc ids, never payload bytes, and min(doc_id)
+    elects a canonical copy exactly like exact-text dedup."""
+    media = multimodal.attach_media(load(spark, sf, "documents"))
+    chunks = multimodal.chunk_media(media).select("doc_id", "chunk_fp")
+    return (
+        chunks.groupBy("chunk_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
 # dataset assembly: splits, shard packing, corpus cleaning ------------------
 
 
@@ -3582,6 +3667,22 @@ def q_streaming_topn(spark, sf):
         )
         q.awaitTermination()
     return read_state(spark, state_dir)
+
+
+@_q("streaming_session_window", _REGISTRY["session_window"][1])
+def q_streaming_session_window(spark, sf):
+    """Native session_window as a stateful streaming aggregation
+    (complete mode): Spark merges per-user sessions whose gaps stay
+    under 30 minutes inside the streaming state store — the streaming
+    twin of the batch session_window entry, sharing its oracle."""
+    agg = (
+        _events_stream(spark, sf)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events")
+    )
+    _run_to_memory(agg, "streaming_session_window", "complete")
+    return spark.table("streaming_session_window")
 
 
 @_q(
