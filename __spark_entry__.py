@@ -2098,6 +2098,297 @@ def q_important_parts(spark, sf):
     )
 
 
+# TPC-H Q6 analogue — forecast revenue change ------------------------------
+
+
+@_q(
+    "forecast_revenue_delta",
+    f"""
+    SELECT cast(sum(cast(l_extendedprice AS {_DEC})
+                   * cast(l_discount AS {_DEC})) AS double) AS revenue_delta,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue_delta(spark, sf):
+    """TPC-H Q6 analogue (forecasting revenue change): a pure
+    filter-and-aggregate with zero joins and zero group keys.  All four
+    predicates push down into the parquet scan (shipdate min/max prunes
+    whole row groups at scale); the single global sum is a map-side
+    partial + 1-row final combine — the cheapest possible shuffle.
+    Sums in decimal so the float add order can't change the hash."""
+    li = load(spark, sf, "lineitem")
+    delta = F.col("l_extendedprice").cast(_DEC) * F.col("l_discount").cast(_DEC)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(delta).cast("double").alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# TPC-H Q8 analogue — nation market share within a customer region ----------
+
+
+@_q(
+    "nation_market_share",
+    f"""
+    SELECT year(o_orderdate) AS o_year,
+           cast(coalesce(sum(CASE WHEN sn.n_name = 'NATION_2'
+                                  THEN {_DISC_SQL} END), 0) AS double)
+             AS nation_revenue,
+           cast(sum({_DISC_SQL}) AS double) AS total_revenue,
+           round(cast(coalesce(sum(CASE WHEN sn.n_name = 'NATION_2'
+                                        THEN {_DISC_SQL} END), 0) AS double)
+                 / cast(sum({_DISC_SQL}) AS double), 6) AS mkt_share
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region   ON cn.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY 1
+    """,
+)
+def q_nation_market_share(spark, sf):
+    """TPC-H Q8 analogue (national market share): the share of ASIA-
+    region customer revenue supplied from one nation, per order year.
+    Five dimension joins, every one broadcast (customer is the largest
+    at ~1% of lineitem) so the fact table never shuffles before the
+    single groupBy(year) aggregate.  The region filter is applied to
+    the customer-side dim *before* the join, so the broadcast only
+    carries ASIA customers — at 100 TB that prunes ~80% of fact rows
+    at the join instead of at the aggregate."""
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    cust_asia = (
+        load(spark, sf, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        load(spark, sf, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    disc = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast(_DEC)
+    nat = F.coalesce(F.col("_nat").cast("double"), F.lit(0.0))
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_asia), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_2", disc)).alias("_nat"),
+            F.sum(disc).alias("_tot"),
+        )
+        .select(
+            "o_year",
+            nat.alias("nation_revenue"),
+            F.col("_tot").cast("double").alias("total_revenue"),
+            F.round(nat / F.col("_tot").cast("double"), 6).alias("mkt_share"),
+        )
+    )
+
+
+# TPC-H Q9 analogue — product-line profit by supplier nation and year -------
+
+# No partsupp table exists in the driver schema, so supply cost is proxied
+# deterministically from the part's retail price (both engines compute the
+# identical decimal expression, so the oracle hash still verifies exactly).
+# Tight scales keep the 3-factor product well under precision 38 so both
+# engines do exact decimal arithmetic (the wide _DEC form overflows Spark's
+# dec(38,_) on the triple multiply and rounds differently from DuckDB).
+_PROFIT_SQL = (
+    "cast(l_extendedprice AS decimal(14,2)) * cast(1 - l_discount AS decimal(6,2)) "
+    "- cast(0.5 AS decimal(2,1)) "
+    "* (cast(p_retailprice AS decimal(12,2)) * cast(l_quantity AS decimal(12,2)))"
+)
+
+
+@_q(
+    "product_profit",
+    f"""
+    SELECT sn.n_name AS supp_nation,
+           year(o_orderdate) AS o_year,
+           cast(sum({_PROFIT_SQL}) AS double) AS profit,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE p_type = 'STANDARD'
+    GROUP BY 1, 2
+    """,
+)
+def q_product_profit(spark, sf):
+    """TPC-H Q9 analogue (product-type profit): per supplier-nation,
+    per order-year profit on STANDARD parts.  The p_type filter lands
+    on the broadcast dim before the join, pruning fact rows at join
+    time; all four dims broadcast, one shuffle on (nation, year).
+    Supply cost is a deterministic retail-price proxy (no partsupp
+    table in this schema) computed in decimal on both engines."""
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    p = (
+        load(spark, sf, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf, "nation").select(
+        "n_nationkey", F.col("n_name").alias("supp_nation")
+    )
+    profit = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(6,2)") - F.lit(0.5).cast("decimal(2,1)") * (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(12,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("supp_nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(profit).cast("double").alias("profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# TPC-H Q12 analogue — late-shipment priority counts ------------------------
+
+# The driver's lineitem has no l_shipmode/commitdate/receiptdate; the Q12
+# shape (conditional priority counts over a lateness predicate, grouped by
+# a line attribute) is kept with linestatus as the class and a 75-day
+# ship-lag as "late".
+
+
+@_q(
+    "late_shipment_priority",
+    """
+    SELECT l_linestatus AS ship_class,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_priority_lines,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_priority_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 75 DAY
+    GROUP BY 1
+    """,
+)
+def q_late_shipment_priority(spark, sf):
+    """TPC-H Q12 analogue (shipping priority audit): lines shipped more
+    than 75 days after the order date, split into high/low priority
+    counts per line status.  orders broadcasts; the lateness predicate
+    is a post-join filter (it references both sides) evaluated inside
+    the same codegen stage as the join, then one 2-group aggregate.
+    Counts are integers — no float hashing concerns."""
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 75 DAYS"))
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_lines"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_priority_lines"),
+        )
+    )
+
+
+# TPC-H Q2 analogue — minimum-acctbal supplier per part ---------------------
+
+
+@_q(
+    "min_acctbal_supplier",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    ranked AS (
+      SELECT p_partkey, p_name, s_acctbal, s_suppkey, s_name,
+             row_number() OVER (PARTITION BY p_partkey
+                                ORDER BY s_acctbal, s_suppkey) AS rn
+      FROM pairs
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      WHERE p_size <= 5)
+    SELECT p_partkey, p_name,
+           s_acctbal AS best_acctbal,
+           s_suppkey AS best_suppkey,
+           s_name    AS best_supplier
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_min_acctbal_supplier(spark, sf):
+    """TPC-H Q2 analogue (minimum-cost supplier): for every small part,
+    the supplier with the lowest account balance among those who have
+    actually shipped it (distinct pairs from lineitem stand in for
+    partsupp).  The argmin is a `min(struct(acctbal, suppkey, name))`
+    aggregate — map-side combinable, no window sort — with suppkey as
+    the deterministic tie-break, unlike the oracle's row_number which
+    needs a full per-key sort.  Both dims broadcast onto the deduped
+    pair set, so the only wide ops are the pair distinct and the
+    1-group-per-part aggregate (same key → AQE coalesces them)."""
+    pairs = (
+        load(spark, sf, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    p = (
+        load(spark, sf, "part")
+        .filter(F.col("p_size") <= 5)
+        .select("p_partkey", "p_name")
+    )
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_acctbal", "s_name")
+    best = F.min(F.struct("s_acctbal", "s_suppkey", "s_name")).alias("_b")
+    return (
+        pairs.join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), pairs.l_suppkey == s.s_suppkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(best)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("_b.s_acctbal").alias("best_acctbal"),
+            F.col("_b.s_suppkey").alias("best_suppkey"),
+            F.col("_b.s_name").alias("best_supplier"),
+        )
+    )
+
+
 # Gap-based batch sessionization -------------------------------------------
 
 _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
