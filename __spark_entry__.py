@@ -23,6 +23,7 @@ from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import 
     compaction,
     dedup,
     joins,
+    linalg,
     multimodal,
     sampling,
     similarity,
@@ -3268,6 +3269,225 @@ def q_bigram_lm_score(spark, sf):
     )
 
 
+# collocation mining: adjacent-pair PMI -------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 30
+
+
+@_q(
+    "bigram_pmi",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS n
+      FROM documents),
+    arr AS (SELECT doc_id, regexp_split_to_array(n, ' ') AS a
+            FROM norm WHERE len(n) > 0),
+    bg AS (SELECT array_to_string(a[i:i+1], ' ') AS gram
+           FROM arr, LATERAL unnest(range(1, len(a))) AS s(i)),
+    uni AS (SELECT unnest(a) AS term FROM arr),
+    cb AS (SELECT gram, count(*) AS cnt_ab FROM bg GROUP BY 1),
+    cu AS (SELECT term, count(*) AS cnt FROM uni GROUP BY 1),
+    tot AS (SELECT (SELECT count(*) FROM bg)::BIGINT AS b_total,
+                   (SELECT count(*) FROM uni)::BIGINT AS u_total),
+    scored AS (
+      SELECT cb.gram, cb.cnt_ab,
+             round(ln(cb.cnt_ab * 1.0 * u_total * u_total
+                      / (b_total * 1.0 * ca.cnt * cx.cnt)), 6) AS pmi
+      FROM cb
+      JOIN cu ca ON split_part(cb.gram, ' ', 1) = ca.term
+      JOIN cu cx ON split_part(cb.gram, ' ', 2) = cx.term
+      CROSS JOIN tot
+      WHERE cb.cnt_ab >= {_PMI_MIN_COUNT})
+    SELECT gram, cnt_ab, pmi, rnk FROM (
+      SELECT *, row_number() OVER (ORDER BY pmi DESC, gram) AS rnk
+      FROM scored) WHERE rnk <= {_PMI_TOP}
+    """,
+)
+def q_bigram_pmi(spark, sf):
+    """Collocation mining: top adjacent word pairs by pointwise mutual
+    information — the standard phrase detector for tokenizer/vocab
+    construction.  Two corpus aggregates (bigram counts on the gram
+    key, unigram counts on the term key); the unigram table is
+    vocabulary-sized so both PMI lookups are broadcast joins, and the
+    scalar totals ride in as a broadcast cross join.  PMI is computed
+    from exact integer counts with one 6-dp-rounded ln — identical in
+    both engines; ranking ties break on the gram text."""
+    d = load(spark, sf, "documents")
+    toks = (
+        d.select(dedup.normalize_text("text").alias("n"))
+        .filter(F.length("n") > 0)
+        .select(F.split("n", " ").alias("a"))
+    )
+    bg = toks.select(F.explode(T.word_ngrams(F.col("a"), 2)).alias("gram"))
+    uni = toks.select(F.explode("a").alias("term"))
+    cb = bg.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt_ab"))
+    cu = uni.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = bg.agg(F.count(F.lit(1)).alias("b_total")).crossJoin(
+        uni.agg(F.count(F.lit(1)).alias("u_total"))
+    )
+    ca = cu.select(F.col("term").alias("t1"), F.col("cnt").alias("cnt_a"))
+    cx = cu.select(F.col("term").alias("t2"), F.col("cnt").alias("cnt_b"))
+    scored = (
+        cb.filter(F.col("cnt_ab") >= _PMI_MIN_COUNT)
+        .withColumn("w1", F.substring_index("gram", " ", 1))
+        .withColumn("w2", F.substring_index("gram", " ", -1))
+        .join(F.broadcast(ca), F.col("w1") == F.col("t1"))
+        .join(F.broadcast(cx), F.col("w2") == F.col("t2"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "gram",
+            "cnt_ab",
+            F.round(
+                F.log(
+                    F.col("cnt_ab") * 1.0 * F.col("u_total") * F.col("u_total")
+                    / (F.col("b_total") * 1.0 * F.col("cnt_a") * F.col("cnt_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), "gram")
+    top = scored.orderBy(F.desc("pmi"), "gram").limit(_PMI_TOP)
+    return top.withColumn("rnk", F.row_number().over(w))
+
+
+# corpus power-law fit: Zipf rank-frequency slope ---------------------------
+
+_ZIPF_TOP = 100
+
+
+@_q(
+    "zipf_slope",
+    f"""
+    WITH norm AS (
+      SELECT source, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS n
+      FROM documents),
+    uni AS (SELECT source, unnest(regexp_split_to_array(n, ' ')) AS term
+            FROM norm WHERE len(n) > 0),
+    tf AS (SELECT source, term, count(*) AS c FROM uni GROUP BY 1, 2),
+    ranked AS (
+      SELECT source, c,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY c DESC, term) AS rnk
+      FROM tf),
+    pts AS (
+      SELECT source,
+             round(ln(rnk), 6) AS x,
+             round(ln(c), 6)   AS y
+      FROM ranked WHERE rnk <= {_ZIPF_TOP}),
+    sums AS (
+      SELECT source, count(*) AS n,
+             sum(cast(round(x, 6)     AS DECIMAL(24,6)))::DOUBLE  AS sx,
+             sum(cast(round(y, 6)     AS DECIMAL(24,6)))::DOUBLE  AS sy,
+             sum(cast(round(x*y, 12)  AS DECIMAL(30,12)))::DOUBLE AS sxy,
+             sum(cast(round(x*x, 12)  AS DECIMAL(30,12)))::DOUBLE AS sxx
+      FROM pts GROUP BY source)
+    SELECT source, n AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) * sx)
+                 / n, 6) AS intercept
+    FROM sums
+    """,
+)
+def q_zipf_slope(spark, sf):
+    """Zipf power-law fit per source: least-squares slope of
+    ln(frequency) vs ln(rank) over each source's top-{_ZIPF_TOP} terms
+    — the classic corpus-health check (natural text ~ -1; templated or
+    synthetic text deviates).  The term-frequency aggregate is the one
+    corpus-scale shuffle; the per-source rank window then runs on
+    vocabulary-sized data.  Regression sums accumulate 6/12-dp-rounded
+    points as exact decimals (order-free), and the closed-form slope is
+    scalar double math on those exact sums — deterministic in both
+    engines."""
+    d = load(spark, sf, "documents")
+    uni = (
+        d.select("source", dedup.normalize_text("text").alias("n"))
+        .filter(F.length("n") > 0)
+        .select("source", F.explode(F.split("n", " ")).alias("term"))
+    )
+    tf = uni.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("source").orderBy(F.desc("c"), "term")
+    pts = (
+        tf.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _ZIPF_TOP)
+        .select(
+            "source",
+            F.round(F.log("rnk"), 6).alias("x"),
+            F.round(F.log("c"), 6).alias("y"),
+        )
+    )
+    sums = pts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("x"), 6).cast("decimal(24,6)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum(F.round(F.col("y"), 6).cast("decimal(24,6)"))
+        .cast("double")
+        .alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 12).cast("decimal(30,12)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 12).cast("decimal(30,12)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    slope = F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+        6,
+    )
+    return sums.select(
+        "source",
+        F.col("n").alias("n_terms"),
+        slope.alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+# lexical diversity: type-token ratio per source ----------------------------
+
+
+@_q(
+    "ttr_by_source",
+    """
+    WITH norm AS (
+      SELECT source, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS n
+      FROM documents),
+    uni AS (SELECT source, unnest(regexp_split_to_array(n, ' ')) AS term
+            FROM norm WHERE len(n) > 0)
+    SELECT source,
+           count(*)                                   AS n_tokens,
+           count(DISTINCT term)                       AS n_types,
+           round(count(DISTINCT term) * 1.0 / count(*), 6) AS ttr,
+           cast(sum(len(term)) AS bigint)             AS total_chars
+    FROM uni GROUP BY source
+    """,
+)
+def q_ttr_by_source(spark, sf):
+    """Lexical diversity (type-token ratio) per source — the cheap
+    vocabulary-collapse detector for TTR-based quality filtering.
+    count(DISTINCT term) per group plans as a two-phase aggregate
+    (partial distinct map-side, merge on the source key); token counts
+    and char totals are exact integers."""
+    d = load(spark, sf, "documents")
+    uni = (
+        d.select("source", dedup.normalize_text("text").alias("n"))
+        .filter(F.length("n") > 0)
+        .select("source", F.explode(F.split("n", " ")).alias("term"))
+    )
+    return uni.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("term").alias("n_types"),
+        F.round(
+            F.countDistinct("term") * 1.0 / F.count(F.lit(1)), 6
+        ).alias("ttr"),
+        F.sum(F.length("term")).cast("bigint").alias("total_chars"),
+    )
+
+
 # embedding analytics: per-dimension stats, int8 quantization ---------------
 
 
@@ -3650,6 +3870,94 @@ def q_kmeans_embeddings(spark, sf):
         ).alias("centroid_sum"),
     )
     return sizes.join(sums, "cluster_id")
+
+
+# PCA power iteration -------------------------------------------------------
+
+# Integer-exact end to end (operators/linalg.py): the gram pass
+# quantizes each per-row product to an int64, so the distributed sum is
+# order-free; the 4 power-iteration rounds run in HUGEINT/Python-int
+# fixed point with truncating division — the oracle replays them as
+# chained CTEs with zero float ambiguity.
+
+
+def _pca_iter_sql(vin: str, k: int) -> str:
+    return f"""
+    w{k} AS (SELECT g.i, sum(g.s::HUGEINT * {vin}.v) AS w
+             FROM gram g JOIN {vin} ON g.j = {vin}.i GROUP BY g.i),
+    m{k} AS (SELECT max(abs(w)) AS m FROM w{k}),
+    v{k} AS (SELECT i, CASE WHEN w >= 0 THEN (abs(w) * {linalg.VSCALE}) // m
+                            ELSE -((abs(w) * {linalg.VSCALE}) // m) END AS v
+             FROM w{k}, m{k})
+    """
+
+
+@_q(
+    "pca_top_component",
+    f"""
+    WITH c AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+    gram AS (
+      SELECT gi.i AS i, gj.j AS j,
+             sum(cast(trunc((v[gi.i] * v[gj.j]) * {linalg.SCALE}) AS BIGINT)) AS s
+      FROM c, generate_series(1, 64) gi(i), generate_series(1, 64) gj(j)
+      GROUP BY 1, 2),
+    v0 AS (SELECT i, {linalg.VSCALE}::HUGEINT AS v
+           FROM generate_series(1, 64) t(i)),
+    {_pca_iter_sql('v0', 1)},
+    {_pca_iter_sql('v1', 2)},
+    {_pca_iter_sql('v2', 3)},
+    {_pca_iter_sql('v3', 4)}
+    SELECT i AS dim, round(v::DOUBLE / {linalg.VSCALE}, 6) AS component
+    FROM v4
+    """,
+)
+def q_pca_top_component(spark, sf):
+    """Dominant principal direction of the embedding corpus.  The only
+    data-scale pass is the mapInPandas partial-gram aggregation —
+    shuffle volume O(partitions * 64^2), independent of corpus size;
+    the 64x64 power iteration runs on the collected reduction result
+    (same shape as k-means centroid updates)."""
+    return linalg.top_component(load(spark, sf, "embeddings"))
+
+
+@_q(
+    "ann_recall_eval",
+    f"""
+    WITH exact_r AS ({{exact}}),
+    approx_r AS ({{approx}})
+    SELECT e.query_id,
+           count(a.neighbor_id) AS n_hits,
+           round(count(a.neighbor_id) / 5.0, 6) AS recall_at_5
+    FROM exact_r e LEFT JOIN approx_r a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """.format(
+        exact=_REGISTRY["ann_cosine_topk"][1],
+        approx=_REGISTRY["ann_lsh_topk"][1],
+    ),
+)
+def q_ann_recall_eval(spark, sf):
+    """Index-quality eval: recall@5 of the LSH index against exact
+    brute-force top-5, per query.  Both sides are existing pipelines;
+    the comparison joins only (query_id, neighbor_id) pairs — k rows
+    per query — so the eval itself is free at any corpus scale."""
+    emb = load(spark, sf, "embeddings")
+    exact = similarity.brute_force_topk(emb).select("query_id", "neighbor_id")
+    approx = similarity.lsh_topk(emb).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    return (
+        exact.join(
+            approx,
+            (exact.query_id == approx.aq) & (exact.neighbor_id == approx.an),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("an").alias("n_hits"),
+            F.round(F.count("an") / 5.0, 6).alias("recall_at_5"),
+        )
+    )
 
 
 @_q(
