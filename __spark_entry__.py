@@ -539,6 +539,72 @@ def q_cube_agg(spark, sf):
 
 
 @_q(
+    "grouping_sets_mix",
+    """
+    SELECT event_type, cast(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           GROUPING(event_type, cast(date_trunc('day', ts) AS TIMESTAMP)) AS gid,
+           count(*) AS n_events,
+           cast(sum(cast(value AS decimal(18,6))) AS double) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS (
+      (event_type, cast(date_trunc('day', ts) AS TIMESTAMP)),
+      (event_type),
+      (cast(date_trunc('day', ts) AS TIMESTAMP)))
+    """,
+)
+def q_grouping_sets_mix(spark, sf):
+    """Explicit GROUPING SETS (the general form of rollup/cube): the
+    (type, day), (type), and (day) marginals in ONE pass — Catalyst
+    expands each input row 3x (Expand node) into a single hash
+    aggregate, with map-side partial aggregation per set, instead of a
+    three-scan union.  gid is the standard grouping bitmask."""
+    ev = _events(spark, sf).select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "value"
+    )
+    ev.createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        SELECT event_type, day, grouping_id() AS gid,
+               count(*) AS n_events,
+               cast(sum(cast(value AS decimal(18,6))) AS double) AS total_value
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type, day), (event_type), (day))
+        """
+    )
+
+
+@_q(
+    "salted_user_enrich",
+    """
+    SELECT c.c_nationkey AS nation_key,
+           count(*) AS n_events,
+           cast(sum(cast(e.value AS decimal(18,6))) AS double) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_salted_user_enrich(spark, sf):
+    """Skew-proof fact-dim enrichment (operators/skew.py): the events
+    fact is salted across 8 sub-keys of user_id and the customer dim is
+    replicated once per salt, so one pathological hot user can no
+    longer pin a single shuffle partition.  Results are provably
+    identical to the unsalted join (each fact row meets each matching
+    dim row under exactly one salt) — which is what the plain-join
+    oracle checks."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import skew
+
+    ev = _events(spark, sf).select("user_id", "value")
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    joined = skew.salted_join(ev, c, on=[("user_id", "c_custkey")])
+    return joined.groupBy(F.col("c_nationkey").alias("nation_key")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+@_q(
     "interarrival_stats",
     """
     WITH g AS (
@@ -4487,6 +4553,33 @@ def q_streaming_hll(spark, sf):
             ["event_type"],
         )
     return read_hll_estimate(spark, f"{base}/state", ["event_type"])
+
+
+@_q("streaming_cms", _REGISTRY["cms_heavy_hitters"][1])
+def q_streaming_cms(spark, sf):
+    """Continuously-maintained count-min sketch: each micro-batch
+    cell-wise SUM-merges its CMS cells into the versioned state table
+    (streaming/sketches.py) — bounded d*w state over an unbounded
+    stream.  The additive merge is batch-split invariant, so the batch
+    CMS heavy-hitters SQL is the exact oracle; the probe at read time
+    shares operators/sketches.py:cms_estimate_topk with the batch
+    path."""
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.sketches import (
+        read_cms_topk,
+        run_cms_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_cms_")
+    with _stream_partitions(spark):
+        run_cms_stream(
+            _events_stream(spark, sf).select("user_id"),
+            f"{base}/state",
+            "user_id",
+        )
+    candidates = _events(spark, sf).select("user_id").distinct()
+    return read_cms_topk(spark, f"{base}/state", candidates, "user_id")
 
 
 @_q(

@@ -161,6 +161,23 @@ def cms_topk(
     Estimates are exact integers -> deterministic ordering, ties broken
     by key."""
     cells = cms_cells(df, key_col, d, w)
+    return cms_estimate_topk(cells, df.select(key_col).distinct(), key_col, d, w, k)
+
+
+def cms_estimate_topk(
+    cells: DataFrame,
+    candidates: DataFrame,
+    key_col: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k estimate probe against an existing cell table — the read
+    path shared by the batch sketch and the streaming-maintained one
+    (streaming/sketches.py sum-merges cells across micro-batches; sum
+    is associative/commutative, so the merged cells equal the batch
+    cells over the same rows and this probe is state-source agnostic).
+    """
     probes = F.array(
         *[
             F.struct(
@@ -172,7 +189,7 @@ def cms_topk(
         ]
     )
     est = (
-        df.select(key_col).distinct()
+        candidates
         .select(key_col, F.explode(probes).alias("c"))
         .select(key_col, F.col("c.i").alias("i"), F.col("c.col").alias("col"))
         .join(F.broadcast(cells), ["i", "col"])

@@ -74,3 +74,59 @@ def read_hll_estimate(
     """Current cardinality estimate from the maintained registers."""
     regs = read_state(spark, state_dir)
     return SK.hll_estimate_from_registers(regs, group_cols, m)
+
+
+def merge_cms_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    key_col: str,
+    d: int = SK.CMS_D,
+    w: int = SK.CMS_W,
+) -> None:
+    """One count-min merge: state' = cellwise-sum(state, cells(batch)).
+
+    Unlike the HLL max, the CMS merge is additive — still associative
+    and commutative (batch-split invariant), but NOT idempotent, so the
+    exactly-once batch boundary comes from the streaming checkpoint
+    rather than the merge itself (replaying a committed batch would
+    double-count; the foreachBatch checkpoint prevents exactly that)."""
+    cells = SK.cms_cells(batch_df, key_col, d, w)
+    prior = read_state(batch_df.sparkSession, state_dir)
+    merged = cells if prior is None else prior.unionByName(cells)
+    folded = merged.groupBy("i", "col").agg(F.sum("cnt").alias("cnt"))
+    write_version(folded, state_dir)
+
+
+def run_cms_stream(
+    stream_df: DataFrame,
+    state_dir: str,
+    key_col: str,
+    d: int = SK.CMS_D,
+    w: int = SK.CMS_W,
+) -> None:
+    """Maintain streaming CMS cells as a StreamingQuery (availableNow)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        merge_cms_batch(batch_df, state_dir, key_col, d, w)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", os.path.join(state_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_cms_topk(
+    spark: SparkSession,
+    state_dir: str,
+    candidates: DataFrame,
+    key_col: str,
+    d: int = SK.CMS_D,
+    w: int = SK.CMS_W,
+    k: int = 10,
+) -> DataFrame:
+    """Heavy-hitter probe against the maintained cell state."""
+    cells = read_state(spark, state_dir)
+    return SK.cms_estimate_topk(cells, candidates, key_col, d, w, k)
