@@ -673,6 +673,116 @@ def q_value_quartiles(spark, sf):
 
 
 @_q(
+    "ohlc_bars",
+    """
+    SELECT event_type, cast(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+           arg_min(value, event_id) AS open,
+           max(value)               AS high,
+           min(value)               AS low,
+           arg_max(value, event_id) AS close,
+           count(*)                 AS n_ticks
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_ohlc_bars(spark, sf):
+    """Per-(event_type, day) OHLC bars (operators/timeseries.py): ONE
+    hash aggregate with min_by/max_by on the offset — no window sort of
+    raw ticks, map-side partials per (key, bucket).  Open/close by
+    arrival order (unique event_id), so equal-timestamp ticks cannot
+    flip the result."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        timeseries,
+    )
+
+    return timeseries.ohlc_bars(
+        _events(spark, sf),
+        key_cols=["event_type"],
+        ts_col="ts",
+        value_col="value",
+        offset_col="event_id",
+        bucket="day",
+    )
+
+
+@_q(
+    "time_weighted_avg",
+    """
+    WITH s AS (
+      SELECT user_id, value,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id))
+               - epoch_us(ts) AS dt_us
+      FROM events)
+    SELECT user_id,
+           cast(sum(value::DECIMAL(18,6) * dt_us) AS DOUBLE)
+             / cast(sum(dt_us) AS DOUBLE) AS twa_value,
+           cast(sum(dt_us) AS BIGINT) AS span_us,
+           count(*) AS n_spans
+    FROM s WHERE dt_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q_time_weighted_avg(spark, sf):
+    """LOCF time-weighted average per user (operators/timeseries.py):
+    one shuffle on user_id for the lead() scan, then an exact-decimal
+    aggregate (value x microsecond holding time) whose partials combine
+    in any order — the hypertable time_weight('locf') rollup."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        timeseries,
+    )
+
+    return timeseries.time_weighted_avg(
+        _events(spark, sf),
+        key_cols=["user_id"],
+        ts_col="ts",
+        value_col="value",
+        offset_col="event_id",
+    )
+
+
+@_q(
+    "gap_fill_locf",
+    """
+    WITH daily AS (
+      SELECT user_id, cast(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             arg_max(value, event_id) AS obs_value
+      FROM events GROUP BY 1, 2),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day
+      FROM daily GROUP BY user_id),
+    j AS (
+      SELECT g.user_id, g.day, d.obs_value
+      FROM grid g LEFT JOIN daily d
+        ON g.user_id = d.user_id AND g.day = d.day)
+    SELECT user_id, day,
+           last_value(obs_value IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           obs_value IS NULL AS is_filled
+    FROM j
+    """,
+)
+def q_gap_fill_locf(spark, sf):
+    """Daily gap-fill with last-observation-carried-forward
+    (operators/timeseries.py): raw events compact to per-(user, day)
+    close BEFORE the grid join, so the sequence/explode grid (bounded
+    by users x day-span, independent of event volume), the (user, day)
+    join, and the LOCF window all run on compacted rows."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        timeseries,
+    )
+
+    return timeseries.gap_fill_locf(
+        _events(spark, sf),
+        key_cols=["user_id"],
+        ts_col="ts",
+        value_col="value",
+        offset_col="event_id",
+    )
+
+
+@_q(
     "join_semi",
     """
     SELECT c_custkey AS customer_id, c_name AS customer_name

@@ -294,3 +294,62 @@ def test_sole_blame_requires_multi_supplier_and_unique_r(spark, patch_load):
     patch_load({"lineitem": li, "orders": orders, "supplier": supplier})
     out = entrymod.queries()["sole_blame_supplier"](spark, "i").collect()
     assert [(r.s_name, r.numwait) for r in out] == [("Supp#10", 1)]
+
+
+def test_ohlc_bars_ties_and_single_tick(spark, patch_load):
+    rows = [
+        # same-timestamp ticks: open/close must follow event_id order
+        (1, "2024-01-01 10:00:00", 1, "click", 5.0, "{}"),
+        (2, "2024-01-01 10:00:00", 1, "click", 9.0, "{}"),
+        (3, "2024-01-01 11:00:00", 1, "click", 1.0, "{}"),
+        # single tick in its bucket: open=high=low=close
+        (4, "2024-01-02 00:00:00", 1, "click", 7.0, "{}"),
+    ]
+    patch_load({"events": _events_df(spark, rows)})
+    out = {
+        str(r["bucket_ts"]): r
+        for r in entrymod._REGISTRY["ohlc_bars"][0](spark, "ignored").collect()
+    }
+    d1 = out["2024-01-01 00:00:00"]
+    assert (d1["open"], d1["high"], d1["low"], d1["close"]) == (5.0, 9.0, 1.0, 1.0)
+    d2 = out["2024-01-02 00:00:00"]
+    assert (d2["open"], d2["high"], d2["low"], d2["close"]) == (7.0, 7.0, 7.0, 7.0)
+    assert d2["n_ticks"] == 1
+
+
+def test_time_weighted_avg_locf_weights(spark, patch_load):
+    rows = [
+        # value 10 held 30s, value 20 held 10s, last sample no weight
+        (1, "2024-01-01 10:00:00", 1, "click", 10.0, "{}"),
+        (2, "2024-01-01 10:00:30", 1, "click", 20.0, "{}"),
+        (3, "2024-01-01 10:00:40", 1, "click", 99.0, "{}"),
+        # single-sample user: no spans, must not appear
+        (4, "2024-01-01 10:00:00", 2, "click", 5.0, "{}"),
+    ]
+    patch_load({"events": _events_df(spark, rows)})
+    out = entrymod._REGISTRY["time_weighted_avg"][0](spark, "ignored").collect()
+    assert {r["user_id"] for r in out} == {1}
+    r = out[0]
+    assert r["twa_value"] == pytest.approx((10 * 30 + 20 * 10) / 40)
+    assert r["span_us"] == 40_000_000
+    assert r["n_spans"] == 2
+
+
+def test_gap_fill_locf_fills_interior_days_only(spark, patch_load):
+    rows = [
+        # user 1 observed on day 1 and day 4 -> days 2,3 filled with day-1 close
+        (1, "2024-01-01 09:00:00", 1, "click", 3.0, "{}"),
+        (2, "2024-01-01 10:00:00", 1, "click", 4.0, "{}"),
+        (3, "2024-01-04 10:00:00", 1, "click", 8.0, "{}"),
+    ]
+    patch_load({"events": _events_df(spark, rows)})
+    out = sorted(
+        entrymod._REGISTRY["gap_fill_locf"][0](spark, "ignored").collect(),
+        key=lambda r: str(r["day"]),
+    )
+    assert [str(r["day"])[:10] for r in out] == [
+        "2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04",
+    ]
+    # day-1 close is the later event (event_id 2), carried through the gap
+    assert [r["value"] for r in out] == [4.0, 4.0, 4.0, 8.0]
+    assert [r["is_filled"] for r in out] == [False, True, True, False]

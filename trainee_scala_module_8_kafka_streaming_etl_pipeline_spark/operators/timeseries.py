@@ -1,0 +1,143 @@
+"""Time-series / hypertable operators: OHLC bars, time-weighted
+average, and gap-fill with last-observation-carried-forward.
+
+These extend the reference's event-stream surface (the events topic of
+SURVEY.md §2.1, event-time semantics of §2.4) with the rollup shapes a
+time-series store (continuous aggregate / hypertable rollup) provides.
+The reference itself materializes per-key latest state
+(/root/reference/README.md:434-441); these operators materialize
+per-bucket summaries of the same streams.
+
+Spark-first design notes (100 TB):
+
+* ``ohlc_bars`` is ONE hash aggregate — ``min_by``/``max_by`` on the
+  offset give open/close without any window sort, so map-side partial
+  aggregation reduces each input split to one row per (key, bucket)
+  before the exchange. The window formulation (``first_value`` /
+  ``last_value`` over a sorted partition) would shuffle and sort every
+  raw tick; at 100 TB the sort never happens here.
+* ``time_weighted_avg`` needs each sample's *next* timestamp, which is
+  inherently a per-key ordered scan: one shuffle on the key, one
+  in-partition sort, then a single exact-decimal aggregate. The decimal
+  accumulation (value × Δt in microseconds) keeps the result
+  order-independent, so the plan is free to combine partials in any
+  order.
+* ``gap_fill_locf`` builds the day grid with ``sequence``/``explode``
+  (rows bounded by key-count × day-span, independent of raw event
+  volume), left-joins the per-day compacted state on (key, day) — both
+  sides hash-partitioned on the same key — and fills with a running
+  ``last(ignorenulls)`` window. All heavy reduction (raw events →
+  per-day last value) happens BEFORE the grid join, so the join and
+  window see only compacted rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    offset_col: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """Per-(key, time-bucket) open/high/low/close + volume bars.
+
+    Open/close are taken by arrival order (``offset_col``, unique), so
+    ties in event time cannot make the result nondeterministic — the
+    same rule ksqlDB's latest_by_offset uses for "latest".
+    """
+    bucket_col = F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
+    return (
+        df.groupBy(*key_cols, bucket_col)
+        .agg(
+            F.min_by(value_col, offset_col).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(value_col, offset_col).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    offset_col: str,
+) -> DataFrame:
+    """LOCF time-weighted average per key over the observed span.
+
+    Each sample holds its value until the next sample of the same key
+    (last-observation-carried-forward); the average weights each value
+    by that holding time. The last sample of a key has no successor and
+    contributes no weight (half-open span), matching the usual
+    time_weight('locf') definition over a closed observation window.
+
+    Exactness: value is accumulated as DECIMAL(18,6) × Δt(µs), so the
+    sum is exact and associative; only the final divide is double.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, offset_col)
+    nxt = F.lead(ts_col).over(w)
+    dt_us = F.unix_micros(nxt) - F.unix_micros(F.col(ts_col))
+    weighted = df.select(
+        *key_cols,
+        (F.col(value_col).cast("decimal(18,6)") * dt_us).alias("wv"),
+        dt_us.alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    return weighted.groupBy(*key_cols).agg(
+        (
+            F.sum("wv").cast("double")
+            / F.sum("dt_us").cast("double")
+        ).alias("twa_value"),
+        F.sum("dt_us").alias("span_us"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+
+
+def gap_fill_locf(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    offset_col: str,
+) -> DataFrame:
+    """Daily grid per key between its first and last observation, with
+    missing days filled by the last observed per-day closing value.
+
+    Returns (keys…, day, value, is_filled): ``is_filled`` marks grid
+    days that had no raw observation. The per-day "observed" value is
+    the day's close by arrival order (deterministic under ts ties).
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = (
+        df.groupBy(*key_cols, day.alias("day"))
+        .agg(F.max_by(value_col, offset_col).alias("obs_value"))
+    )
+    grid = (
+        daily.groupBy(*key_cols)
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            *key_cols,
+            F.explode(
+                F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    filled = grid.join(daily, [*key_cols, "day"], "left")
+    locf = Window.partitionBy(*key_cols).orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return filled.select(
+        *key_cols,
+        "day",
+        F.last("obs_value", ignorenulls=True).over(locf).alias("value"),
+        F.col("obs_value").isNull().alias("is_filled"),
+    )
