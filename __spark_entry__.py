@@ -813,6 +813,133 @@ def q_join_anti(spark, sf):
 
 
 @_q(
+    "bloom_semi_join",
+    f"""
+    SELECT l_returnflag,
+           count(*) AS n_items,
+           cast(sum(cast(l_extendedprice AS {_DEC}) * cast(1 - l_discount AS {_DEC}))
+                AS double) AS revenue
+    FROM lineitem
+    WHERE EXISTS (SELECT 1 FROM part
+                  WHERE p_partkey = l_partkey AND p_size = 50)
+    GROUP BY l_returnflag
+    """,
+)
+def q_bloom_semi_join(spark, sf):
+    """Runtime-filter semi join (operators/bloom.py): the 2%-selective
+    part dimension aggregates to a 2^16-bit bloom bitmap (map-side
+    bit_or), which is evaluated as a literal-array projection INSIDE the
+    lineitem scan — ~98% of fact rows drop before any exchange; the
+    exact broadcast semi join then removes bloom false positives, so the
+    result equals the plain EXISTS the oracle runs."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        bloom,
+    )
+
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    dim = load(spark, sf, "part").filter(F.col("p_size") == 50)
+    hits = bloom.bloom_semi_join(li, dim, "l_partkey", "p_partkey")
+    return hits.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            F.col("l_extendedprice").cast(_DEC)
+            * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@_q(
+    "triangle_count",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.i AS u, b.i AS v
+      FROM items a JOIN items b ON a.g = b.g AND a.i < b.i),
+    deg AS (
+      SELECT n, count(*) AS deg FROM (
+        SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges)
+      GROUP BY n),
+    o AS (
+      SELECT CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS src,
+             CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS dst
+      FROM edges e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM o e1 JOIN o e2 ON e1.dst = e2.src
+                JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+    SELECT (SELECT count(DISTINCT n) FROM (
+              SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges))
+             AS n_nodes,
+           (SELECT count(*) FROM edges) AS n_edges,
+           (SELECT n_triangles FROM tri) AS n_triangles
+    """,
+)
+def q_triangle_count(spark, sf):
+    """Degree-oriented triangle counting (operators/graph.py) on the
+    co-purchase graph (parts sharing an order).  Orientation from
+    lower (degree, id) to higher bounds every node's out-degree at
+    O(sqrt(E)), so the wedge self-join cannot explode on hub parts —
+    the skew-safe formulation of the classic wedge-close algorithm."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        graph,
+    )
+
+    li = load(spark, sf, "lineitem")
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return graph.triangle_count(edges)
+
+
+@_q(
+    "revenue_percent_rank",
+    """
+    WITH rev AS (
+      SELECT c.c_custkey AS customer_id, c.c_nationkey AS nation_key,
+             sum(cast(o.o_totalprice AS decimal(18,4))) AS rev_exact
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2)
+    SELECT customer_id, nation_key,
+           cast(rev_exact AS double) AS revenue,
+           round(percent_rank() OVER
+                   (PARTITION BY nation_key ORDER BY rev_exact), 6) AS pr,
+           round(cume_dist() OVER
+                   (PARTITION BY nation_key ORDER BY rev_exact), 6) AS cd
+    FROM rev
+    """,
+)
+def q_revenue_percent_rank(spark, sf):
+    """percent_rank + cume_dist of per-customer revenue within nation.
+    Revenue accumulates as exact DECIMAL so the rank ORDER BY is
+    deterministic (double sums would be partial-order dependent and
+    could flip ranks between runs); ties share a rank identically in
+    both engines.  One shuffle for the agg, one for the window."""
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    rev = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_nationkey").alias("nation_key"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("rev_exact"))
+    )
+    w = Window.partitionBy("nation_key").orderBy("rev_exact")
+    return rev.select(
+        "customer_id",
+        "nation_key",
+        F.col("rev_exact").cast("double").alias("revenue"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@_q(
     "asof_join",
     f"""
     SELECT k.event_id AS click_id,

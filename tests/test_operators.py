@@ -230,3 +230,60 @@ def test_weighted_sample_deterministic_and_monotone(spark):
     assert k30 == k30_again  # rerun-stable
     assert k30 <= k60  # raising the rate only adds rows
     assert 0.2 < len(k30) / 500 < 0.4 and 0.5 < len(k60) / 500 < 0.7
+
+
+def test_bloom_semi_join_exact_despite_false_positives(spark):
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        bloom,
+    )
+
+    fact = spark.createDataFrame([(i,) for i in range(2000)], ["fk"])
+    dim = spark.createDataFrame([(i,) for i in range(0, 2000, 100)], ["dk"])
+    # m=64 with 20 keys * 5 hashes saturates the bitmap -> many false
+    # positives survive the bloom, the exact join must drop them all
+    out = {
+        r.fk
+        for r in bloom.bloom_semi_join(fact, dim, "fk", "dk", m=64, k=5).collect()
+    }
+    assert out == set(range(0, 2000, 100))
+    # sanity: the bloom alone (tiny m) passes strictly more than the truth
+    bitmap = bloom.build_bloom(dim, "dk", m=64, k=5)
+    pruned = fact.filter(bloom.might_contain(bitmap, "fk", m=64, k=5)).count()
+    assert pruned >= 20
+
+
+def test_bloom_no_false_negatives(spark):
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        bloom,
+    )
+
+    dim = spark.createDataFrame([(i * 7,) for i in range(50)], ["dk"])
+    bitmap = bloom.build_bloom(dim, "dk")
+    hits = dim.filter(bloom.might_contain(bitmap, "dk")).count()
+    assert hits == 50  # every build key must probe positive
+
+
+def test_triangle_count_known_graph(spark):
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        graph,
+    )
+
+    # K4 on {1,2,3,4} (4 triangles) plus a pendant edge 4-5 (0 extra)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)], ["u", "v"]
+    )
+    r = graph.triangle_count(edges).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (5, 7, 4)
+
+
+def test_cooccurrence_edges_distinct_and_ordered(spark):
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        graph,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 10), (2, 20), (2, 10), (3, 30)], ["g", "i"]
+    )
+    got = {(r.u, r.v) for r in graph.cooccurrence_edges(df, "g", "i").collect()}
+    # duplicate co-occurrence collapses to one edge; u < v always
+    assert got == {(10, 20)}
