@@ -23,6 +23,7 @@ from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import 
     compaction,
     dedup,
     joins,
+    layout,
     linalg,
     multimodal,
     sampling,
@@ -3660,6 +3661,47 @@ def q_bigram_pmi(spark, sf):
 _ZIPF_TOP = 100
 
 
+_ZY = "least(greatest(floor(value * 100), 0), 65535)"
+_ZSPAN = (1 << 32) // 64
+
+
+@_q(
+    "zorder_clustering",
+    f"""
+    WITH z AS (
+      SELECT user_id,
+             CAST({_ZY} AS BIGINT) AS ycell,
+             CAST(floor({layout.morton_sql("user_id", _ZY)} / {_ZSPAN})
+                  AS BIGINT) AS zbucket
+      FROM events)
+    SELECT zbucket, count(*) AS n,
+           min(user_id) AS x_min, max(user_id) AS x_max,
+           min(ycell)   AS y_min, max(ycell)   AS y_max
+    FROM z GROUP BY zbucket
+    """,
+)
+def q_zorder_clustering(spark, sf):
+    """Z-order clustering stats (operators/layout.py): rows map to 64
+    contiguous Morton-key ranges of (user_id, value-cell) — the file
+    layout a lakehouse ZORDER BY write would produce — and the query
+    reports each range's bounding box, i.e. exactly the min/max file
+    statistics that would let a scan filtered on EITHER dimension skip
+    files.  The Morton key is one engine-neutral projection (shared SQL
+    text drives both Spark and the oracle); no shuffle beyond the
+    stats groupBy."""
+    ev = _events(spark, sf).select(
+        "user_id", F.expr(f"CAST({_ZY} AS BIGINT)").alias("ycell"), "value"
+    )
+    z = layout.zorder_cluster(ev, "user_id", _ZY, n_buckets=64)
+    return z.groupBy("zbucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("user_id").alias("x_min"),
+        F.max("user_id").alias("x_max"),
+        F.min("ycell").alias("y_min"),
+        F.max("ycell").alias("y_max"),
+    )
+
+
 @_q(
     "zipf_slope",
     f"""
@@ -4790,6 +4832,32 @@ def q_streaming_hll(spark, sf):
             ["event_type"],
         )
     return read_hll_estimate(spark, f"{base}/state", ["event_type"])
+
+
+@_q("streaming_ohlc", _REGISTRY["ohlc_bars"][1])
+def q_streaming_ohlc(spark, sf):
+    """Continuously-maintained OHLC bars (streaming/bars.py): per
+    micro-batch partial bars carry their open/close offsets, so state
+    merges with min_by/max_by/min/max/sum — batch-split invariant, and
+    O(keys x buckets) state regardless of tick volume.  The batch
+    ohlc_bars SQL is therefore the exact oracle."""
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.bars import (
+        read_bars,
+        run_bars_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_ohlc_")
+    with _stream_partitions(spark):
+        run_bars_stream(
+            _events_stream(spark, sf).select(
+                "event_type", "ts", "value", "event_id"
+            ),
+            f"{base}/state",
+            key_cols=["event_type"],
+        )
+    return read_bars(spark, f"{base}/state", ["event_type"])
 
 
 @_q("streaming_cms", _REGISTRY["cms_heavy_hitters"][1])

@@ -90,3 +90,69 @@ def test_cms_never_underestimates_and_ranks_hot_keys(spark, keyed):
     assert {r.k for r in top} == {f"k{i}" for i in range(7)}
     for r in top:
         assert r.cms_count >= exact[r.k]  # CMS error is one-sided
+
+
+def test_streaming_bars_two_rounds_match_batch(spark, tmp_path):
+    """Any micro-batch split of the ticks folds to the bars a single
+    batch aggregate computes: open/close ride their offsets through the
+    min_by/max_by merge, high/low/n_ticks merge by max/min/sum."""
+    import json
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.timeseries import (
+        ohlc_bars,
+    )
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.bars import (
+        read_bars,
+        run_bars_stream,
+    )
+
+    # round 2 delivers the EARLIEST offset of day 1 (id 0, value 99):
+    # the merged open must come from round 2, not arrival order
+    rows1 = [
+        {"k": "a", "ts": "2024-01-01 10:00:00", "v": 5.0, "id": 2},
+        {"k": "a", "ts": "2024-01-01 11:00:00", "v": 1.0, "id": 3},
+    ]
+    rows2 = [
+        {"k": "a", "ts": "2024-01-01 09:00:00", "v": 99.0, "id": 0},
+        {"k": "a", "ts": "2024-01-02 09:00:00", "v": 7.0, "id": 4},
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "k string, ts string, v double, id bigint"
+
+    def _ingest(rows, fname):
+        with open(src / fname, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        sdf = (
+            spark.readStream.schema(schema)
+            .json(str(src))
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+        run_bars_stream(
+            sdf, str(tmp_path / "state"), ["k"], "ts", "v", "id", "day"
+        )
+
+    _ingest(rows1, "r1.jsonl")
+    _ingest(rows2, "r2.jsonl")
+
+    streamed = {
+        str(r.bucket_ts): r
+        for r in read_bars(spark, str(tmp_path / "state"), ["k"]).collect()
+    }
+    union = spark.createDataFrame(
+        [(r["k"], r["ts"], r["v"], r["id"]) for r in rows1 + rows2],
+        ["k", "ts", "v", "id"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch = {
+        str(r.bucket_ts): r
+        for r in ohlc_bars(union, ["k"], "ts", "v", "id", "day").collect()
+    }
+    assert streamed.keys() == batch.keys()
+    for day in batch:
+        s, b = streamed[day], batch[day]
+        assert (s.open, s.high, s.low, s.close, s.n_ticks) == (
+            b.open, b.high, b.low, b.close, b.n_ticks,
+        )
+    d1 = streamed["2024-01-01 00:00:00"]
+    assert (d1.open, d1.close) == (99.0, 1.0)  # open from the LATE round
