@@ -69,6 +69,11 @@ HEADLINE = [
     "bigram_lm_score",
     "kmeans_embeddings",
     "sole_blame_supplier",
+    "bloom_semi_join",
+    "triangle_count",
+    "ohlc_bars",
+    "time_weighted_avg",
+    "zorder_clustering",
     "streaming_interval_join",
     "streaming_cdc_upsert",
 ]

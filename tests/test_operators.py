@@ -287,3 +287,59 @@ def test_cooccurrence_edges_distinct_and_ordered(spark):
     got = {(r.u, r.v) for r in graph.cooccurrence_edges(df, "g", "i").collect()}
     # duplicate co-occurrence collapses to one edge; u < v always
     assert got == {(10, 20)}
+
+
+def test_vacuum_versions_keeps_pointer_and_newest(spark, tmp_path):
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming import (
+        upsert,
+    )
+
+    state = str(tmp_path / "state")
+    for i in range(5):
+        upsert.write_version(spark.range(i + 1), state)
+    dropped = upsert.vacuum_versions(state, keep=2)
+    assert dropped == [0, 1, 2]
+    # current pointer still readable with full contents
+    assert upsert.read_state(spark, state).count() == 5
+    # idempotent
+    assert upsert.vacuum_versions(state, keep=2) == []
+
+
+def test_write_zordered_files_cover_disjoint_ranges(spark, tmp_path):
+    import pyspark.sql.functions as SF
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        layout,
+    )
+
+    df = spark.range(4096).select(
+        (SF.col("id") % 64).alias("x"), (SF.col("id") / 64).cast("bigint").alias("y")
+    )
+    path = str(tmp_path / "z")
+    layout.write_zordered(df, path, "x", "y", n_files=8, bits=6)
+    back = (
+        spark.read.parquet(path)
+        .withColumn("f", SF.input_file_name())
+        .withColumn("z", layout.morton_key("x", "y", bits=6))
+    )
+    ranges = sorted(
+        (r["zmin"], r["zmax"])
+        for r in back.groupBy("f")
+        .agg(SF.min("z").alias("zmin"), SF.max("z").alias("zmax"))
+        .collect()
+    )
+    assert len(ranges) >= 4  # range partitioner actually split the key space
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo  # contiguous, non-overlapping z-ranges per file
+    # the z-layout bounds BOTH dimensions per file: every file's x-extent
+    # and y-extent must be a strict subset of the global 0..63 range
+    exts = (
+        back.groupBy("f")
+        .agg(
+            (SF.max("x") - SF.min("x")).alias("xw"),
+            (SF.max("y") - SF.min("y")).alias("yw"),
+        )
+        .collect()
+    )
+    assert all(r["xw"] < 64 or r["yw"] < 64 for r in exts)
+    assert sum(1 for r in exts if r["xw"] < 64 and r["yw"] < 64) >= len(exts) // 2

@@ -47,9 +47,11 @@ def orient_by_degree(edges: DataFrame) -> DataFrame:
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+    # degree table is O(nodes) — tiny next to O(edges); broadcast both
+    # attaches so the edge set never shuffles to pick up degrees
     du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
-    e = edges.join(du, "u").join(dv, "v")
+    e = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
@@ -62,17 +64,34 @@ def orient_by_degree(edges: DataFrame) -> DataFrame:
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Global triangle count of an undirected (u < v) edge set.
 
-    wedges(a→b, a→c) ⋈ closing edge (b→c) over the degree-oriented
-    DAG; each triangle is counted exactly once because orientation is a
-    total order. Returns one row: n_nodes, n_edges, n_triangles.
+    Edge-iterator over the degree-oriented DAG: for each oriented edge
+    (a, b), triangles = |N⁺(a) ∩ N⁺(b)|. Each triangle is counted
+    exactly once (at its lowest-ranked edge) because orientation is a
+    total order. The naive alternative — materialize all wedges
+    (a→b, a→c) and join the closing edge — shuffles Σ out-deg² rows
+    (measured 49M at sf0.1 for a 900k-edge graph); packing each node's
+    out-neighbors into ONE array row moves the same information in
+    O(|E|) rows, and the per-edge intersection of two sorted-bounded
+    arrays (out-degree ≤ O(√E) by orientation) runs inside codegen.
+    Returns one row: n_nodes, n_edges, n_triangles.
     """
     o = orient_by_degree(edges).cache()
     o.count()  # materialize before the self-join branches race the cache
-    e1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e2 = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    wedges = e1.join(e2, "b")
-    e3 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    tri = wedges.join(e3, ["a", "c"]).agg(F.count(F.lit(1)).alias("n_triangles"))
+    adj = o.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    a_adj = adj.select(F.col("src").alias("a"), F.col("nbrs").alias("na"))
+    b_adj = adj.select(F.col("src").alias("b"), F.col("nbrs").alias("nb"))
+    per_edge = (
+        o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .join(a_adj, "a")  # a always has out-neighbors (it has edge a->b)
+        .join(b_adj, "b", "left")  # top-ranked nodes have no out-edges
+        .select(
+            F.size(
+                # slice(na,1,0) = typed empty array for nodes with no out-edges
+                F.array_intersect("na", F.coalesce("nb", F.expr("slice(na, 1, 0)")))
+            ).alias("t")
+        )
+    )
+    tri = per_edge.agg(F.sum("t").cast("bigint").alias("n_triangles"))
     nodes = (
         edges.select(F.col("u").alias("n"))
         .unionAll(edges.select(F.col("v").alias("n")))

@@ -104,6 +104,35 @@ def write_version(df: DataFrame, state_dir: str) -> None:
     os.replace(tmp, os.path.join(state_dir, _POINTER))
 
 
+def vacuum_versions(state_dir: str, keep: int = 2) -> list[int]:
+    """Drop state versions older than the newest ``keep`` (never the
+    current pointer).  The MERGE writes a whole new version per batch,
+    so without retention the sink's footprint grows with batch COUNT
+    rather than state SIZE — at one batch/minute that is 1440 full
+    copies a day.  Safe because readers resolve the pointer first and
+    only the newest version is ever the pointer target; ``keep >= 2``
+    leaves an in-flight reader's version on disk. Returns the dropped
+    version numbers.
+    """
+    import shutil
+
+    cur = _state_version(state_dir)
+    if cur is None:
+        return []
+    versions = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(state_dir)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    )
+    live = set(versions[-keep:]) | {cur}
+    dropped = []
+    for v in versions:
+        if v not in live:
+            shutil.rmtree(os.path.join(state_dir, f"v={v}"), ignore_errors=True)
+            dropped.append(v)
+    return dropped
+
+
 def keyed_upsert_sink(
     state_dir: str,
     keys: Sequence[str],
