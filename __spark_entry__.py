@@ -898,6 +898,141 @@ def q_triangle_count(spark, sf):
 
 
 @_q(
+    "basket_lift",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+    n AS (SELECT count(DISTINCT g) AS n_orders FROM items),
+    cnt AS (SELECT i, count(*) AS n_i FROM items GROUP BY i),
+    pairs AS (
+      SELECT a.i AS u, b.i AS v, count(*) AS n_uv
+      FROM items a JOIN items b ON a.g = b.g AND a.i < b.i
+      GROUP BY 1, 2)
+    SELECT u, v, n_uv,
+           round(cast(n_uv AS DOUBLE) / n.n_orders, 6) AS support,
+           round(cast(n_uv AS DOUBLE) * n.n_orders
+                 / (cu.n_i * cv.n_i), 6) AS lift
+    FROM pairs
+    JOIN cnt cu ON cu.i = u
+    JOIN cnt cv ON cv.i = v
+    CROSS JOIN n
+    WHERE n_uv >= 3
+    ORDER BY lift DESC, u, v
+    LIMIT 20
+    """,
+)
+def q_basket_lift(spark, sf):
+    """Market-basket association mining: support and lift of part pairs
+    co-occurring in an order.  Pair expansion is per-order quadratic
+    (bounded by line counts); pair counts map-side combine before one
+    shuffle; the per-item counts are O(parts) and broadcast into the
+    pair table, so no second shuffle of the pairs.  The n_uv >= 3
+    minimum support prunes the long noise tail before ranking —
+    standard Apriori-style pruning, and what keeps top-k stable."""
+    li = load(spark, sf, "lineitem")
+    items = (
+        li.select(F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("i"))
+        .distinct()
+        .cache()
+    )
+    items.count()  # materialize: pairs and counts both branch from it
+    n_orders = items.select("g").distinct().count()
+    cnt = items.groupBy("i").agg(F.count(F.lit(1)).alias("n_i"))
+    b = items.select("g", F.col("i").alias("v"))
+    pairs = (
+        items.select("g", F.col("i").alias("u"))
+        .join(b, "g")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_uv"))
+        .filter(F.col("n_uv") >= 3)
+    )
+    cu = cnt.select(F.col("i").alias("u"), F.col("n_i").alias("nu"))
+    cv = cnt.select(F.col("i").alias("v"), F.col("n_i").alias("nv"))
+    out = (
+        pairs.join(F.broadcast(cu), "u")
+        .join(F.broadcast(cv), "v")
+        .select(
+            "u",
+            "v",
+            "n_uv",
+            F.round(F.col("n_uv").cast("double") / F.lit(n_orders), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("n_uv").cast("double")
+                * F.lit(n_orders)
+                / (F.col("nu") * F.col("nv")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(F.col("lift").desc(), "u", "v").limit(20)
+
+
+@_q(
+    "chi_square_independence",
+    """
+    WITH obs AS (
+      SELECT event_type, dayname(ts) AS dow, count(*) AS o
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT cast(sum(o) AS DOUBLE) AS n FROM obs),
+    r AS (SELECT event_type, cast(sum(o) AS DOUBLE) AS rt FROM obs GROUP BY 1),
+    c AS (SELECT dow, cast(sum(o) AS DOUBLE) AS ct FROM obs GROUP BY 1),
+    terms AS (
+      SELECT cast(round(pow(obs.o - (r.rt * c.ct / tot.n), 2)
+                        / (r.rt * c.ct / tot.n), 6) AS decimal(18,6)) AS term
+      FROM obs JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN tot)
+    SELECT cast(sum(term) AS DOUBLE) AS chi2,
+           (SELECT (count(DISTINCT event_type) - 1)
+                   * (count(DISTINCT dow) - 1) FROM obs) AS dof,
+           (SELECT cast(n AS BIGINT) FROM tot) AS n
+    FROM terms
+    """,
+)
+def q_chi_square_independence(spark, sf):
+    """Pearson chi-square test of event_type x day-of-week independence
+    — the drift/seasonality check a data pipeline runs before trusting
+    a sample.  One aggregate builds the contingency table; marginals
+    are broadcast back; each cell's term is rounded then summed as
+    DECIMAL so the statistic is partial-order independent.  Day names
+    (not numeric dow) because Spark and DuckDB disagree on week start."""
+    obs = (
+        _events(spark, sf)
+        .groupBy("event_type", F.date_format("ts", "EEEE").alias("dow"))
+        .agg(F.count(F.lit(1)).alias("o"))
+        .cache()
+    )
+    obs.count()
+    n = obs.agg(F.sum("o").cast("double")).collect()[0][0]
+    r = obs.groupBy("event_type").agg(F.sum("o").cast("double").alias("rt"))
+    c = obs.groupBy("dow").agg(F.sum("o").cast("double").alias("ct"))
+    terms = (
+        obs.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "dow")
+        .select(
+            F.round(
+                F.pow(F.col("o") - (F.col("rt") * F.col("ct") / F.lit(n)), 2)
+                / (F.col("rt") * F.col("ct") / F.lit(n)),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("term")
+        )
+    )
+    dof_row = obs.agg(
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+        ).alias("dof")
+    ).collect()[0]
+    return terms.agg(
+        F.sum("term").cast("double").alias("chi2"),
+        F.lit(dof_row["dof"]).cast("bigint").alias("dof"),
+        F.lit(int(n)).cast("bigint").alias("n"),
+    )
+
+
+@_q(
     "revenue_percent_rank",
     """
     WITH rev AS (
@@ -4858,6 +4993,37 @@ def q_streaming_ohlc(spark, sf):
             key_cols=["event_type"],
         )
     return read_bars(spark, f"{base}/state", ["event_type"])
+
+
+@_q("streaming_gap_fill", _REGISTRY["gap_fill_locf"][1])
+def q_streaming_gap_fill(spark, sf):
+    """Gap-filled LOCF series served FROM the incrementally-maintained
+    bar state: the stream merges per-(user, day) closes (offset-carried,
+    batch-split invariant), and the read path runs the same grid+LOCF
+    the batch operator uses (timeseries.gap_fill_from_daily) over state
+    rows only — O(users x days), never re-touching raw ticks.  The
+    batch gap_fill_locf SQL is therefore the exact oracle."""
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.timeseries import (
+        gap_fill_from_daily,
+    )
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.bars import (
+        read_bars,
+        run_bars_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_gapfill_")
+    with _stream_partitions(spark):
+        run_bars_stream(
+            _events_stream(spark, sf).select("user_id", "ts", "value", "event_id"),
+            f"{base}/state",
+            key_cols=["user_id"],
+        )
+    daily = read_bars(spark, f"{base}/state", ["user_id"]).select(
+        "user_id", F.col("bucket_ts").alias("day"), F.col("close").alias("obs_value")
+    )
+    return gap_fill_from_daily(daily, ["user_id"])
 
 
 @_q("streaming_cms", _REGISTRY["cms_heavy_hitters"][1])

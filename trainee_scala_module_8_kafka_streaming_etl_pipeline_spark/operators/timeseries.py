@@ -121,6 +121,13 @@ def gap_fill_locf(
         df.groupBy(*key_cols, day.alias("day"))
         .agg(F.max_by(value_col, offset_col).alias("obs_value"))
     )
+    return gap_fill_from_daily(daily, key_cols)
+
+
+def gap_fill_from_daily(daily: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Grid + LOCF over an already-compacted (keys…, day, obs_value)
+    table — shared by the batch operator above and the streaming rollup
+    (streaming/bars.py maintains exactly this shape incrementally)."""
     grid = (
         daily.groupBy(*key_cols)
         .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
