@@ -606,6 +606,46 @@ def q_salted_user_enrich(spark, sf):
 
 
 @_q(
+    "event_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events)
+    SELECT from_type, to_type, count(*) AS n,
+           round(cast(count(*) AS DOUBLE)
+                 / sum(count(*)) OVER (PARTITION BY from_type), 6) AS p
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def q_event_transitions(spark, sf):
+    """First-order Markov transition matrix of user event sequences:
+    one lead() scan per user (single shuffle on user_id), then the
+    transition-count aggregate; row-normalization reuses the count
+    aggregate through a window over the tiny (from_type) marginal
+    instead of a second pass over events."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = _events(spark, sf).select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    counts = (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wrow = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wrow), 6).alias("p"),
+    )
+
+
+@_q(
     "interarrival_stats",
     """
     WITH g AS (
