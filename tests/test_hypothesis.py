@@ -132,3 +132,85 @@ def test_pack_shards_matches_naive_greedy(spark, rows, budget):
         prev = cum.get(g, 0)
         assert out[i] == prev // budget
         cum[g] = prev + t
+
+
+def _morton_ref(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_SETTINGS
+def test_morton_key_matches_bitwise_reference(spark, pts):
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.layout import (
+        morton_key,
+    )
+
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn("z", morton_key("x", "y", bits=8)).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == _morton_ref(x, y, 8)
+    # bijective: distinct points -> distinct keys
+    assert len(set(got.values())) == len(set(pts))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),          # user
+            st.integers(0, 50),         # seconds offset
+            st.integers(-50, 50),       # value
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@_SETTINGS
+def test_time_weighted_avg_matches_naive(spark, rows):
+    import datetime as dt
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, u, base + dt.timedelta(seconds=s), float(v))
+        for i, (u, s, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, ["event_id", "u", "ts", "v"])
+    got = {
+        r["u"]: (r["twa_value"], r["span_us"], r["n_spans"])
+        for r in time_weighted_avg(df, ["u"], "ts", "v", "event_id").collect()
+    }
+    by_user = {}
+    for i, u, ts, v in data:
+        by_user.setdefault(u, []).append((ts, i, v))
+    for u, samples in by_user.items():
+        samples.sort()  # (ts, event_id) — the operator's window order
+        spans = [
+            (v, (samples[j + 1][0] - ts).total_seconds())
+            for j, (ts, _, v) in enumerate(samples[:-1])
+        ]
+        if not spans:
+            assert u not in got  # single-sample users emit nothing
+            continue
+        total = sum(w for _, w in spans)
+        twa, span_us, n = got[u]
+        assert n == len(spans)
+        assert span_us == int(total * 1_000_000)
+        if total > 0:
+            expect = sum(v * w for v, w in spans) / total
+            assert abs(twa - expect) < 1e-6
