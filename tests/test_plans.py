@@ -1,0 +1,81 @@
+"""Physical-plan regression tests: the plan *shapes* the 100 TB design
+arguments rely on, asserted so a refactor cannot silently regress them.
+These read `explain("formatted")` output of the real queries at sf0.001
+(plan shape is scale-independent; AQE initial plans still show the
+chosen join strategies)."""
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = entrymod._REGISTRY[name][0](spark, SF)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_no_cartesian_products_anywhere_cheap(spark):
+    """No all-pairs joins in the scale-sensitive pipelines (the
+    brute-force ANN baseline is exempt by design — it IS all-pairs)."""
+    for name in [
+        "embedding_neardup",
+        "minhash_near_dups",
+        "simhash_near_dups",
+        "triangle_count",
+        "basket_lift",
+        "flagship_shipped_orders",
+    ]:
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_dimension_joins_broadcast(spark):
+    for name in ["stream_table_enrich", "flagship_shipped_orders"]:
+        assert "BroadcastHashJoin" in _plan(spark, name), name
+
+
+def test_bloom_filter_prunes_at_scan(spark):
+    """The bloom membership test must sit scan-side (a Filter over the
+    parquet scan with the literal bitmap), not after the join."""
+    plan = _plan(spark, "bloom_semi_join")
+    assert "BroadcastHashJoin LeftSemi" in plan
+    assert "element_at" in plan  # the literal-bitmap probe expression
+
+
+def test_scans_prune_columns(spark):
+    """Narrow projections must reach ReadSchema — a documents scan for
+    text_stats should never read the embedding-sized text twice, and
+    project_filter reads only its four orders columns."""
+    plan = _plan(spark, "project_filter")
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "o_orderkey" in scan and "o_totalprice" in scan
+    assert "o_orderdate" not in scan
+
+
+def test_filters_push_down(spark):
+    plan = _plan(spark, "project_filter")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(o_totalprice,50000.0)" in plan or "o_totalprice" in (
+        plan[plan.index("PushedFilters") :].splitlines()[0]
+    )
+
+
+def test_compaction_is_aggregate_not_window(spark):
+    """latest_by_offset must stay a hash aggregate (map-side combine),
+    never regress to the row_number-over-window formulation."""
+    plan = _plan(spark, "latest_by_offset")
+    assert "max_by" in plan
+    assert "Window" not in plan
+
+
+def test_interval_join_bucketed_is_equi_join(spark):
+    """The bucketed interval join must run as a hash equi-join on
+    (key, bucket) — SortMergeJoin/ShuffledHashJoin both fine — with the
+    range predicate as a post-join condition, not a nested loop."""
+    plan = _plan(spark, "interval_join_bucketed")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
