@@ -5035,6 +5035,50 @@ def q_streaming_ohlc(spark, sf):
     return read_bars(spark, f"{base}/state", ["event_type"])
 
 
+@_q(
+    "streaming_stateful_agg",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           max_by(event_type, event_id) AS latest_event_type,
+           max_by(value, event_id)      AS latest_value,
+           max(event_id)                AS last_offset
+    FROM events GROUP BY user_id
+    """,
+)
+def q_streaming_stateful_agg(spark, sf):
+    """Arbitrary per-key state via applyInPandasWithState
+    (streaming/stateful.py): the engine-managed, checkpointed state
+    store holds each user's running count / exact-cents sum / latest-by-
+    offset values; update-mode emissions feed the keyed-upsert MERGE.
+    Every fold is associative (int sum, offset-guarded latest), so any
+    micro-batch split folds to the batch aggregate the oracle runs."""
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.stateful import (
+        read_counter,
+        run_stateful_counter,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_stateful_")
+    with _stream_partitions(spark):
+        run_stateful_counter(
+            _events_stream(spark, sf).select(
+                "user_id", "event_id", "event_type", "value"
+            ),
+            base,
+        )
+    return read_counter(spark, base).select(
+        "user_id",
+        "n_events",
+        "total_cents",
+        "latest_event_type",
+        "latest_value",
+        "last_offset",
+    )
+
+
 @_q("streaming_gap_fill", _REGISTRY["gap_fill_locf"][1])
 def q_streaming_gap_fill(spark, sf):
     """Gap-filled LOCF series served FROM the incrementally-maintained
