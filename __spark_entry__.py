@@ -4564,8 +4564,13 @@ def _events_stream(spark, sf):
     raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
     # FileStreamSource wants a directory or glob, not a literal file path
     sdf = spark.readStream.schema(raw_schema).parquet(f"{sf}/events.parque[t]")
-    if dict(sdf.dtypes)["ts"] == "bigint":
+    ts_type = dict(sdf.dtypes)["ts"]
+    if ts_type == "bigint":
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Watermarks/event-time require TimestampType; with the session
+        # zone pinned UTC this cast is value-exact (mirrors catalog.load).
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
     return sdf
 
 

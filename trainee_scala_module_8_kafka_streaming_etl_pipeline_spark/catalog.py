@@ -16,7 +16,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 # Driver-provided tables (/root/repo/TESTDATA.md): TPC-H-ish star schema
 # plus an event stream, documents and embeddings for the LLM-pipeline ops.
@@ -60,10 +60,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _apply_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANOS_TS_COLS.get(name, ()):
-        if isinstance(df.schema[col].dataType, LongType):
+        dt = df.schema[col].dataType
+        if isinstance(dt, LongType):
             # `div` = exact integer division (float division of ~1.7e18-ns
             # values loses sub-microsecond precision in a double).
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            # Newer generator writes legal timestamp[us] without a zone;
+            # with the session zone pinned to UTC this cast is value-exact
+            # and gives every consumer the TimestampType they were built
+            # against (unix_micros etc. reject NTZ inputs).
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -93,9 +93,11 @@ def time_weighted_avg(
         dt_us.alias("dt_us"),
     ).filter(F.col("dt_us").isNotNull())
     return weighted.groupBy(*key_cols).agg(
-        (
-            F.sum("wv").cast("double")
-            / F.sum("dt_us").cast("double")
+        # try_divide: a key whose samples all share one timestamp has a
+        # zero total span -> NULL average (DuckDB's x/0 is NULL too).
+        F.try_divide(
+            F.sum("wv").cast("double"),
+            F.sum("dt_us").cast("double"),
         ).alias("twa_value"),
         F.sum("dt_us").alias("span_us"),
         F.count(F.lit(1)).alias("n_spans"),
