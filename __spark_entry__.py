@@ -5309,6 +5309,229 @@ def q_streaming_flagship_golden(spark, sf):
 
 
 # ===========================================================================
+# statistical / set / reshape extensions (round 2 batch 2)
+# ===========================================================================
+
+# unix_micros(TIMESTAMP '2024-01-01 00:00:00Z') — origin near the events
+# table's start so centered x stays small (operators/timeseries.py doc).
+_TREND_ORIGIN_US = 1704067200000000
+
+
+@_q(
+    "value_trend_regression",
+    f"""
+    WITH s AS (
+      SELECT event_type,
+             (epoch_us(ts) - {_TREND_ORIGIN_US}) // 1000000 AS x,
+             value::DECIMAL(18,6) AS y
+      FROM events),
+    agg AS (
+      SELECT event_type,
+             count(*)                       AS n,
+             sum(x)                         AS sx,
+             sum(y)                         AS sy,
+             sum(x * x)                     AS sxx,
+             sum(x::DECIMAL(12,0) * y)      AS sxy,
+             sum(y * y)                     AS syy
+      FROM s GROUP BY event_type)
+    SELECT event_type,
+           n AS n_events,
+           round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS slope_per_sec,
+           round((sy::DOUBLE - (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                               / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                               * sx::DOUBLE) / n::DOUBLE, 6)               AS intercept,
+           round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 * (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6) AS r2
+    FROM agg
+    """,
+)
+def q_value_trend_regression(spark, sf):
+    """Per-event-type least-squares value trend
+    (operators/timeseries.py:linear_trend): one hash aggregate of six
+    exact DECIMAL sufficient statistics (map-side combined), closed-form
+    slope/intercept/r² from the sums — the map-reduce regression shape
+    that needs no window and no second pass."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        timeseries,
+    )
+
+    return timeseries.linear_trend(
+        _events(spark, sf),
+        key_cols=["event_type"],
+        ts_col="ts",
+        value_col="value",
+        epoch_origin_us=_TREND_ORIGIN_US,
+    )
+
+
+@_q(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_oracle_minhash()})),
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+    lbl AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+    member AS (
+      SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+             {_QUALITY_SQL} AS quality
+      FROM documents d LEFT JOIN lbl l USING (doc_id)),
+    ranked AS (
+      SELECT cluster_id, doc_id, quality,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY quality DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM member)
+    SELECT cluster_id, doc_id AS keep_doc_id, quality AS keep_quality, n_members
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best(spark, sf):
+    """Canonical-doc selection per near-dup cluster
+    (operators/dedup.py:keep_best_per_cluster): connected components
+    over the verified MinHash pair graph, then keep the highest-quality
+    member of each cluster (lowest id on ties) — dedup that keeps the
+    BEST copy, not an arbitrary one. Oracle replays the fixpoint with a
+    recursive CTE and the same quality formula."""
+    return dedup.keep_best_per_cluster(
+        load(spark, sf, "documents"), quality_col=T.quality_score()
+    )
+
+
+@_q(
+    "unpivot_metrics",
+    f"""
+    WITH wide AS (
+      SELECT source,
+             round(cast(sum(length(text)) AS DOUBLE) / count(*), 6) AS avg_chars,
+             round(cast(sum(length(text) - length(replace(text, chr(10), ''))
+                           + 1) AS DOUBLE) / count(*), 6)           AS avg_lines,
+             round(cast(sum(cast({_QUALITY_SQL} AS DECIMAL(12,6))) AS DOUBLE)
+                   / count(*), 6)                                   AS avg_quality
+      FROM documents GROUP BY source)
+    SELECT source, 'avg_chars' AS metric, avg_chars AS value FROM wide
+    UNION ALL SELECT source, 'avg_lines', avg_lines FROM wide
+    UNION ALL SELECT source, 'avg_quality', avg_quality FROM wide
+    """,
+)
+def q_unpivot_metrics(spark, sf):
+    """Wide→long reshape with the native unpivot (melt) operator: a
+    per-source metric matrix becomes (source, metric, value) rows.
+    Unpivot is a zero-shuffle narrow transform (each row expands to
+    k rows locally); the only exchange is the one aggregate before it.
+    Double sums are accumulated exactly (bigint/DECIMAL) so the
+    averages are partition-order independent."""
+    d = load(spark, sf, "documents")
+    n_lines = F.length("text") - F.length(F.replace(F.col("text"), F.lit("\n"), F.lit(""))) + 1
+    wide = d.groupBy("source").agg(
+        F.round(F.sum(F.length("text")).cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_chars"
+        ),
+        F.round(F.sum(n_lines).cast("double") / F.count(F.lit(1)), 6).alias("avg_lines"),
+        F.round(
+            F.sum(T.quality_score().cast("decimal(12,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_quality"),
+    )
+    return wide.unpivot(
+        ["source"], ["avg_chars", "avg_lines", "avg_quality"], "metric", "value"
+    )
+
+
+@_q(
+    "set_ops_segments",
+    """
+    WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id FROM events WHERE event_type = 'click')
+    SELECT user_id, 'both' AS segment
+    FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM c)
+    UNION ALL
+    SELECT user_id, 'purchase_only'
+    FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM c)
+    UNION ALL
+    SELECT user_id, 'click_only'
+    FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+    """,
+)
+def q_set_ops_segments(spark, sf):
+    """Audience segmentation via relational set operators: INTERSECT /
+    EXCEPT (both distinct-set semantics) between the purchaser and
+    clicker key sets, tagged and unioned. Catalyst plans set ops as
+    aggregates/joins on the hashed key — same single-shuffle shape as
+    the semi/anti joins, chosen here to exercise the operator family."""
+    p = _purchases(spark, sf).select("user_id")
+    c = _clicks(spark, sf).select("user_id")
+    return (
+        p.intersect(c).withColumn("segment", F.lit("both"))
+        .unionByName(p.subtract(c).withColumn("segment", F.lit("purchase_only")))
+        .unionByName(c.subtract(p).withColumn("segment", F.lit("click_only")))
+    )
+
+
+@_q(
+    "mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value::DOUBLE, 0.5) AS median_value
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, m.median_value,
+             abs(e.value - m.median_value) AS adev
+      FROM events e JOIN med m USING (event_type)),
+    stats AS (
+      SELECT event_type,
+             round(any_value(median_value), 6)         AS median_value,
+             round(quantile_cont(adev, 0.5), 6)        AS mad,
+             count(*)                                  AS n_events
+      FROM dev GROUP BY event_type)
+    SELECT s.event_type, s.median_value, s.mad, s.n_events,
+           count(*) FILTER (WHERE abs(e.value - s.median_value) > 3 * s.mad)
+             AS n_outliers
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    GROUP BY s.event_type, s.median_value, s.mad, s.n_events
+    """,
+)
+def q_mad_outliers(spark, sf):
+    """Robust outlier detection by median absolute deviation: exact
+    median per event_type, then the median of absolute deviations, then
+    a count of points beyond 3×MAD. Three passes over events, but each
+    reduction is a 5-group aggregate whose result BROADCASTS back — the
+    raw table is never shuffled, so the plan is three scans + map-side
+    joins, the right trade at 100 TB (percentile state stays tiny)."""
+    e = _events(spark, sf).select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("median_value")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("median_value"))
+    )
+    stats = dev.groupBy("event_type").agg(
+        F.round(F.any_value("median_value"), 6).alias("median_value"),
+        F.round(F.expr("percentile(adev, 0.5D)"), 6).alias("mad"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "median_value", "mad", "n_events")
+        .agg(
+            F.count(
+                F.when(F.abs(F.col("value") - F.col("median_value")) > 3 * F.col("mad"), 1)
+            ).alias("n_outliers")
+        )
+    )
+
+
+# ===========================================================================
 # driver contract
 # ===========================================================================
 

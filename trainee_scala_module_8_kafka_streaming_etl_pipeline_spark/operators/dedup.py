@@ -40,7 +40,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SHINGLE_LEN = 5
@@ -627,3 +627,47 @@ def simhash_near_dups(
         .distinct()
     )
     return pairs
+
+
+def keep_best_per_cluster(
+    df: DataFrame,
+    quality_col,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Canonical-document selection: for each near-duplicate cluster,
+    keep the member with the highest quality score (lowest id on ties).
+
+    This is the step after :func:`neardup_clusters` in a real corpus
+    build — dedup should keep the *best* copy, not an arbitrary one
+    (cluster representatives chosen by quality, the keep-list policy
+    used by large-scale corpus dedup pipelines).
+
+    Plan: the cluster labels (already reduced to one row per doc) join
+    back to the scored docs on the id — both sides hash-partition on
+    the id, the scoring itself is a narrow projection — then ONE window
+    ranks members inside each cluster. The window's sort sees only
+    (cluster_id, quality, id) triples, never document text.
+    """
+    scored = df.select(
+        F.col(id_col), quality_col.alias("quality")
+    ).join(neardup_clusters(df, id_col=id_col, text_col=text_col), id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.col(id_col)
+    )
+    return (
+        scored.select(
+            "cluster_id",
+            F.col(id_col),
+            "quality",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).alias("n_members"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col(id_col).alias("keep_doc_id"),
+            F.col("quality").alias("keep_quality"),
+            "n_members",
+        )
+    )

@@ -150,3 +150,57 @@ def gap_fill_from_daily(daily: DataFrame, key_cols: Sequence[str]) -> DataFrame:
         F.last("obs_value", ignorenulls=True).over(locf).alias("value"),
         F.col("obs_value").isNull().alias("is_filled"),
     )
+
+
+def linear_trend(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    epoch_origin_us: int,
+) -> DataFrame:
+    """Per-key least-squares trend of value over time (exact-sum form).
+
+    Closed-form simple linear regression computed from five exact
+    sufficient statistics — n, Σx, Σy, Σx², Σxy (+ Σy² for r²) — in ONE
+    hash aggregate with map-side partial combine: the canonical
+    map-reduce regression, no window, no second pass.  Equivalent to
+    ``regr_slope``/``regr_intercept``, but accumulating in DECIMAL so
+    partials combine associatively (a float-sum formulation would be
+    partition-order dependent and non-reproducible across cluster
+    layouts; the exact sums also make the result oracle-checkable
+    bit-for-bit).
+
+    ``x`` is seconds since ``epoch_origin_us`` (pass an origin near the
+    data's start): centering keeps x ≤ ~1e7 for year-scale spans so
+    x² sums stay far inside DECIMAL(38) at trillions of rows.  Only the
+    final slope/intercept/r² arithmetic is double.
+    """
+    x = F.expr(f"(unix_micros({ts_col}) - {epoch_origin_us}) div 1000000")
+    y = F.col(value_col).cast("decimal(18,6)")
+    xd = x.cast("decimal(12,0)")
+    stats = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("sxx"),
+        F.sum(xd * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_n = n * sxx - sx * sx
+    slope = F.try_divide(cov_n, var_n)
+    r2 = F.try_divide(cov_n * cov_n, var_n * (n * syy - sy * sy))
+    return stats.select(
+        *key_cols,
+        F.col("n").alias("n_events"),
+        F.round(slope, 6).alias("slope_per_sec"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
