@@ -5531,6 +5531,175 @@ def q_mad_outliers(spark, sf):
     )
 
 
+@_q(
+    "session_outage_overlap",
+    """
+    WITH cs_raw AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+      FROM events WHERE event_type = 'click'),
+    cs_s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM cs_raw),
+    cs AS (
+      SELECT user_id, min(ts) AS s_start,
+             max(ts) + INTERVAL 30 MINUTE AS s_end
+      FROM cs_s GROUP BY user_id, sid),
+    er_raw AS (
+      SELECT ts, CASE WHEN ts - lag(ts) OVER (ORDER BY ts)
+                           < INTERVAL 5 MINUTE THEN 0 ELSE 1 END AS brk
+      FROM events WHERE event_type = 'error'),
+    er_s AS (
+      SELECT ts, sum(brk) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM er_raw),
+    outage AS (
+      SELECT min(ts) AS o_start, max(ts) + INTERVAL 5 MINUTE AS o_end
+      FROM er_s GROUP BY sid)
+    SELECT user_id, s_start, s_end, o_start, o_end
+    FROM cs JOIN outage ON s_start <= o_end AND o_start <= s_end
+    """,
+)
+def q_session_outage_overlap(spark, sf):
+    """Interval-overlap range join (operators/joins.py:
+    interval_overlap_join): which user click-sessions overlapped a
+    global error-burst window. Both interval sets come from
+    session_window aggregations; the overlap join decomposes each
+    interval into covered hour buckets and equi-joins on the bucket —
+    the scalable form of a predicate Catalyst could only nested-loop.
+    The DuckDB oracle runs the naive theta join; value-hash equality
+    proves the decomposition loses/invents no pairs."""
+    clicks = _clicks(spark, sf).select("user_id", "ts")
+    errors = _events(spark, sf).filter(F.col("event_type") == "error").select("ts")
+    cs = (
+        clicks.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("user_id", F.col("w.start").alias("s_start"), F.col("w.end").alias("s_end"))
+    )
+    outage = (
+        errors.groupBy(F.session_window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(F.col("w.start").alias("o_start"), F.col("w.end").alias("o_end"))
+    )
+    return joins.interval_overlap_join(
+        cs, outage, ("s_start", "s_end"), ("o_start", "o_end"), bucket_seconds=3600
+    )
+
+
+@_q(
+    "fuzzy_name_match",
+    """
+    WITH names AS (
+      SELECT string_split(p_name, ' ')[2] AS noun,
+             string_split(p_name, ' ')[1] AS adj,
+             count(*) AS n_parts
+      FROM part GROUP BY 1, 2)
+    SELECT a.noun, a.adj AS adj_a, b.adj AS adj_b,
+           levenshtein(a.adj, b.adj) AS dist,
+           a.n_parts * b.n_parts AS n_pairs
+    FROM names a JOIN names b
+      ON a.noun = b.noun AND a.adj < b.adj
+     AND abs(length(a.adj) - length(b.adj)) <= 3
+     AND levenshtein(a.adj, b.adj) <= 3
+    """,
+)
+def q_fuzzy_name_match(spark, sf):
+    """Blocked edit-distance record linkage: near-matching part names
+    within a blocking key (the head noun). The scale pattern: collapse
+    rows to DISTINCT name signatures first (20k parts → ~64 signatures
+    here; web-scale dirty catalogs shrink 1000×), block on an equi-key
+    so candidate pairs stay keyed, prune by the length-difference lower
+    bound of edit distance (|len(a)-len(b)| ≤ t is necessary for
+    lev ≤ t, and costs nothing), THEN run Levenshtein only on
+    survivors. Never an all-pairs cross join on raw rows."""
+    p = load(spark, sf, "part")
+    names = (
+        p.select(
+            F.split("p_name", " ").getItem(1).alias("noun"),
+            F.split("p_name", " ").getItem(0).alias("adj"),
+        )
+        .groupBy("noun", "adj")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    a = names.select("noun", F.col("adj").alias("adj_a"), F.col("n_parts").alias("na"))
+    b = names.select("noun", F.col("adj").alias("adj_b"), F.col("n_parts").alias("nb"))
+    return (
+        a.join(b, "noun")
+        .filter(
+            (F.col("adj_a") < F.col("adj_b"))
+            & (F.abs(F.length("adj_a") - F.length("adj_b")) <= 3)
+        )
+        .withColumn("dist", F.levenshtein("adj_a", "adj_b"))
+        .filter(F.col("dist") <= 3)
+        .select(
+            "noun", "adj_a", "adj_b", "dist",
+            (F.col("na") * F.col("nb")).alias("n_pairs"),
+        )
+    )
+
+
+@_q(
+    "adjacent_pattern_counts",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us,
+             lead(event_type) OVER w AS next_type,
+             lead(epoch_us(ts)) OVER w AS next_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click'
+                            AND next_type = 'purchase'
+                            AND next_us - us <= 3600000000)
+             AS n_click_then_purchase,
+           count(*) FILTER (WHERE event_type = 'error'
+                            AND next_type = 'error'
+                            AND next_us - us <= 600000000)
+             AS n_error_bursts,
+           count(*) AS n_events
+    FROM s GROUP BY user_id
+    """,
+)
+def q_adjacent_pattern_counts(spark, sf):
+    """MATCH_RECOGNIZE-style adjacent-pattern detection: per user,
+    count click→purchase conversions (next event is a purchase within
+    1h) and error→error bursts (within 10 min). One lead() window and
+    one aggregate, both keyed on user_id — Spark plans a single
+    exchange + sort reused by both steps, and the pattern predicates
+    run in codegen over (type, ts) pairs only."""
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = _events(spark, sf).select(
+        "user_id",
+        "event_type",
+        us.alias("us"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead(us).over(w).alias("next_us"),
+    )
+    gap = F.col("next_us") - F.col("us")
+    return s.groupBy("user_id").agg(
+        F.count(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("next_type") == "purchase")
+                & (gap <= 3_600_000_000),
+                1,
+            )
+        ).alias("n_click_then_purchase"),
+        F.count(
+            F.when(
+                (F.col("event_type") == "error")
+                & (F.col("next_type") == "error")
+                & (gap <= 600_000_000),
+                1,
+            )
+        ).alias("n_error_bursts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================

@@ -343,3 +343,64 @@ def test_write_zordered_files_cover_disjoint_ranges(spark, tmp_path):
     )
     assert all(r["xw"] < 64 or r["yw"] < 64 for r in exts)
     assert sum(1 for r in exts if r["xw"] < 64 and r["yw"] < 64) >= len(exts) // 2
+
+
+def test_interval_overlap_join_exact_vs_naive(spark):
+    """Bucket decomposition must equal the naive theta join, including
+    intervals that overlap across a bucket boundary and near-misses
+    that share a bucket without overlapping."""
+    from datetime import datetime, timedelta
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import joins
+
+    def t(m):
+        return datetime(2024, 1, 1) + timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(1, t(0), t(10)), (2, t(55), t(65)), (3, t(200), t(210))],
+        "lid int, s_start timestamp, s_end timestamp",
+    )
+    right = spark.createDataFrame(
+        # overlaps 1; crosses the hour boundary into 2; inside 2's bucket
+        # but NOT overlapping 2; far away
+        [(10, t(5), t(8)), (11, t(58), t(62)), (12, t(70), t(80)), (13, t(500), t(510))],
+        "rid int, o_start timestamp, o_end timestamp",
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in joins.interval_overlap_join(
+            left, right, ("s_start", "s_end"), ("o_start", "o_end"), bucket_seconds=3600
+        ).collect()
+    }
+    naive = {
+        (l, r)
+        for (l, ls, le) in left.collect()
+        for (r, rs, re_) in right.collect()
+        if ls <= re_ and rs <= le
+    }
+    assert got == naive == {(1, 10), (2, 11)}
+
+
+def test_keep_best_per_cluster_prefers_quality_then_id(spark):
+    from pyspark.sql import functions as SF
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (1, base * 4),          # cluster {1,2,3}: 2 has the longest text
+        (2, base * 6),
+        (3, base * 4 + " ok"),
+        (9, "zz unrelated tiny doc"),  # singleton cluster
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r.cluster_id: (r.keep_doc_id, r.n_members)
+        for r in dedup.keep_best_per_cluster(
+            df, quality_col=SF.length("text").cast("double")
+        ).collect()
+    }
+    assert out[9] == (9, 1)
+    (cluster,) = [c for c in out if c != 9]
+    keep, n = out[cluster]
+    assert n == 3 and keep == 2  # highest quality wins

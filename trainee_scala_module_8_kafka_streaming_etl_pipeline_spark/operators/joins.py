@@ -144,3 +144,51 @@ def asof_join(
         out = out.withColumn(prefix + c, F.col(f"_carried.{c}"))
     out = out.withColumn(prefix + right_ts, F.col("_carried._rts"))
     return out.drop("_ts", "_side", "_payload", "_carried")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_span: tuple[str, str],
+    right_span: tuple[str, str],
+    bucket_seconds: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Join interval rows that OVERLAP: l.start <= r.end AND
+    r.start <= l.end.
+
+    A raw overlap predicate has no equi-key, so Catalyst can only plan
+    a broadcast nested-loop / cartesian — O(|L|·|R|) comparisons, the
+    classic range-join scale-killer. This operator decomposes each
+    interval into the fixed-width time buckets it covers (``sequence``
+    + ``explode``), equi-joins on the bucket id (overlapping intervals
+    must share at least one covered bucket), de-duplicates the pair
+    hits, and re-applies the exact predicate to discard same-bucket
+    near-misses. Cost: O((|L|+|R|)·spans + |candidate pairs|), all
+    hash-partitioned — the standard interval-decomposition range join.
+
+    Pick ``bucket_seconds`` near the typical interval length: too small
+    multiplies the explode factor, too large multiplies false-positive
+    candidates.
+    """
+    ls, le = left_span
+    rs, re_ = right_span
+
+    def bucketed(df: DataFrame, s: str, e: str) -> DataFrame:
+        b = F.explode(
+            F.sequence(
+                F.expr(f"unix_seconds(`{s}`) div {bucket_seconds}"),
+                F.expr(f"unix_seconds(`{e}`) div {bucket_seconds}"),
+            )
+        )
+        return df.withColumn("__bucket", b)
+
+    lb = bucketed(left, ls, le)
+    rb = bucketed(right, rs, re_)
+    pairs = (
+        lb.join(rb, "__bucket", how)
+        .drop("__bucket")
+        .distinct()
+        .filter((F.col(ls) <= F.col(re_)) & (F.col(rs) <= F.col(le)))
+    )
+    return pairs
