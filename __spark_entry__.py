@@ -5532,6 +5532,55 @@ def q_mad_outliers(spark, sf):
 
 
 @_q(
+    "profile_columns",
+    """
+    WITH stacked AS (
+      SELECT 'o_custkey' AS "column", cast(o_custkey AS VARCHAR) AS value
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', o_orderstatus FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+      UNION ALL
+      SELECT 'o_totalprice',
+             cast(cast(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+      FROM orders)
+    SELECT "column",
+           count(*) AS n_rows,
+           round(cast(count(*) - count(value) AS DOUBLE) / count(*), 6)
+             AS null_frac,
+           count(DISTINCT value) AS n_distinct,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM stacked GROUP BY "column"
+    """,
+)
+def q_profile_columns(spark, sf):
+    """One-pass dataset profiling (operators/profiling.py): melt the
+    audited columns into (column, value) pairs with a narrow explode,
+    then ONE grouped aggregate — nulls, cardinality, lexicographic
+    range per column. The distinct count plans as a partial aggregate
+    on (column, value) before the exchange, so no EXPAND-per-column
+    blowup and no executor holds more than its partition's distincts.
+    Floats render through a DECIMAL(18,2) cast for an engine-portable
+    canonical string."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        profiling,
+    )
+
+    o = load(spark, sf, "orders")
+    return profiling.profile_columns(
+        o,
+        [
+            ("o_custkey", F.col("o_custkey")),
+            ("o_orderstatus", F.col("o_orderstatus")),
+            ("o_orderpriority", F.col("o_orderpriority")),
+            ("o_totalprice", F.col("o_totalprice").cast("decimal(18,2)")),
+        ],
+    )
+
+
+@_q(
     "session_outage_overlap",
     """
     WITH cs_raw AS (

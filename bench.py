@@ -74,6 +74,10 @@ HEADLINE = [
     "ohlc_bars",
     "time_weighted_avg",
     "zorder_clustering",
+    "value_trend_regression",
+    "session_outage_overlap",
+    "mad_outliers",
+    "dedup_keep_best",
     "streaming_interval_join",
     "streaming_cdc_upsert",
 ]
