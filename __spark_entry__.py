@@ -5749,6 +5749,459 @@ def q_adjacent_pattern_counts(spark, sf):
     )
 
 
+@_q(
+    "pagerank_3iter",
+    """
+    WITH e AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    bi AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT src, count(*) AS outdeg FROM bi GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM bi),
+    r0 AS (SELECT node, cast(1000000000 AS bigint) AS rank FROM nodes),
+    i1 AS (SELECT b.dst AS node, sum(r.rank // d.outdeg) AS inflow
+           FROM bi b JOIN deg d ON b.src = d.src JOIN r0 r ON r.node = b.src
+           GROUP BY b.dst),
+    r1 AS (SELECT n.node,
+                  cast(150000000 + (85 * coalesce(i.inflow, 0)) // 100 AS bigint) AS rank
+           FROM nodes n LEFT JOIN i1 i ON n.node = i.node),
+    i2 AS (SELECT b.dst AS node, sum(r.rank // d.outdeg) AS inflow
+           FROM bi b JOIN deg d ON b.src = d.src JOIN r1 r ON r.node = b.src
+           GROUP BY b.dst),
+    r2 AS (SELECT n.node,
+                  cast(150000000 + (85 * coalesce(i.inflow, 0)) // 100 AS bigint) AS rank
+           FROM nodes n LEFT JOIN i2 i ON n.node = i.node),
+    i3 AS (SELECT b.dst AS node, sum(r.rank // d.outdeg) AS inflow
+           FROM bi b JOIN deg d ON b.src = d.src JOIN r2 r ON r.node = b.src
+           GROUP BY b.dst),
+    r3 AS (SELECT n.node,
+                  cast(150000000 + (85 * coalesce(i.inflow, 0)) // 100 AS bigint) AS rank
+           FROM nodes n LEFT JOIN i3 i ON n.node = i.node)
+    SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 20
+    """,
+)
+def q_pagerank_3iter(spark, sf):
+    """Fixed-iteration integer PageRank (operators/graph.py:pagerank_fixed)
+    over the bidirectional customer–supplier trade graph derived from
+    lineitem⨝orders. Scaled-integer arithmetic (rank div outdeg, floor
+    division throughout) makes every iteration bit-identical regardless
+    of partial-aggregation order — the reason a DuckDB value-hash oracle
+    is possible for an iterative graph algorithm at all. Every node
+    appears in both directions, so there are no dangling-mass terms.
+    Mirrors the iterate-as-joins pattern of dedup_clusters; see
+    /root/reference/README.md:434-480 for the reference's (non-graph)
+    analytic surface this extends."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        graph,
+    )
+
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    bi = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = graph.pagerank_fixed(bi, iterations=3)
+    return ranks.orderBy(F.desc("rank"), "node").limit(20)
+
+
+@_q(
+    "sequence_pack",
+    f"""
+    WITH t AS (
+      SELECT source, doc_id, {_TOK_SQL} AS tok FROM documents),
+    c AS (
+      SELECT source, doc_id, tok,
+             sum(tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      FROM t)
+    SELECT source, (cum - tok) // 2000 AS bin,
+           count(*) AS n_docs,
+           cast(sum(tok) AS bigint) AS tokens_packed,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c GROUP BY source, bin
+    """,
+)
+def q_sequence_pack(spark, sf):
+    """Training-sequence packing: assign documents to contiguous
+    ~2000-token bins per source shard (cumulative-sum binning — the
+    deterministic, order-preserving form of greedy packing). The window
+    partitions by `source`, so packing parallelizes across shards with
+    one shuffle and a per-shard sort; no global order is ever imposed.
+    At 100 TB the per-source groups are the unit of parallelism exactly
+    as a real pretokenized-shard writer would pack per output file."""
+    d = load(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    c = (
+        d.select("source", "doc_id", T.n_tokens().alias("tok"))
+        .withColumn("cum", F.sum("tok").over(w))
+        .withColumn("bin", F.expr("(cum - tok) div 2000"))
+    )
+    return c.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").cast("bigint").alias("tokens_packed"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@_q(
+    "dup_ngram_coverage",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 4),
+                                   i -> array_to_string(t[i:i+4], ' '))) AS gram
+      FROM toks WHERE len(t) >= 5),
+    occ AS (SELECT doc_id, gram, count(*) AS occ FROM g GROUP BY doc_id, gram),
+    gd AS (SELECT gram, count(*) AS df FROM occ GROUP BY gram)
+    SELECT o.doc_id,
+           cast(sum(o.occ) AS bigint) AS n_grams,
+           cast(sum(CASE WHEN gd.df >= 2 THEN o.occ ELSE 0 END) AS bigint)
+             AS n_dup_grams,
+           round(sum(CASE WHEN gd.df >= 2 THEN o.occ ELSE 0 END)::DOUBLE
+                 / sum(o.occ), 6) AS dup_frac
+    FROM occ o JOIN gd USING (gram) GROUP BY o.doc_id
+    """,
+)
+def q_dup_ngram_coverage(spark, sf):
+    """Per-document duplicate-5-gram coverage (the Dolma/Gopher
+    "fraction of n-grams appearing elsewhere" quality signal). Grams
+    are generated as a narrow in-partition explode (functions/text.py:
+    word_ngrams), then ONE shuffle keyed on the gram computes global
+    document frequency, and the per-doc rollup re-keys on doc_id. The
+    gram-keyed join is the scale-critical step: df counts are
+    map-side-combinable and the join never moves document text, only
+    (doc_id, gram-hash-sized strings, counts)."""
+    d = load(spark, sf, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    grams = d.select(
+        "doc_id", F.explode(T.word_ngrams(toks, 5)).alias("gram")
+    )
+    occ = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("occ"))
+    gd = occ.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    dup = F.when(F.col("df") >= 2, F.col("occ")).otherwise(F.lit(0))
+    return (
+        occ.join(gd, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("occ").cast("bigint").alias("n_grams"),
+            F.sum(dup).cast("bigint").alias("n_dup_grams"),
+            F.round(F.sum(dup).cast("double") / F.sum("occ"), 6).alias("dup_frac"),
+        )
+    )
+
+
+@_q(
+    "inverted_index",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents),
+    occ AS (SELECT term, count(*) AS n_occ FROM tok GROUP BY term),
+    td AS (SELECT DISTINCT term, doc_id FROM tok),
+    post AS (
+      SELECT term, count(*) AS df,
+             array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 5), ',')
+               AS sample_docs
+      FROM td GROUP BY term)
+    SELECT term, n_occ, df, sample_docs
+    FROM occ JOIN post USING (term)
+    """,
+)
+def q_inverted_index(spark, sf):
+    """Inverted-index build: per term, total occurrences, document
+    frequency, and a bounded posting-list sample (first 5 doc ids).
+    Both aggregates key on the term — occurrence counts are map-side
+    combinable; the posting sample aggregates the *deduplicated*
+    (term, doc_id) pairs so collect_list holds at most df entries and
+    the output row stays bounded by the slice. At index scale the
+    posting lists would go to a bucketed sink keyed on term; the
+    bounded sample keeps this oracle-checkable."""
+    d = load(spark, sf, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    )
+    occ = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n_occ"))
+    td = tok.select("term", "doc_id").distinct()
+    post = td.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 5), ","
+        ).alias("sample_docs"),
+    )
+    return occ.join(post, "term").select("term", "n_occ", "df", "sample_docs")
+
+
+@_q(
+    "snapshot_diff",
+    """
+    WITH old AS (
+      SELECT user_id, max(event_id) AS old_event_id,
+             max_by(event_type, event_id) AS old_type
+      FROM events WHERE ts < TIMESTAMP '2024-01-15' GROUP BY user_id),
+    cur AS (
+      SELECT user_id, max(event_id) AS new_event_id,
+             max_by(event_type, event_id) AS new_type
+      FROM events GROUP BY user_id)
+    SELECT cur.user_id,
+           CASE WHEN old.user_id IS NULL THEN 'added'
+                WHEN old.old_event_id = cur.new_event_id THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           old.old_event_id, old.old_type,
+           cur.new_event_id, cur.new_type
+    FROM cur LEFT JOIN old ON cur.user_id = old.user_id
+    """,
+)
+def q_snapshot_diff(spark, sf):
+    """Materialized-state snapshot diff: the latest-event-per-user table
+    as of Jan 15 versus end-of-month, classified added/changed/
+    unchanged. This is the batch audit of A3 incremental maintenance —
+    what a `latest_by_offset` table revision *should* have produced
+    between two points in time (SURVEY.md §2.4; reference live-update
+    test /root/reference/README.md:654-679). Two keyed aggregates over
+    one scan range each plus a keyed join; the early `ts` predicate
+    pushes to the parquet scan for the snapshot side."""
+    ev = _events(spark, sf)
+    old = (
+        ev.filter(F.col("ts") < F.expr("TIMESTAMP '2024-01-15'"))
+        .groupBy("user_id")
+        .agg(
+            F.max("event_id").alias("old_event_id"),
+            F.max_by("event_type", "event_id").alias("old_type"),
+        )
+    )
+    cur = ev.groupBy("user_id").agg(
+        F.max("event_id").alias("new_event_id"),
+        F.max_by("event_type", "event_id").alias("new_type"),
+    )
+    j = cur.alias("cur").join(
+        old.alias("old"), F.col("cur.user_id") == F.col("old.user_id"), "left"
+    )
+    status = (
+        F.when(F.col("old.user_id").isNull(), "added")
+        .when(F.col("old_event_id") == F.col("new_event_id"), "unchanged")
+        .otherwise("changed")
+    )
+    return j.select(
+        F.col("cur.user_id").alias("user_id"),
+        status.alias("status"),
+        "old_event_id",
+        "old_type",
+        "new_event_id",
+        "new_type",
+    )
+
+
+@_q(
+    "dq_audit",
+    """
+    SELECT 'orders_fk_customer' AS check_name,
+           count(*) FILTER (WHERE c.c_custkey IS NULL) AS n_violations,
+           count(*) AS n_checked
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           count(*) FILTER (WHERE o.o_orderkey IS NULL), count(*)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'customer_pk_unique',
+           cast(count(*) - count(DISTINCT c_custkey) AS bigint), count(*)
+    FROM customer
+    UNION ALL
+    SELECT 'events_value_not_null',
+           count(*) FILTER (WHERE value IS NULL), count(*) FROM events
+    UNION ALL
+    SELECT 'orders_price_positive',
+           count(*) FILTER (WHERE o_totalprice <= 0), count(*) FROM orders
+    """,
+)
+def q_dq_audit(spark, sf):
+    """Data-quality audit: one row per declared constraint with its
+    violation count — referential integrity via LEFT-join null probes
+    (broadcast when the PK side is a dimension), PK uniqueness via
+    count-vs-distinct, and column-domain checks as pure codegen
+    filters. Each check is an independent aggregate over one scan, so
+    the whole audit is embarrassingly parallel; at warehouse scale this
+    runs as the validation stage of every load job."""
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    li = load(spark, sf, "lineitem")
+    ev = _events(spark, sf)
+
+    def _check(name, df):
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.col("n_violations").cast("bigint").alias("n_violations"),
+            F.col("n_checked").cast("bigint").alias("n_checked"),
+        )
+
+    fk_cust = o.join(
+        F.broadcast(c.select("c_custkey")), o.o_custkey == c.c_custkey, "left"
+    ).agg(
+        F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("n_violations"),
+        F.count(F.lit(1)).alias("n_checked"),
+    )
+    fk_ord = li.join(
+        o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left"
+    ).agg(
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("n_violations"),
+        F.count(F.lit(1)).alias("n_checked"),
+    )
+    pk = c.agg(
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey")).alias("n_violations"),
+        F.count(F.lit(1)).alias("n_checked"),
+    )
+    ev_null = ev.agg(
+        F.count(F.when(F.col("value").isNull(), 1)).alias("n_violations"),
+        F.count(F.lit(1)).alias("n_checked"),
+    )
+    price = o.agg(
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("n_violations"),
+        F.count(F.lit(1)).alias("n_checked"),
+    )
+    return (
+        _check("orders_fk_customer", fk_cust)
+        .unionAll(_check("lineitem_fk_orders", fk_ord))
+        .unionAll(_check("customer_pk_unique", pk))
+        .unionAll(_check("events_value_not_null", ev_null))
+        .unionAll(_check("orders_price_positive", price))
+    )
+
+
+@_q(
+    "corr_matrix",
+    """
+    WITH s AS (
+      SELECT count(*)::DOUBLE AS n,
+             cast(sum(cast(l_quantity      AS decimal(12,2))) AS double) AS sq,
+             cast(sum(cast(l_extendedprice AS decimal(12,2))) AS double) AS sp,
+             cast(sum(cast(l_discount      AS decimal(12,2))) AS double) AS sd,
+             cast(sum(cast(l_quantity AS decimal(12,2))
+                      * cast(l_quantity AS decimal(12,2))) AS double) AS sqq,
+             cast(sum(cast(l_extendedprice AS decimal(12,2))
+                      * cast(l_extendedprice AS decimal(12,2))) AS double) AS spp,
+             cast(sum(cast(l_discount AS decimal(12,2))
+                      * cast(l_discount AS decimal(12,2))) AS double) AS sdd,
+             cast(sum(cast(l_quantity AS decimal(12,2))
+                      * cast(l_extendedprice AS decimal(12,2))) AS double) AS sqp,
+             cast(sum(cast(l_quantity AS decimal(12,2))
+                      * cast(l_discount AS decimal(12,2))) AS double) AS sqd,
+             cast(sum(cast(l_extendedprice AS decimal(12,2))
+                      * cast(l_discount AS decimal(12,2))) AS double) AS spd
+      FROM lineitem)
+    SELECT cast(n AS bigint) AS n,
+           round((n * sqp - sq * sp)
+                 / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 6)
+             AS corr_qty_price,
+           round((n * sqd - sq * sd)
+                 / sqrt((n * sqq - sq * sq) * (n * sdd - sd * sd)), 6)
+             AS corr_qty_disc,
+           round((n * spd - sp * sd)
+                 / sqrt((n * spp - sp * sp) * (n * sdd - sd * sd)), 6)
+             AS corr_price_disc
+    FROM s
+    """,
+)
+def q_corr_matrix(spark, sf):
+    """Pairwise Pearson correlation over the lineitem measures in ONE
+    pass: all nine moment sums accumulate as exact DECIMAL (order-
+    independent, so partial aggregation cannot perturb the value), are
+    converted to double once, and the closed-form correlation is the
+    identical expression tree in both engines. This is the scalable
+    form of a correlation matrix — one scan, one map-side-combinable
+    aggregate, O(k²) tiny state — versus k² separate corr() passes."""
+    dec = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    li = load(spark, sf, "lineitem")
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec("l_quantity")).cast("double").alias("sq"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sp"),
+        F.sum(dec("l_discount")).cast("double").alias("sd"),
+        F.sum(dec("l_quantity") * dec("l_quantity")).cast("double").alias("sqq"),
+        F.sum(dec("l_extendedprice") * dec("l_extendedprice"))
+        .cast("double")
+        .alias("spp"),
+        F.sum(dec("l_discount") * dec("l_discount")).cast("double").alias("sdd"),
+        F.sum(dec("l_quantity") * dec("l_extendedprice"))
+        .cast("double")
+        .alias("sqp"),
+        F.sum(dec("l_quantity") * dec("l_discount")).cast("double").alias("sqd"),
+        F.sum(dec("l_extendedprice") * dec("l_discount"))
+        .cast("double")
+        .alias("spd"),
+    )
+    n, sq, sp, sd = F.col("n"), F.col("sq"), F.col("sp"), F.col("sd")
+
+    def _corr(sxy, sx, sy, sxx, syy):
+        return F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        )
+
+    return s.select(
+        n.cast("bigint").alias("n"),
+        _corr(F.col("sqp"), sq, sp, F.col("sqq"), F.col("spp")).alias(
+            "corr_qty_price"
+        ),
+        _corr(F.col("sqd"), sq, sd, F.col("sqq"), F.col("sdd")).alias(
+            "corr_qty_disc"
+        ),
+        _corr(F.col("spd"), sp, sd, F.col("spp"), F.col("sdd")).alias(
+            "corr_price_disc"
+        ),
+    )
+
+
+@_q(
+    "pareto_frontier",
+    """
+    WITH sig AS (
+      SELECT p_retailprice AS price, p_size AS psize, count(*) AS n_parts
+      FROM part GROUP BY p_retailprice, p_size),
+    m AS (
+      SELECT price, psize, n_parts,
+             max(psize) OVER (ORDER BY price ASC, psize DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS best_prev
+      FROM sig)
+    SELECT price, psize, n_parts
+    FROM m WHERE best_prev IS NULL OR best_prev < psize
+    """,
+)
+def q_pareto_frontier(spark, sf):
+    """2-D skyline (Pareto frontier): parts minimizing retail price
+    while maximizing size. The scale move is collapsing rows to
+    DISTINCT (price, size) signatures FIRST — the frontier is a
+    property of the signature set, which is orders of magnitude smaller
+    than the row set — then a single running-max sweep ordered by
+    (price asc, size desc) keeps exactly the non-dominated points.
+    The sweep's global window runs over the collapsed signatures only;
+    at extreme cardinality it decomposes into per-range sweeps whose
+    frontiers merge by the same rule."""
+    p = load(spark, sf, "part")
+    sig = p.groupBy(
+        F.col("p_retailprice").alias("price"), F.col("p_size").alias("psize")
+    ).agg(F.count(F.lit(1)).alias("n_parts"))
+    w = (
+        Window.orderBy(F.asc("price"), F.desc("psize"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = sig.withColumn("best_prev", F.max("psize").over(w))
+    return m.filter(
+        F.col("best_prev").isNull() | (F.col("best_prev") < F.col("psize"))
+    ).select("price", "psize", "n_parts")
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================

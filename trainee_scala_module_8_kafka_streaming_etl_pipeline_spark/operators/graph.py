@@ -73,6 +73,64 @@ def orient_by_degree(edges: DataFrame) -> DataFrame:
     )
 
 
+def pagerank_fixed(
+    edges: DataFrame,
+    iterations: int = 3,
+    scale: int = 1_000_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank in scaled *integer* arithmetic.
+
+    Every quantity is a BIGINT: ranks start at ``scale`` per node, each
+    node sends ``rank div out_degree`` along its out-edges, and the new
+    rank is ``(100-damping_pct)% * scale + damping_pct% * inflow`` with
+    integer (floor) division throughout. Floor division is the same
+    operation in every engine, so the result is bit-identical across
+    Spark, DuckDB, and any partial-aggregation order — unlike float
+    PageRank, whose sums depend on reduction order. With ``scale=1e9``
+    and graphs up to ~1e5 in-degree, all intermediates stay far below
+    2^63.
+
+    Plan shape per iteration: one hash join ranks⨝edges on src (edges
+    are pre-joined with out-degrees once, outside the loop) and one
+    groupBy(dst) sum — the canonical iterate-as-joins pattern. The
+    edge+degree table is cached once; only the O(nodes) rank vector
+    moves between iterations. At cluster scale the rank vector and the
+    edge list would share a hash partitioning on the node id so each
+    iteration is a co-partitioned join plus a map-side-combined sum.
+
+    Input: directed edges (src, dst), assumed distinct. Returns
+    (node, rank) for all nodes.
+    """
+    base = (scale * (100 - damping_pct)) // 100
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = edges.join(deg, "src").cache()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("rank"))
+    for _ in range(iterations):
+        inflow = (
+            ed.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("rank div outdeg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        ranks = nodes.join(
+            inflow.withColumnRenamed("dst", "node"), "node", "left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * coalesce(inflow, 0)) div 100")
+            ).cast("bigint").alias("rank"),
+        )
+    return ranks
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Global triangle count of an undirected (u < v) edge set.
 
