@@ -78,6 +78,10 @@ HEADLINE = [
     "session_outage_overlap",
     "mad_outliers",
     "dedup_keep_best",
+    "pagerank_3iter",
+    "dup_ngram_coverage",
+    "corr_matrix",
+    "sequence_pack",
     "streaming_interval_join",
     "streaming_cdc_upsert",
 ]
