@@ -6202,6 +6202,215 @@ def q_pareto_frontier(spark, sf):
     ).select("price", "psize", "n_parts")
 
 
+@_q(
+    "attribution_last_touch",
+    f"""
+    WITH p AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+    k AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    a AS (
+      SELECT p.user_id, p.ts AS pts, p.value, c.ts AS cts
+      FROM p ASOF LEFT JOIN k c
+        ON p.user_id = c.user_id AND p.ts >= c.ts)
+    SELECT CASE WHEN cts IS NOT NULL
+                 AND epoch_us(pts) - epoch_us(cts) <= 86400000000
+                THEN extract(hour FROM cts) ELSE -1 END AS attr_hour,
+           count(*) AS n_purchases,
+           cast(sum(cast(value AS decimal(18,6))) AS double) AS attributed_value
+    FROM a GROUP BY 1
+    """,
+)
+def q_attribution_last_touch(spark, sf):
+    """Last-touch marketing attribution: each purchase credits the most
+    recent prior click by the same user within 24h, rolled up by the
+    click's hour-of-day (-1 = unattributed). Built on the as-of join's
+    union + running-last formulation (operators/joins.py:asof_join) —
+    one shuffle + one sort keyed on user_id, never a per-key cross
+    product — exactly how attribution runs over billions of touchpoints:
+    merge the touch and conversion streams, carry last-touch state."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        joins,
+    )
+
+    p = _purchases(spark, sf).select("user_id", "ts", "value")
+    k = _clicks(spark, sf).select("user_id", "ts")
+    a = joins.asof_join(
+        p, k, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=(), prefix="click_",
+    )
+    attributed = F.col("click_ts").isNotNull() & (
+        F.unix_micros("ts") - F.unix_micros("click_ts") <= 86_400_000_000
+    )
+    return (
+        a.select(
+            F.when(attributed, F.hour("click_ts"))
+            .otherwise(F.lit(-1))
+            .alias("attr_hour"),
+            "value",
+        )
+        .groupBy("attr_hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )
+
+
+@_q(
+    "time_grain_rollup",
+    """
+    WITH ev AS (
+      SELECT event_type,
+             cast(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             cast(date_trunc('day',  ts) AS TIMESTAMP) AS d,
+             cast(date_trunc('week', ts) AS TIMESTAMP) AS w,
+             value
+      FROM events)
+    SELECT event_type,
+           CASE WHEN h IS NOT NULL THEN 'hour'
+                WHEN d IS NOT NULL THEN 'day' ELSE 'week' END AS grain,
+           coalesce(h, d, w) AS bucket,
+           count(*) AS n_events,
+           cast(sum(cast(value AS decimal(18,6))) AS double) AS total_value
+    FROM ev
+    GROUP BY GROUPING SETS ((event_type, h), (event_type, d), (event_type, w))
+    """,
+)
+def q_time_grain_rollup(spark, sf):
+    """Hypertable rollup pyramid: hour/day/week aggregates of the same
+    measures in ONE pass via GROUPING SETS — Catalyst's Expand node
+    emits 3 rows per input inside a single hash aggregate with map-side
+    partials, versus three separate scans of a 100 TB fact table. The
+    grain label decodes from which trunc column survived (each set
+    keeps exactly one), avoiding engine-specific grouping_id bit
+    orders. This is the batch form of the continuous aggregate pyramid
+    a time-series store maintains."""
+    ev = _events(spark, sf).select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("week", "ts").alias("w"),
+        "value",
+    )
+    ev.createOrReplaceTempView("events_tgr")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CASE WHEN h IS NOT NULL THEN 'hour'
+                    WHEN d IS NOT NULL THEN 'day' ELSE 'week' END AS grain,
+               coalesce(h, d, w) AS bucket,
+               count(*) AS n_events,
+               cast(sum(cast(value AS decimal(18,6))) AS double) AS total_value
+        FROM events_tgr
+        GROUP BY GROUPING SETS ((event_type, h), (event_type, d),
+                                (event_type, w))
+        """
+    )
+
+
+@_q(
+    "sorted_neighborhood_pairs",
+    """
+    WITH names AS (
+      SELECT DISTINCT p_brand, p_name FROM part),
+    s AS (
+      SELECT p_brand, p_name,
+             lead(p_name, 1) OVER w AS n1,
+             lead(p_name, 2) OVER w AS n2
+      FROM names WINDOW w AS (PARTITION BY p_brand ORDER BY p_name)),
+    cand AS (
+      SELECT p_brand, p_name AS name_a, n1 AS name_b, 1 AS w_off
+      FROM s WHERE n1 IS NOT NULL
+      UNION ALL
+      SELECT p_brand, p_name, n2, 2 FROM s WHERE n2 IS NOT NULL)
+    SELECT p_brand, name_a, name_b, w_off,
+           levenshtein(name_a, name_b) AS dist
+    FROM cand WHERE levenshtein(name_a, name_b) <= 4
+    """,
+)
+def q_sorted_neighborhood_pairs(spark, sf):
+    """Sorted-neighborhood record linkage: sort distinct name
+    signatures within a blocking partition (the brand), compare each
+    to its next-2 neighbors only — the classic windowing alternative to
+    blocked all-pairs when dirty duplicates sort adjacently. ONE
+    exchange on the block key + per-partition sort feeds both lead()
+    columns; candidate generation is linear in distinct names, and the
+    quadratic edit distance runs on O(2n) pairs. At 100 TB, blocks
+    partition the sort and the window never crosses executors."""
+    names = load(spark, sf, "part").select("p_brand", "p_name").distinct()
+    w = Window.partitionBy("p_brand").orderBy("p_name")
+    s = names.select(
+        "p_brand",
+        "p_name",
+        F.lead("p_name", 1).over(w).alias("n1"),
+        F.lead("p_name", 2).over(w).alias("n2"),
+    )
+    c1 = s.filter(F.col("n1").isNotNull()).select(
+        "p_brand",
+        F.col("p_name").alias("name_a"),
+        F.col("n1").alias("name_b"),
+        F.lit(1).alias("w_off"),
+    )
+    c2 = s.filter(F.col("n2").isNotNull()).select(
+        "p_brand",
+        F.col("p_name").alias("name_a"),
+        F.col("n2").alias("name_b"),
+        F.lit(2).alias("w_off"),
+    )
+    return (
+        c1.unionAll(c2)
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 4)
+    )
+
+
+@_q(
+    "split_leakage_audit",
+    f"""
+    WITH pairs AS (
+      SELECT doc_a, doc_b FROM ({_oracle_minhash()})),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
+                  WHEN {_BUCKET_SQL} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT least(a.split, b.split) AS split_lo,
+           greatest(a.split, b.split) AS split_hi,
+           count(*) AS n_pairs
+    FROM pairs
+    JOIN sp a ON pairs.doc_a = a.doc_id
+    JOIN sp b ON pairs.doc_b = b.doc_id
+    GROUP BY split_lo, split_hi
+    """,
+)
+def q_split_leakage_audit(spark, sf):
+    """Cross-split contamination audit: near-duplicate pairs (verified
+    MinHash, operators/dedup.py) whose endpoints landed in different
+    train/val/test splits — the leakage a hash-split alone cannot
+    prevent and every eval pipeline must measure. Composes two existing
+    operators: the pair list joins twice against the O(docs) split
+    assignment (id + split only — never text), then a tiny rollup per
+    unordered split pair. Train↔test rows here are exactly the eval
+    contamination count."""
+    d = load(spark, sf, "documents")
+    pairs = dedup.verified_near_dups(d).select("doc_a", "doc_b")
+    sp = sampling.hash_split(d).select("doc_id", "split")
+    a = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    b = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("split_lo"),
+            F.greatest("sa", "sb").alias("split_hi"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================

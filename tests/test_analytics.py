@@ -477,3 +477,59 @@ def test_dup_ngram_coverage_shared_vs_unique(spark, patch_load):
     # docs 1/2 share exactly the first 5-gram "alpha beta gamma delta epsilon"
     assert out[1] == (2, 1) and out[2] == (2, 1)
     assert out[3] == (1, 0)
+
+
+def test_attribution_last_touch_window(spark, patch_load):
+    """Purchase credits the latest click <=24h before it; older clicks
+    leave the purchase unattributed (-1)."""
+    rows = [
+        (1, "2024-01-01 09:00:00", 1, "click", 0.0, "{}"),
+        (2, "2024-01-01 10:00:00", 1, "purchase", 5.0, "{}"),   # -> hour 9
+        (3, "2024-01-05 10:00:00", 1, "purchase", 7.0, "{}"),   # click too old -> -1
+        (4, "2024-01-02 00:00:00", 2, "purchase", 3.0, "{}"),   # user never clicked -> -1
+    ]
+    patch_load({"events": _events_df(spark, rows)})
+    out = {
+        r.attr_hour: (r.n_purchases, r.attributed_value)
+        for r in entrymod.queries()["attribution_last_touch"](spark, "x").collect()
+    }
+    assert out[9] == (1, 5.0)
+    assert out[-1] == (2, 10.0)
+
+
+def test_time_grain_rollup_pyramid(spark, patch_load):
+    """One event appears once per grain; week buckets align Mondays."""
+    rows = [
+        (1, "2024-01-03 10:30:00", 1, "view", 2.0, "{}"),  # Wed -> week of Jan 1
+        (2, "2024-01-03 11:30:00", 1, "view", 4.0, "{}"),
+    ]
+    patch_load({"events": _events_df(spark, rows)})
+    got = entrymod.queries()["time_grain_rollup"](spark, "x").collect()
+    by_grain = {}
+    for r in got:
+        by_grain.setdefault(r.grain, []).append(r)
+    assert len(by_grain["hour"]) == 2          # two distinct hours
+    assert len(by_grain["day"]) == 1
+    assert len(by_grain["week"]) == 1
+    wk = by_grain["week"][0]
+    assert str(wk.bucket) == "2024-01-01 00:00:00" and wk.total_value == 6.0
+
+
+def test_sorted_neighborhood_adjacent_only(spark, patch_load):
+    """Only next-1/next-2 neighbors in name order are compared, within
+    the brand block."""
+    parts = spark.createDataFrame(
+        [
+            (1, "abcde", "B1", "t", 1, 1.0),
+            (2, "abcdf", "B1", "t", 1, 1.0),   # lev 1 from abcde, adjacent
+            (3, "zzzzz", "B1", "t", 1, 1.0),   # far in sort AND in distance
+            (4, "abcdg", "B2", "t", 1, 1.0),   # other block: never paired
+        ],
+        ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    )
+    patch_load({"part": parts})
+    out = {
+        (r.name_a, r.name_b): r.dist
+        for r in entrymod.queries()["sorted_neighborhood_pairs"](spark, "x").collect()
+    }
+    assert out == {("abcde", "abcdf"): 1}
