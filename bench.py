@@ -79,6 +79,8 @@ HEADLINE = [
     "mad_outliers",
     "dedup_keep_best",
     "pagerank_3iter",
+    "attribution_last_touch",
+    "time_grain_rollup",
     "dup_ngram_coverage",
     "corr_matrix",
     "sequence_pack",
