@@ -6411,6 +6411,173 @@ def q_split_leakage_audit(spark, sf):
     )
 
 
+@_q(
+    "quantile_sketch",
+    """
+    WITH b AS (
+      SELECT event_type, cast(floor(value / 5.0) AS bigint) AS bin,
+             count(*) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY event_type, bin),
+    cum AS (
+      SELECT event_type, bin, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM b),
+    est AS (
+      SELECT event_type, n,
+             min(CASE WHEN cum >= cast(ceil(0.5 * n) AS bigint)
+                      THEN bin * 5.0 + 5.0 * (cast(ceil(0.5 * n) AS bigint)
+                           - (cum - c)) / c END) AS p50_est,
+             min(CASE WHEN cum >= cast(ceil(0.9 * n) AS bigint)
+                      THEN bin * 5.0 + 5.0 * (cast(ceil(0.9 * n) AS bigint)
+                           - (cum - c)) / c END) AS p90_est,
+             min(CASE WHEN cum >= cast(ceil(0.99 * n) AS bigint)
+                      THEN bin * 5.0 + 5.0 * (cast(ceil(0.99 * n) AS bigint)
+                           - (cum - c)) / c END) AS p99_est
+      FROM cum GROUP BY event_type, n)
+    SELECT event_type, cast(n AS bigint) AS n,
+           round(p50_est, 6) AS p50_est,
+           round(p90_est, 6) AS p90_est,
+           round(p99_est, 6) AS p99_est
+    FROM est
+    """,
+)
+def q_quantile_sketch(spark, sf):
+    """Mergeable equi-width histogram quantile sketch: per event type,
+    bin counts (width 5) are the sketch state — sums merge across
+    partitions/batches, the classic distributed-quantile design when
+    an ordered pass is impossible — and p50/p90/p99 read off the
+    cumulative histogram with within-bin linear interpolation. All
+    arithmetic is integer counts + one double expression, so the
+    estimate is deterministic (unlike percentile_approx, whose result
+    depends on merge order — the reason it can't be oracle-checked).
+    The only shuffle is the tiny (type, bin) rollup."""
+    ev = _events(spark, sf).filter(F.col("value").isNotNull())
+    b = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") / 5.0).cast("bigint").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = Window.partitionBy("event_type").orderBy("bin")
+    wall = Window.partitionBy("event_type")
+    cum = b.select(
+        "event_type",
+        "bin",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+
+    def _est(q):
+        k = F.ceil(F.lit(q) * F.col("n")).cast("bigint")
+        return F.min(
+            F.when(
+                F.col("cum") >= k,
+                F.col("bin") * 5.0
+                + 5.0 * (k - (F.col("cum") - F.col("c"))) / F.col("c"),
+            )
+        )
+
+    est = cum.groupBy("event_type", "n").agg(
+        _est(0.5).alias("p50_est"),
+        _est(0.9).alias("p90_est"),
+        _est(0.99).alias("p99_est"),
+    )
+    return est.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("p50_est", 6).alias("p50_est"),
+        F.round("p90_est", 6).alias("p90_est"),
+        F.round("p99_est", 6).alias("p99_est"),
+    )
+
+
+@_q(
+    "incremental_agg_merge",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           cast(sum(cast(value AS decimal(18,6))) AS double) AS total_value,
+           max(event_id) AS last_offset
+    FROM events GROUP BY user_id
+    """,
+)
+def q_incremental_agg_merge(spark, sf):
+    """Incremental aggregate maintenance, batch form: the event stream
+    splits into a 'base' and a 'delta' partition (disjoint by a key
+    predicate), each aggregates independently, and a full-outer MERGE
+    combines the partial states (counts add, exact-decimal sums add,
+    max-offsets max). The oracle is the direct one-pass aggregate —
+    value-hash equality PROVES the merge is lossless, which is the
+    algebraic property (commutative mergeable state) that A3
+    materialized-view maintenance and every foreachBatch upsert in
+    streaming/ rely on. Plan: two pruned scans + two map-side-combined
+    aggs + one keyed join — no data-dependent constants."""
+    ev = _events(spark, sf)
+    base = ev.filter(F.col("event_id") % 10 != 0)
+    delta = ev.filter(F.col("event_id") % 10 == 0)
+
+    def _partial(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+            F.max("event_id").alias("o"),
+        )
+
+    a = _partial(base).select(
+        "user_id", F.col("n").alias("n_a"), F.col("s").alias("s_a"),
+        F.col("o").alias("o_a"),
+    )
+    b = _partial(delta).select(
+        "user_id", F.col("n").alias("n_b"), F.col("s").alias("s_b"),
+        F.col("o").alias("o_b"),
+    )
+    merged = a.join(b, "user_id", "full_outer")
+    zero = F.lit(0).cast("decimal(18,6)")
+    return merged.select(
+        "user_id",
+        (F.coalesce("n_a", F.lit(0)) + F.coalesce("n_b", F.lit(0))).alias(
+            "n_events"
+        ),
+        (F.coalesce(F.col("s_a"), zero) + F.coalesce(F.col("s_b"), zero))
+        .cast("double")
+        .alias("total_value"),
+        F.greatest("o_a", "o_b").alias("last_offset"),
+    )
+
+
+@_q(
+    "per_group_sample",
+    """
+    WITH r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+      FROM documents)
+    SELECT doc_id, lang, rk FROM r WHERE rk <= 3
+    """,
+)
+def q_per_group_sample(spark, sf):
+    """Deterministic fixed-k per-group sample (reservoir-sampling
+    semantics without randomness): rank rows inside each group by the
+    md5 of their key and keep the first k — the same rows win on every
+    rerun, retry, or repartitioning, which rand()-based sampling cannot
+    guarantee. One exchange on the group key; the sort sees (id, hash)
+    pairs only. The distributed form of 'give me 3 reproducible
+    examples per language' used in corpus QA."""
+    d = load(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================

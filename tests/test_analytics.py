@@ -533,3 +533,49 @@ def test_sorted_neighborhood_adjacent_only(spark, patch_load):
         for r in entrymod.queries()["sorted_neighborhood_pairs"](spark, "x").collect()
     }
     assert out == {("abcde", "abcdf"): 1}
+
+
+def test_quantile_sketch_interpolation(spark, patch_load):
+    """10 values 0..9 with bin width 5: p50 target k=5 falls in bin 0
+    (cum 5), est = 0 + 5*(5-0)/5 = 5.0; p90 k=9 in bin 1: 5 + 5*(9-5)/5."""
+    rows = [
+        (i, "2024-01-01 10:00:00", 1, "view", float(i), "{}") for i in range(10)
+    ]
+    patch_load({"events": _events_df(spark, rows)})
+    out = {
+        r.event_type: (r.n, r.p50_est, r.p90_est)
+        for r in entrymod.queries()["quantile_sketch"](spark, "x").collect()
+    }
+    assert out["view"] == (10, 5.0, 9.0)
+
+
+def test_incremental_agg_merge_equals_full(spark, patch_load):
+    """Partial-state merge must equal the one-pass aggregate, including
+    a user whose events all land in one side of the split."""
+    rows = [
+        (10, "2024-01-01 10:00:00", 1, "view", 1.5, "{}"),   # delta (id%10==0)
+        (11, "2024-01-01 11:00:00", 1, "view", 2.5, "{}"),   # base
+        (13, "2024-01-01 12:00:00", 2, "view", 4.0, "{}"),   # base only
+    ]
+    patch_load({"events": _events_df(spark, rows)})
+    out = {
+        r.user_id: (r.n_events, r.total_value, r.last_offset)
+        for r in entrymod.queries()["incremental_agg_merge"](spark, "x").collect()
+    }
+    assert out == {1: (2, 4.0, 11), 2: (1, 4.0, 13)}
+
+
+def test_per_group_sample_deterministic(spark, patch_load):
+    docs = spark.createDataFrame(
+        [(i, "t", "en" if i % 2 else "de", "s", 1) for i in range(10)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    patch_load({"documents": docs})
+    run = lambda: sorted(
+        (r.lang, r.rk, r.doc_id)
+        for r in entrymod.queries()["per_group_sample"](spark, "x").collect()
+    )
+    first = run()
+    assert first == run()                      # reproducible
+    assert len([x for x in first if x[0] == "en"]) == 3
+    assert len([x for x in first if x[0] == "de"]) == 3
