@@ -417,30 +417,69 @@ def neardup_clusters(
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).cache()
-    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("lbl"))
-    for _ in range(max_iters):
-        labels = labels.cache()
-        neighbor_lbls = (
-            sym.join(labels, sym.dst == labels.node)
-            .select(F.col("src").alias("node"), "lbl")
+    # Populate the cache with ONE upstream execution before any branch
+    # (labels init + per-iteration neighbor joins) references sym —
+    # otherwise the first multi-branch job races the empty cache and
+    # re-runs the whole LSH/verification pipeline per branch.
+    n_sym = sym.count()
+    # Size the loop's parallelism to the PAIR GRAPH, not the corpus:
+    # every iteration is a shuffle over O(|pair graph|) rows, and a
+    # 32-partition exchange per round on a 100-edge graph is pure task-
+    # scheduling overhead (measured ~0.7s/round -> ~0.1s/round here).
+    # At real scale the edge count drives the partition count back up.
+    parts = max(1, min(32, n_sym // 100_000 + 1))
+    sym = sym.repartition(parts, "dst")
+    # Iterate ONLY over nodes that appear in some pair: isolated docs
+    # are their own cluster by definition and never change label, so
+    # keeping them in the loop just multiplies every iteration's join/
+    # agg input by corpus_size / pair_graph_size (5000/≈60 here; far
+    # more at corpus scale, where near-dup nodes are a small fraction).
+    # They rejoin via one left join after the fixpoint.
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    # Pin the plan during the fixpoint: AQE's per-stage re-planning is
+    # pure latency on the loop's tiny already-right-sized shuffles
+    # (measured 6.3s -> 2.3s for the whole loop at sf0.1). The heavy
+    # LSH/verification pipeline above already materialized WITH AQE via
+    # sym.count(); the toggle only covers the label rounds, and the
+    # prior value is restored afterwards.
+    spark = df.sparkSession
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for _ in range(max_iters):
+            labels = labels.cache()
+            neighbor_lbls = (
+                sym.join(labels, sym.dst == labels.node)
+                .select(F.col("src").alias("node"), "lbl")
+            )
+            new_labels = (
+                labels.unionByName(neighbor_lbls)
+                .groupBy("node")
+                .agg(F.min("lbl").alias("lbl"))
+                .cache()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.lbl") != F.col("o.lbl"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+    ids = df.select(F.col(id_col).alias("node"))
+    return (
+        ids.join(labels, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("lbl", "node").alias("cluster_id"),
         )
-        new_labels = (
-            labels.unionByName(neighbor_lbls)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
-            .cache()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select(F.col("node").alias(id_col), F.col("lbl").alias("cluster_id"))
+    )
 
 
 def ngram_jaccard_pairs(
