@@ -6452,47 +6452,34 @@ def q_quantile_sketch(spark, sf):
     estimate is deterministic (unlike percentile_approx, whose result
     depends on merge order — the reason it can't be oracle-checked).
     The only shuffle is the tiny (type, bin) rollup."""
-    ev = _events(spark, sf).filter(F.col("value").isNotNull())
-    b = (
-        ev.select(
-            "event_type",
-            F.floor(F.col("value") / 5.0).cast("bigint").alias("bin"),
-        )
-        .groupBy("event_type", "bin")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    wcum = Window.partitionBy("event_type").orderBy("bin")
-    wall = Window.partitionBy("event_type")
-    cum = b.select(
-        "event_type",
-        "bin",
-        "c",
-        F.sum("c").over(wcum).alias("cum"),
-        F.sum("c").over(wall).alias("n"),
+    bins = sketches.hist_bins(_events(spark, sf), "value", ["event_type"])
+    return sketches.hist_quantiles(bins, ["event_type"])
+
+
+@_q("streaming_quantile_sketch", _REGISTRY["quantile_sketch"][1])
+def q_streaming_quantile_sketch(spark, sf):
+    """Continuously-maintained quantile histogram
+    (streaming/sketches.py): each micro-batch sum-merges its bin counts
+    into the versioned state table — O(groups x bins) state over an
+    unbounded stream, batch-split invariant because bin-count addition
+    is associative/commutative. The batch quantile_sketch SQL is
+    therefore the exact oracle for the streaming-maintained state."""
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.sketches import (
+        read_hist_quantiles,
+        run_hist_stream,
     )
 
-    def _est(q):
-        k = F.ceil(F.lit(q) * F.col("n")).cast("bigint")
-        return F.min(
-            F.when(
-                F.col("cum") >= k,
-                F.col("bin") * 5.0
-                + 5.0 * (k - (F.col("cum") - F.col("c"))) / F.col("c"),
-            )
+    base = tempfile.mkdtemp(prefix="stream_hist_")
+    with _stream_partitions(spark):
+        run_hist_stream(
+            _events_stream(spark, sf).select("event_type", "value"),
+            f"{base}/state",
+            "value",
+            ["event_type"],
         )
-
-    est = cum.groupBy("event_type", "n").agg(
-        _est(0.5).alias("p50_est"),
-        _est(0.9).alias("p90_est"),
-        _est(0.99).alias("p99_est"),
-    )
-    return est.select(
-        "event_type",
-        F.col("n").cast("bigint").alias("n"),
-        F.round("p50_est", 6).alias("p50_est"),
-        F.round("p90_est", 6).alias("p90_est"),
-        F.round("p99_est", 6).alias("p99_est"),
-    )
+    return read_hist_quantiles(spark, f"{base}/state", ["event_type"])
 
 
 @_q(

@@ -156,3 +156,44 @@ def test_streaming_bars_two_rounds_match_batch(spark, tmp_path):
         )
     d1 = streamed["2024-01-01 00:00:00"]
     assert (d1.open, d1.close) == (99.0, 1.0)  # open from the LATE round
+
+
+def test_streaming_hist_two_rounds_match_batch(spark, tmp_path):
+    """Sum-merged histogram state after two availableNow rounds equals
+    one batch pass over the union; quantile estimates follow."""
+    import json
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.sketches import (
+        read_hist_quantiles,
+        run_hist_stream,
+    )
+
+    rows1 = [{"g": "a", "v": float(i % 40)} for i in range(300)]
+    rows2 = [{"g": "a", "v": float((i * 7) % 40)} for i in range(300)]
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "g string, v double"
+
+    def _ingest(rows, fname):
+        with open(src / fname, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        sdf = spark.readStream.schema(schema).json(str(src))
+        run_hist_stream(sdf, str(tmp_path / "state"), "v", ["g"])
+
+    _ingest(rows1, "r1.jsonl")
+    _ingest(rows2, "r2.jsonl")
+
+    [streamed] = read_hist_quantiles(
+        spark, str(tmp_path / "state"), ["g"]
+    ).collect()
+    union = spark.createDataFrame(
+        [(r["g"], r["v"]) for r in rows1 + rows2], ["g", "v"]
+    )
+    [batch] = sketches.hist_quantiles(
+        sketches.hist_bins(union, "v", ["g"]), ["g"]
+    ).collect()
+    assert (streamed.n, streamed.p50_est, streamed.p90_est, streamed.p99_est) == (
+        batch.n, batch.p50_est, batch.p90_est, batch.p99_est
+    )
+    assert streamed.n == 600

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # HLL geometry: m = 64 registers (b = 6 bucket bits).  Standard-error
@@ -202,3 +202,73 @@ def cms_estimate_topk(
         Window.orderBy(F.desc("cms_count"), F.col(key_col))
     )
     return est.withColumn("rank", rank).filter(F.col("rank") <= k)
+
+
+# --- mergeable equi-width histogram quantile sketch ------------------------
+
+HIST_BIN_WIDTH = 5.0
+
+
+def hist_bins(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    width: float = HIST_BIN_WIDTH,
+) -> DataFrame:
+    """Histogram sketch state: (group, bin, c) counts at fixed bin
+    width. Counts are sum-mergeable across partitions, batches, and
+    days — the property that lets a 100 TB quantile run as map-side
+    partials plus a tiny rollup, or stream as foreachBatch state."""
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *group_cols,
+            F.floor(F.col(value_col) / width).cast("bigint").alias("bin"),
+        )
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def hist_quantiles(
+    bins: DataFrame,
+    group_cols: Sequence[str] = (),
+    width: float = HIST_BIN_WIDTH,
+    probs: Sequence[tuple[str, float]] = (
+        ("p50_est", 0.5),
+        ("p90_est", 0.9),
+        ("p99_est", 0.99),
+    ),
+) -> DataFrame:
+    """Quantile estimates off the cumulative histogram with within-bin
+    linear interpolation. Integer counts + one double expression =>
+    deterministic regardless of aggregation order (why this is
+    oracle-checkable and percentile_approx is not)."""
+    wcum = Window.partitionBy(*group_cols).orderBy("bin")
+    wall = Window.partitionBy(*group_cols)
+    cum = bins.select(
+        *group_cols,
+        "bin",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+
+    def _est(q: float) -> F.Column:
+        k = F.ceil(F.lit(q) * F.col("n")).cast("bigint")
+        return F.min(
+            F.when(
+                F.col("cum") >= k,
+                F.col("bin") * width
+                + width * (k - (F.col("cum") - F.col("c"))) / F.col("c"),
+            )
+        )
+
+    est = cum.groupBy(*group_cols, "n").agg(
+        *[_est(q).alias(name) for name, q in probs]
+    )
+    return est.select(
+        *group_cols,
+        F.col("n").cast("bigint").alias("n"),
+        *[F.round(name, 6).alias(name) for name, _ in probs],
+    )

@@ -130,3 +130,55 @@ def read_cms_topk(
     """Heavy-hitter probe against the maintained cell state."""
     cells = read_state(spark, state_dir)
     return SK.cms_estimate_topk(cells, candidates, key_col, d, w, k)
+
+
+def merge_hist_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    width: float = SK.HIST_BIN_WIDTH,
+) -> None:
+    """One histogram merge: state' = sum-merge(state, bins(batch)).
+    Sum is associative/commutative, so the maintained state is
+    batch-split invariant (same caveat as CMS: idempotence under
+    re-delivery comes from the checkpointed source offsets, not the
+    merge itself)."""
+    bins = SK.hist_bins(batch_df, value_col, group_cols, width)
+    prior = read_state(batch_df.sparkSession, state_dir)
+    merged = bins if prior is None else prior.unionByName(bins)
+    folded = merged.groupBy(*group_cols, "bin").agg(F.sum("c").alias("c"))
+    write_version(folded, state_dir)
+
+
+def run_hist_stream(
+    stream_df: DataFrame,
+    state_dir: str,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    width: float = SK.HIST_BIN_WIDTH,
+) -> None:
+    """Maintain the streaming histogram sketch as a StreamingQuery
+    (availableNow) with checkpointed offsets next to the state."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        merge_hist_batch(batch_df, state_dir, value_col, group_cols, width)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", os.path.join(state_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_hist_quantiles(
+    spark: SparkSession,
+    state_dir: str,
+    group_cols: Sequence[str] = (),
+    width: float = SK.HIST_BIN_WIDTH,
+) -> DataFrame:
+    """Current quantile estimates from the maintained bin counts."""
+    bins = read_state(spark, state_dir)
+    return SK.hist_quantiles(bins, group_cols, width)
