@@ -8,12 +8,12 @@ nothing is collected to the driver), matching how a cluster job would
 materialize results to a sink rather than the driver.
 
 Methodology: one untimed warmup pass over every headline query, then
-TWO timed steady-state passes reporting the per-query minimum.  At
+THREE timed steady-state passes reporting the per-query minimum.  At
 sf0.1 a complex plan's wall time is dominated by one-time whole-stage-
 codegen *compilation* (measured ~4s for a 60-aggregate plan whose
 execution is 0.5s); on the 100 TB target deployment that compile cost
 amortizes to zero, so steady-state is the representative number, and
-the min-of-2 damps scheduler/GC noise on a shared host.  All DataFrame
+the min-of-3 damps scheduler/GC noise on a shared host.  All DataFrame
 caches are dropped between passes — every timed run re-executes the
 full scan/shuffle/join path from parquet, reusing only JIT-compiled
 code.
