@@ -5797,17 +5797,42 @@ def q_pagerank_3iter(spark, sf):
 
     li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
     o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    # Integer node encoding (customer 2k, supplier 2k+1): joins and the
+    # per-iteration shuffles move 8-byte keys instead of strings; the
+    # human-readable 'c…'/'s…' label is restored on the O(nodes) result
+    # only. Both directions of each undirected edge come from ONE pass
+    # over the distinct edge set (explode of a 2-struct array) — a
+    # union of e with flip(e) would execute the expensive
+    # join+distinct subtree twice.
     e = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
         )
         .distinct()
     )
-    bi = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    bi = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+                F.struct(F.col("v").alias("src"), F.col("u").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     ranks = graph.pagerank_fixed(bi, iterations=3)
-    return ranks.orderBy(F.desc("rank"), "node").limit(20)
+    labeled = ranks.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("c"), F.expr("node div 2").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("s"), F.expr("(node - 1) div 2").cast("string"))
+        )
+        .alias("node"),
+        "rank",
+    )
+    return labeled.orderBy(F.desc("rank"), "node").limit(20)
 
 
 @_q(
