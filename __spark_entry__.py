@@ -5907,8 +5907,16 @@ def q_dup_ngram_coverage(spark, sf):
     (doc_id, gram-hash-sized strings, counts)."""
     d = load(spark, sf, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
+    # Shuffle 8-byte xxhash64 gram keys, not gram strings: the gram
+    # text never reaches the output, so the aggregation keys are free
+    # to be hashes (the oracle's string-keyed counts agree unless two
+    # distinct grams collide in 64 bits — ~1e-8 at 1e5 distinct grams,
+    # and the driver's value-hash would surface it immediately).
     grams = d.select(
-        "doc_id", F.explode(T.word_ngrams(toks, 5)).alias("gram")
+        "doc_id",
+        F.explode(
+            F.transform(T.word_ngrams(toks, 5), lambda g: F.xxhash64(g))
+        ).alias("gram"),
     )
     occ = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("occ"))
     gd = occ.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
