@@ -6598,6 +6598,57 @@ def q_per_group_sample(spark, sf):
     )
 
 
+@_q(
+    "corpus_build_pipeline",
+    f"""
+    WITH keep AS ({{KEEP_BEST}}),
+    kept AS (
+      SELECT d.doc_id, d.source, d.text
+      FROM documents d JOIN keep k ON d.doc_id = k.keep_doc_id
+      WHERE k.keep_quality >= 0.3),
+    sp AS (
+      SELECT doc_id, source,
+             CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
+                  WHEN {_BUCKET_SQL} < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             {_TOK_SQL} AS tok
+      FROM kept),
+    c AS (
+      SELECT split, source, doc_id, tok,
+             sum(tok) OVER (PARTITION BY split, source ORDER BY doc_id) AS cum
+      FROM sp)
+    SELECT split, source, (cum - tok) // 2000 AS bin,
+           count(*) AS n_docs,
+           cast(sum(tok) AS bigint) AS tokens_packed,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c GROUP BY split, source, bin
+    """,
+)
+def q_corpus_build_pipeline(spark, sf):
+    """End-to-end corpus build (plans/corpus.py): the LLM-data flagship
+    composing near-dup keep-best dedup -> quality gate -> deterministic
+    split -> per-(split, source) token packing into one declarative
+    plan, mirroring how plans/flagship.py composes the reference's
+    relational operators (/root/reference/README.md:434-480). The
+    oracle replays the full composition, nesting the keep-best
+    recursive-CTE oracle as its first stage."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.plans import (
+        corpus,
+    )
+
+    return corpus.build_corpus(load(spark, sf, "documents"))
+
+
+# splice the keep-best oracle into the corpus pipeline oracle (nested
+# WITH ... (WITH RECURSIVE ...) is valid DuckDB)
+_REGISTRY["corpus_build_pipeline"] = (
+    _REGISTRY["corpus_build_pipeline"][0],
+    _REGISTRY["corpus_build_pipeline"][1].replace(
+        "{KEEP_BEST}", _REGISTRY["dedup_keep_best"][1]
+    ),
+)
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================

@@ -84,6 +84,7 @@ HEADLINE = [
     "dup_ngram_coverage",
     "corr_matrix",
     "sequence_pack",
+    "corpus_build_pipeline",
     "streaming_interval_join",
     "streaming_cdc_upsert",
 ]

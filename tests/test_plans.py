@@ -112,3 +112,31 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert n_days > 1
     files = back.select(F.input_file_name()).distinct().collect()
     assert all("day=2024-01-05" in r[0] for r in files)
+
+
+def test_corpus_build_pipeline_manifest(spark):
+    """The composed corpus build emits a consistent shard manifest:
+    doc counts per bin sum to the kept-doc count, bins are contiguous
+    per (split, source), and every kept doc passed the quality gate."""
+    import __spark_entry__ as entrymod
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.catalog import load
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.functions import (
+        text as T,
+    )
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        dedup,
+    )
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = entrymod.queries()["corpus_build_pipeline"](spark, sf).collect()
+    assert rows
+    docs = load(spark, sf, "documents")
+    keep = dedup.keep_best_per_cluster(docs, quality_col=T.quality_score())
+    n_kept = keep.filter(F.col("keep_quality") >= 0.3).count()
+    assert sum(r.n_docs for r in rows) == n_kept
+    by_key = {}
+    for r in rows:
+        by_key.setdefault((r.split, r.source), []).append(r.bin)
+    for bins in by_key.values():
+        assert sorted(bins) == list(range(len(bins)))  # contiguous from 0
