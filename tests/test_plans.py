@@ -140,3 +140,39 @@ def test_corpus_build_pipeline_manifest(spark):
         by_key.setdefault((r.split, r.source), []).append(r.bin)
     for bins in by_key.values():
         assert sorted(bins) == list(range(len(bins)))  # contiguous from 0
+
+
+def test_corr_matrix_is_one_pass(spark):
+    """All nine moment sums come from ONE aggregate over one scan —
+    no join, no window, no second exchange."""
+    plan = _plan(spark, "corr_matrix")
+    # one scan NODE (the formatted plan repeats it in the detail list)
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_pareto_frontier_collapses_before_window(spark):
+    """The skyline window must run over the distinct (price, size)
+    signatures — i.e. a HashAggregate feeds the Window, not the raw
+    part scan."""
+    plan = _plan(spark, "pareto_frontier")
+    assert "Window" in plan and "HashAggregate" in plan
+    assert plan.index("HashAggregate") > plan.index("Window")  # formatted plans list operators top-down from the sink
+
+
+def test_sequence_pack_partitions_by_source(spark):
+    """Packing parallelizes per source shard: the window partition key
+    is `source`, never an empty (global) partition spec."""
+    plan = _plan(spark, "sequence_pack")
+    assert "Window" in plan
+    # the window's partition expression names the source column
+    win_line = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln.lower()]
+    assert win_line and "source" in win_line[0]
+
+
+def test_dup_ngram_joins_on_hashed_key(spark):
+    """The gram-frequency join must key on the xxhash64 gram, not the
+    gram string (shuffle bytes argument in the docstring)."""
+    plan = _plan(spark, "dup_ngram_coverage")
+    assert "xxhash64" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
