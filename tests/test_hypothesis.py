@@ -214,3 +214,61 @@ def test_time_weighted_avg_matches_naive(spark, rows):
         if total > 0:
             expect = sum(v * w for v, w in spans) / total
             assert abs(twa - expect) < 1e-6
+
+
+_values = st.lists(st.floats(0, 200, allow_nan=False), min_size=1, max_size=60)
+
+
+@given(vals=_values)
+@_SETTINGS
+def test_hist_quantile_within_one_bin_of_truth(spark, vals):
+    """The histogram estimate can never be off by more than one bin
+    width from an exact quantile (counts are exact; only within-bin
+    position is interpolated)."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        sketches,
+    )
+
+    width = 5.0
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    [row] = sketches.hist_quantiles(
+        sketches.hist_bins(df, "v", (), width), (), width
+    ).collect()
+    s = sorted(vals)
+
+    def exact(q):
+        import math
+        k = max(1, math.ceil(q * len(s)))
+        return s[k - 1]
+
+    assert row.n == len(vals)
+    for name, q in (("p50_est", 0.5), ("p90_est", 0.9), ("p99_est", 0.99)):
+        assert abs(getattr(row, name) - exact(q)) <= width, (name, vals)
+
+
+_edges_st = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 8)).filter(lambda t: t[0] != t[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(raw=_edges_st)
+@_SETTINGS
+def test_pagerank_mass_bounds_and_determinism(spark, raw):
+    """Every rank stays within [base, base + damping*total/1]: no rank
+    can exceed the total injected mass, every node keeps at least the
+    teleport floor, and reruns are bit-identical."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        graph,
+    )
+
+    edges = spark.createDataFrame(sorted(set(raw)), ["src", "dst"])
+    out1 = {r.node: r.rank for r in graph.pagerank_fixed(edges, 2).collect()}
+    out2 = {r.node: r.rank for r in graph.pagerank_fixed(edges, 2).collect()}
+    assert out1 == out2
+    n = len(out1)
+    total = 10**9 * n
+    for node, rank in out1.items():
+        assert rank >= 150_000_000
+        assert rank <= 150_000_000 + (85 * total) // 100
