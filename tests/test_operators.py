@@ -404,3 +404,23 @@ def test_keep_best_per_cluster_prefers_quality_then_id(spark):
     (cluster,) = [c for c in out if c != 9]
     keep, n = out[cluster]
     assert n == 3 and keep == 2  # highest quality wins
+
+
+def test_schema_evolution_merge_reads_both_versions(spark, tmp_path):
+    """Appended files with an added column read back under mergeSchema
+    with null backfill for old rows — the parquet schema-evolution
+    posture a long-lived ingest directory needs."""
+    v1 = spark.createDataFrame([(1, "a")], ["id", "name"])
+    v2 = spark.createDataFrame([(2, "b", 9.5)], ["id", "name", "score"])
+    v1.write.parquet(str(tmp_path / "t"), mode="append")
+    v2.write.parquet(str(tmp_path / "t"), mode="append")
+    got = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(str(tmp_path / "t"))
+        .orderBy("id")
+        .collect()
+    )
+    assert [r.asDict() for r in got] == [
+        {"id": 1, "name": "a", "score": None},
+        {"id": 2, "name": "b", "score": 9.5},
+    ]
