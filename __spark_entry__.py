@@ -6649,6 +6649,124 @@ _REGISTRY["corpus_build_pipeline"] = (
 )
 
 
+@_q(
+    "cohort_matrix",
+    """
+    WITH first_ev AS (
+      SELECT user_id,
+             cast(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             cast(floor(date_diff('day', f.cohort_week,
+                                  cast(date_trunc('week', e.ts) AS TIMESTAMP))
+                        / 7) AS bigint) AS week_offset
+      FROM events e JOIN first_ev f ON e.user_id = f.user_id),
+    size_ AS (
+      SELECT cohort_week, count(*) AS cohort_size
+      FROM first_ev GROUP BY cohort_week)
+    SELECT a.cohort_week, a.week_offset,
+           count(*) AS n_active,
+           round(count(*)::DOUBLE / s.cohort_size, 6) AS retention
+    FROM act a JOIN size_ s ON a.cohort_week = s.cohort_week
+    GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+    """,
+)
+def q_cohort_matrix(spark, sf):
+    """Weekly cohort-retention triangle: users grouped by first-seen
+    week, activity counted per (cohort, week-offset) with the retention
+    ratio against the cohort size. Three keyed aggregates and one
+    broadcast-sized join — the first-seen table is O(users) and the
+    cohort-size table is O(weeks), so the only fact-sized operation is
+    the DISTINCT (user, week) collapse, which is map-side combinable.
+    The classic product-analytics rollup, stated once instead of one
+    query per cohort."""
+    ev = _events(spark, sf).select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    )
+    first_ev = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    act = (
+        ev.join(first_ev, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(F.datediff("wk", "cohort_week") / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    size_ = first_ev.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        act.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(size_), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+    )
+
+
+@_q(
+    "skew_audit",
+    """
+    WITH per_key AS (
+      SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c, user_id) AS i,
+             count(*) OVER () AS n, sum(c) OVER () AS tot
+      FROM per_key)
+    SELECT cast(max(n) AS bigint) AS n_keys,
+           cast(max(tot) AS bigint) AS n_rows,
+           max(c) AS max_key_rows,
+           round(max(c)::DOUBLE * max(n) / max(tot), 6) AS max_skew_ratio,
+           round(cast(sum((2 * i - n - 1) * c) AS DOUBLE)
+                 / (max(n)::DOUBLE * max(tot)), 6) AS gini
+    FROM ranked
+    """,
+)
+def q_skew_audit(spark, sf):
+    """Partition-skew audit for a prospective shuffle key: per-key row
+    counts, the hottest key's multiple of a fair share, and the exact
+    Gini coefficient of the key distribution (sorted-rank formula —
+    the numerator accumulates as a pure INTEGER sum, so the statistic
+    is partial-order independent and oracle-checkable at any scale). This is the measurement that decides whether a
+    join needs the salted plan in operators/skew.py. The only
+    fact-sized step is the per-key count; the ranking window runs over
+    O(distinct keys) rows."""
+    ev = _events(spark, sf)
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    wr = Window.orderBy("c", "user_id")
+    wall = Window.partitionBy()
+    ranked = per_key.select(
+        "c",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("c").over(wall).alias("tot"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_keys"),
+        F.max("tot").cast("bigint").alias("n_rows"),
+        F.max("c").alias("max_key_rows"),
+        F.round(
+            F.max("c").cast("double") * F.max("n") / F.max("tot"), 6
+        ).alias("max_skew_ratio"),
+        F.round(
+            F.sum((2 * F.col("i") - F.col("n") - F.lit(1)) * F.col("c"))
+            .cast("double")
+            / (F.max("n").cast("double") * F.max("tot")),
+            6,
+        ).alias("gini"),
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================

@@ -579,3 +579,42 @@ def test_per_group_sample_deterministic(spark, patch_load):
     assert first == run()                      # reproducible
     assert len([x for x in first if x[0] == "en"]) == 3
     assert len([x for x in first if x[0] == "de"]) == 3
+
+
+def test_cohort_matrix_offsets(spark, patch_load):
+    """Users cohort at their first week; later-week activity lands at
+    the right offset; retention is active/cohort_size."""
+    rows = [
+        # u1 first week of Jan 1 (Mon), active again week of Jan 8
+        (1, "2024-01-02 10:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-09 10:00:00", 1, "view", 1.0, "{}"),
+        # u2 same cohort, never returns
+        (3, "2024-01-03 10:00:00", 2, "view", 1.0, "{}"),
+    ]
+    patch_load({"events": _events_df(spark, rows)})
+    out = {
+        (str(r.cohort_week), r.week_offset): (r.n_active, r.retention)
+        for r in entrymod.queries()["cohort_matrix"](spark, "x").collect()
+    }
+    assert out[("2024-01-01 00:00:00", 0)] == (2, 1.0)
+    assert out[("2024-01-01 00:00:00", 1)] == (1, 0.5)
+
+
+def test_skew_audit_gini_extremes(spark, patch_load):
+    """Uniform keys -> gini ~0; one dominant key -> high gini and
+    max_skew_ratio = hottest/fair-share."""
+    uniform = [
+        (i, "2024-01-01 10:00:00", i % 4, "view", 1.0, "{}") for i in range(8)
+    ]
+    patch_load({"events": _events_df(spark, uniform)})
+    [r] = entrymod.queries()["skew_audit"](spark, "x").collect()
+    assert r.n_keys == 4 and r.n_rows == 8 and r.max_key_rows == 2
+    assert r.max_skew_ratio == 1.0
+    assert abs(r.gini) < 0.01
+
+    hot = [(i, "2024-01-01 10:00:00", 0 if i < 9 else 1, "view", 1.0, "{}")
+           for i in range(10)]
+    patch_load({"events": _events_df(spark, hot)})
+    [r] = entrymod.queries()["skew_audit"](spark, "x").collect()
+    assert r.max_key_rows == 9 and r.max_skew_ratio == 1.8
+    assert r.gini > 0.3
