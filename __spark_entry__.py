@@ -6767,6 +6767,118 @@ def q_skew_audit(spark, sf):
     )
 
 
+@_q(
+    "streaming_late_drop",
+    """
+    WITH r AS (
+      SELECT event_id, ts, event_type,
+             row_number() OVER (ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events),
+    wm AS (
+      SELECT (epoch_us(max(ts)) // 1000) * 1000 - 600000000 AS w_us
+      FROM events),
+    kept AS (
+      SELECT event_type, ts FROM r WHERE rn > 1 AND event_id % 3 <> 0
+      UNION ALL
+      SELECT event_type, ts FROM r WHERE rn = 1
+      UNION ALL
+      SELECT event_type, ts FROM r, wm
+      WHERE rn > 1 AND event_id % 3 = 0
+        AND epoch_us(cast(date_trunc('hour', ts) AS TIMESTAMP))
+            + 3600000000 > wm.w_us)
+    SELECT cast(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type, count(*) AS n
+    FROM kept GROUP BY window_start, event_type
+    """,
+)
+def q_streaming_late_drop(spark, sf):
+    """Watermark late-data semantics, oracle-checked EXACTLY: events
+    replay as three deterministic micro-batches (mtime-ordered files,
+    maxFilesPerTrigger=1) — bulk, then the single globally-latest row,
+    then the 'late' slice — so the 10-minute watermark in force for the
+    final batch is fixed by construction. Spark drops a late row iff
+    its hour-window END is <= the watermark, and the watermark is the
+    max observed event time FLOORED TO MILLISECONDS minus the delay
+    (both facts verified empirically on this Spark build); the oracle
+    replays exactly that rule in integer microsecond arithmetic. The
+    middle single-row batch pins the watermark one commit before the
+    late batch, making the filter independent of any within-batch
+    ordering. Covers the E1 semantics no rows-only check could:
+    which rows a continuous query DISCARDS."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.upsert import (
+        read_state,
+        upsert_batch,
+    )
+
+    ev = _events(spark, sf).select("event_id", "ts", "event_type")
+    # harness setup (not the operator under test): a global rank to
+    # carve the three replay files; runs once over the test slice
+    wr = Window.orderBy(F.desc("ts"), F.desc("event_id"))
+    r = ev.withColumn("rn", F.row_number().over(wr))
+    base = tempfile.mkdtemp(prefix="stream_late_")
+    src = f"{base}/src"
+    os.makedirs(src)
+
+    def dump(df, name, age_s):
+        path = f"{base}/tmp_{name}"
+        df.coalesce(1).write.parquet(path)
+        part = glob.glob(f"{path}/part-*.parquet")[0]
+        dst = f"{src}/{name}.parquet"
+        shutil.copy(part, dst)
+        t = _time.time() - age_s
+        os.utime(dst, (t, t))
+
+    cols = ["event_id", "ts", "event_type"]
+    dump(
+        r.filter((F.col("rn") > 1) & (F.col("event_id") % 3 != 0)).select(cols),
+        "a", 120,
+    )
+    dump(r.filter(F.col("rn") == 1).select(cols), "b", 80)
+    dump(
+        r.filter((F.col("rn") > 1) & (F.col("event_id") % 3 == 0)).select(cols),
+        "c", 40,
+    )
+    schema = "event_id bigint, ts timestamp, event_type string"
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = (
+        sdf.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    state = f"{base}/state"
+
+    def _sink(bdf, bid):
+        upsert_batch(
+            bdf.withColumn("_off", F.lit(bid)),
+            state,
+            ["window_start", "event_type"],
+            "_off",
+            deleted_col=None,
+        )
+
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(_sink)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return read_state(spark, state).select("window_start", "event_type", "n")
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
