@@ -149,3 +149,62 @@ def test_streaming_dedup_batch_split_invariant(spark, tmp_path):
 
     assert flags_all == flags_split
     assert flags_all == {(2, 0), (4, 0), (5, 1), (6, 3)}
+
+
+def test_watermark_drop_rule_window_end_vs_ms_floored_wm(spark, tmp_path):
+    """The empirical contract streaming_late_drop's oracle relies on:
+    a late row is dropped iff its window END <= watermark, where the
+    watermark is max-seen event time floored to MILLISECONDS minus the
+    delay, and takes effect one committed batch later."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(rows, name, age_s):
+        df = spark.createDataFrame(rows, ["id", "ts_s", "tag"]).withColumn(
+            "ts", F.to_timestamp("ts_s")
+        )
+        tmp = str(tmp_path / f"tmp_{name}")
+        df.select("id", "ts", "tag").coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = str(src / f"{name}.parquet")
+        shutil.copy(part, dst)
+        t = _time.time() - age_s
+        os.utime(dst, (t, t))
+
+    # batch0 sets max ts 10:10 -> wm 10:00.000; batch1 re-pins it; batch2
+    # probes the boundary.
+    write([(1, "2024-01-01 10:10:00.000000", "seed")], "f1", 150)
+    write([(9, "2024-01-01 10:10:00.000000", "pin")], "f2", 100)
+    write(
+        [
+            (2, "2024-01-01 09:59:00.000000", "end_eq_wm"),   # end == wm: DROP
+            (3, "2024-01-01 08:30:00.000000", "end_lt_wm"),   # end < wm: DROP
+            (4, "2024-01-01 10:05:00.000000", "end_gt_wm"),   # end > wm: KEEP
+        ],
+        "f3", 50,
+    )
+    agg = (
+        spark.readStream.schema("id bigint, ts timestamp, tag string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "tag")
+        .count()
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("wm_rule")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    tags = sorted(r["tag"] for r in spark.sql("select tag from wm_rule").collect())
+    assert tags == ["end_gt_wm", "pin", "seed"]
