@@ -85,6 +85,8 @@ HEADLINE = [
     "corr_matrix",
     "sequence_pack",
     "corpus_build_pipeline",
+    "cohort_matrix",
+    "skew_audit",
     "streaming_interval_join",
     "streaming_cdc_upsert",
 ]
