@@ -5161,6 +5161,35 @@ def q_streaming_dropdup(spark, sf):
 
 
 @_q(
+    "streaming_dropdup_watermarked",
+    """
+    SELECT event_id, user_id, event_type FROM events
+    """,
+)
+def q_streaming_dropdup_watermarked(spark, sf):
+    """Watermark-BOUNDED streaming dedup (dropDuplicatesWithinWatermark):
+    the form that survives an unbounded topic. Plain dropDuplicates
+    state grows forever — every key ever seen lives in the state store;
+    within-watermark dedup evicts keys older than the event-time
+    watermark, so state is O(keys per watermark window) regardless of
+    topic age. Duplicates in an at-least-once pipeline arrive close to
+    the original (a redelivery, not a year-later replay), so the
+    10-minute bound loses nothing — and the oracle (plain DISTINCT over
+    the replayed slice, with both copies inside one batch here) stays
+    exact."""
+    ev1 = _events_stream(spark, sf).select("event_id", "user_id", "event_type", "ts")
+    ev2 = _events_stream(spark, sf).select("event_id", "user_id", "event_type", "ts")
+    deduped = (
+        ev1.unionByName(ev2)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    _run_to_memory(deduped, "streaming_dropdup_wm", "append")
+    return spark.table("streaming_dropdup_wm")
+
+
+@_q(
     "streaming_sessionize",
     """
     WITH d AS (
