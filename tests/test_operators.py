@@ -424,3 +424,47 @@ def test_schema_evolution_merge_reads_both_versions(spark, tmp_path):
         {"id": 1, "name": "a", "score": None},
         {"id": 2, "name": "b", "score": 9.5},
     ]
+
+
+def test_avro_schema_mapping_covers_catalog_types(spark):
+    """The Schema-Registry-shaped Avro schema for the events table:
+    nullable fields become null unions, timestamps map to
+    timestamp-micros, and the decode wrapper fails actionably when the
+    spark-avro jar is absent."""
+    import json
+
+    import pytest as _pytest
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.catalog import load
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.sources import (
+        avro,
+    )
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    schema = json.loads(avro.avro_schema_for(ev.schema, "events_value"))
+    fields = {f["name"]: f["type"] for f in schema["fields"]}
+    assert schema["type"] == "record" and schema["name"] == "events_value"
+    assert fields["event_id"] == ["null", "long"]
+    assert fields["event_type"] == ["null", "string"]
+    ts = fields["ts"][1]
+    assert ts["logicalType"] in ("timestamp-micros", "local-timestamp-micros")
+    # nested/array/map/decimal mappings
+    from pyspark.sql import types as T
+
+    st = T.StructType(
+        [
+            T.StructField("a", T.ArrayType(T.IntegerType(), False), False),
+            T.StructField("m", T.MapType(T.StringType(), T.DoubleType()), False),
+            T.StructField("d", T.DecimalType(12, 2), False),
+        ]
+    )
+    s2 = json.loads(avro.avro_schema_for(st))
+    f2 = {f["name"]: f["type"] for f in s2["fields"]}
+    assert f2["a"] == {"type": "array", "items": "int"}
+    assert f2["m"]["type"] == "map"
+    assert f2["d"]["logicalType"] == "decimal" and f2["d"]["scale"] == 2
+    # decode path: actionable error without the jar (or a Column if present)
+    try:
+        avro.decode_value(spark, "v", avro.avro_schema_for(ev.schema))
+    except RuntimeError as e:
+        assert "spark-avro" in str(e)
