@@ -6908,6 +6908,113 @@ def q_streaming_late_drop(spark, sf):
     return read_state(spark, state).select("window_start", "event_type", "n")
 
 
+@_q(
+    "changepoint_cusum",
+    """
+    WITH daily AS (
+      SELECT event_type, cast(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             sum(cast(value AS decimal(18,6))) AS s, count(*) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY event_type, day),
+    tot AS (
+      SELECT event_type, sum(s) AS ts_, sum(c) AS tc
+      FROM daily GROUP BY event_type),
+    cus AS (
+      SELECT d.event_type, d.day,
+             sum(cast(d.s AS DOUBLE)
+                 - d.c * (cast(t.ts_ AS DOUBLE) / cast(t.tc AS DOUBLE)))
+               OVER (PARTITION BY d.event_type ORDER BY d.day) AS cusum
+      FROM daily d JOIN tot t ON d.event_type = t.event_type)
+    SELECT event_type,
+           max_by(day, abs(cusum)) AS change_day,
+           round(max(abs(cusum)), 4) AS max_cusum
+    FROM cus GROUP BY event_type
+    """,
+)
+def q_changepoint_cusum(spark, sf):
+    """CUSUM change-point detection per event type: the day where the
+    cumulative deviation from the series mean peaks — the classic
+    mean-shift locator. The fact-sized daily rollup accumulates as
+    exact DECIMAL (partial-order independent); the per-day deviations
+    then accumulate as doubles INSIDE the ordered window, where both
+    engines perform the identical sequential IEEE additions — the one
+    place double math is reproducible by construction. One daily
+    rollup (fact-sized), then O(types x days) window + argmax."""
+    ev = _events(spark, sf).filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("s").alias("ts_"), F.sum("c").alias("tc")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    cus = (
+        daily.join(tot, "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.sum(
+                F.col("s").cast("double")
+                - F.col("c")
+                * (F.col("ts_").cast("double") / F.col("tc").cast("double"))
+            ).over(w).alias("cusum"),
+        )
+    )
+    return cus.groupBy("event_type").agg(
+        F.max_by("day", F.abs("cusum")).alias("change_day"),
+        F.round(F.max(F.abs("cusum")), 4).alias("max_cusum"),
+    )
+
+
+@_q(
+    "benford_audit",
+    """
+    WITH digits AS (
+      SELECT cast(substr(cast(cast(floor(o_totalprice) AS bigint) AS VARCHAR),
+                         1, 1) AS bigint) AS d
+      FROM orders WHERE o_totalprice >= 1),
+    obs AS (SELECT d, count(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT sum(n) AS tot_n FROM obs)
+    SELECT d, n,
+           round(n::DOUBLE / tot_n, 6) AS observed_p,
+           round(log10(1.0 + 1.0 / d), 6) AS benford_p
+    FROM obs, tot ORDER BY d
+    """,
+)
+def q_benford_audit(spark, sf):
+    """Benford first-digit audit of order totals: observed leading-
+    digit frequencies against the log10(1 + 1/d) law — the standard
+    fabricated-data screen in financial DQ. The digit extraction is
+    integer/string codegen (truncate, first char), the rollup is 9
+    groups, and the expected-law column is a closed form — everything
+    deterministic. ORDER BY keeps the 9-row result stable for eyeballs;
+    the hash comparison is order-insensitive anyway."""
+    o = load(spark, sf, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("tot_n"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("tot_n"), 6).alias(
+                "observed_p"
+            ),
+            F.round(F.log10(1.0 + 1.0 / F.col("d")), 6).alias("benford_p"),
+        )
+        .orderBy("d")
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
