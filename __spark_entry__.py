@@ -7015,6 +7015,113 @@ def q_benford_audit(spark, sf):
     )
 
 
+@_q(
+    "dedup_method_agreement",
+    f"""
+    WITH mh AS (SELECT doc_a, doc_b FROM ({_oracle_minhash()})),
+    sh AS (SELECT doc_a, doc_b FROM ({{SIMHASH_PAIRS}})),
+    u AS (
+      SELECT coalesce(m.doc_a, s.doc_a) AS doc_a,
+             coalesce(m.doc_b, s.doc_b) AS doc_b,
+             (m.doc_a IS NOT NULL) AS in_mh,
+             (s.doc_a IS NOT NULL) AS in_sh
+      FROM mh m FULL OUTER JOIN sh s
+        ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b)
+    SELECT count(*) FILTER (WHERE in_mh AND in_sh)     AS n_both,
+           count(*) FILTER (WHERE in_mh AND NOT in_sh) AS n_minhash_only,
+           count(*) FILTER (WHERE in_sh AND NOT in_mh) AS n_simhash_only
+    FROM u
+    """,
+)
+def q_dedup_method_agreement(spark, sf):
+    """Method-agreement audit for the two near-dup families: the pair
+    sets found by MinHash-LSH (Jaccard-verified) and SimHash
+    (hamming<=3) full-outer-joined on the (doc_a, doc_b) key and
+    bucketed into both/only-one counts. This is the evaluation a
+    pipeline owner runs before trusting one method at scale; both pair
+    generators keep their own scale posture and the comparison itself
+    joins two O(pairs) sets on their natural key."""
+    d = load(spark, sf, "documents")
+    mh = dedup.verified_near_dups(d).select("doc_a", "doc_b")
+    sh = dedup.simhash_near_dups(d).select("doc_a", "doc_b")
+    u = mh.withColumn("in_mh", F.lit(True)).join(
+        sh.withColumn("in_sh", F.lit(True)), ["doc_a", "doc_b"], "full_outer"
+    )
+    in_mh = F.col("in_mh").isNotNull()
+    in_sh = F.col("in_sh").isNotNull()
+    return u.agg(
+        F.count(F.when(in_mh & in_sh, 1)).alias("n_both"),
+        F.count(F.when(in_mh & ~in_sh, 1)).alias("n_minhash_only"),
+        F.count(F.when(in_sh & ~in_mh, 1)).alias("n_simhash_only"),
+    )
+
+
+@_q(
+    "path_ngrams",
+    """
+    WITH paths AS (
+      SELECT user_id, list(event_type ORDER BY ts, event_id) AS p
+      FROM events GROUP BY user_id),
+    g AS (
+      SELECT user_id,
+             unnest(list_transform(generate_series(1, len(p) - 2),
+                                   i -> array_to_string(p[i:i+2], '>')))
+               AS trigram
+      FROM paths WHERE len(p) >= 3),
+    c AS (
+      SELECT trigram, count(*) AS n, count(DISTINCT user_id) AS n_users
+      FROM g GROUP BY trigram)
+    SELECT trigram, n, n_users FROM c
+    ORDER BY n DESC, trigram LIMIT 25
+    """,
+)
+def q_path_ngrams(spark, sf):
+    """Behavioral path mining: the most frequent event-type trigrams
+    across user journeys (order by event time). One groupBy packs each
+    user's ordered path into an array (sort_array over (ts, event_id,
+    type) structs — map-side combinable, no window sort), trigram
+    expansion is a narrow in-partition explode of the same
+    word_ngrams helper the text stack uses, and the count rolls up on
+    the trigram key. Generalizes adjacent_pattern_counts from fixed
+    2-step patterns to discovered k-step paths."""
+    ev = _events(spark, sf)
+    paths = ev.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ).alias("p")
+    )
+    g = paths.filter(F.size("p") >= 3).select(
+        "user_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("p") - 2),
+                lambda i: F.array_join(F.slice("p", i, 3), ">"),
+            )
+        ).alias("trigram"),
+    )
+    return (
+        g.groupBy("trigram")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n"), "trigram")
+        .limit(25)
+    )
+
+
+# splice the simhash pair oracle into the agreement oracle
+_REGISTRY["dedup_method_agreement"] = (
+    _REGISTRY["dedup_method_agreement"][0],
+    _REGISTRY["dedup_method_agreement"][1].replace(
+        "{SIMHASH_PAIRS}", _REGISTRY["simhash_near_dups"][1]
+    ),
+)
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
