@@ -7122,6 +7122,54 @@ _REGISTRY["dedup_method_agreement"] = (
 )
 
 
+@_q(
+    "k_anonymity_audit",
+    """
+    WITH q AS (
+      SELECT c_nationkey, c_mktsegment,
+             cast(floor(c_acctbal / 1000.0) AS bigint) AS bal_band,
+             count(*) AS grp
+      FROM customer GROUP BY c_nationkey, c_mktsegment, bal_band),
+    ks AS (SELECT unnest([2, 5, 10]) AS k)
+    SELECT ks.k,
+           count(*) FILTER (WHERE q.grp < ks.k) AS n_groups_below_k,
+           cast(coalesce(sum(q.grp) FILTER (WHERE q.grp < ks.k), 0) AS bigint)
+             AS n_rows_at_risk,
+           count(*) AS n_groups
+    FROM q, ks GROUP BY ks.k
+    """,
+)
+def q_k_anonymity_audit(spark, sf):
+    """k-anonymity audit over quasi-identifiers (nation, market
+    segment, coarse balance band): how many equivalence classes fall
+    below k members and how many rows they expose, for k in {2,5,10} —
+    the re-identification screen a dataset runs before release. One
+    fact-sized rollup to O(QI-combination) groups, then a tiny
+    broadcast cross join against the k ladder; banding is explicit
+    floor arithmetic so the classes are engine-portable."""
+    c = load(spark, sf, "customer")
+    q = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("grp"))
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(2), F.lit(5), F.lit(10))).alias("k")
+    )
+    risk = F.when(F.col("grp") < F.col("k"), F.col("grp"))
+    return (
+        q.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.count(risk).alias("n_groups_below_k"),
+            F.coalesce(F.sum(risk), F.lit(0)).cast("bigint").alias(
+                "n_rows_at_risk"
+            ),
+            F.count(F.lit(1)).alias("n_groups"),
+        )
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
