@@ -618,3 +618,58 @@ def test_skew_audit_gini_extremes(spark, patch_load):
     [r] = entrymod.queries()["skew_audit"](spark, "x").collect()
     assert r.max_key_rows == 9 and r.max_skew_ratio == 1.8
     assert r.gini > 0.3
+
+
+def test_benford_digit_extraction_truncates(spark, patch_load):
+    """999.6 must yield digit 9 (floor), not 1 (round-to-1000)."""
+    orders = spark.createDataFrame(
+        [(1, 1, "O", 999.6, "2024-01-01", "1-URGENT"),
+         (2, 1, "O", 23.4, "2024-01-01", "1-URGENT")],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"],
+    )
+    patch_load({"orders": orders})
+    out = {r.d: r.n for r in entrymod.queries()["benford_audit"](spark, "x").collect()}
+    assert out == {9: 1, 2: 1}
+
+
+def test_changepoint_finds_mean_shift_day(spark, patch_load):
+    """A series that jumps on day 3 peaks its |CUSUM| at the last
+    pre-shift day (cumulative deviation is most negative there)."""
+    rows, eid = [], 0
+    for day, val in [(1, 1.0), (2, 1.0), (3, 9.0), (4, 9.0)]:
+        for _ in range(5):
+            eid += 1
+            rows.append((eid, f"2024-01-0{day} 10:00:00", 1, "view", val, "{}"))
+    patch_load({"events": _events_df(spark, rows)})
+    [r] = entrymod.queries()["changepoint_cusum"](spark, "x").collect()
+    assert str(r.change_day) == "2024-01-02 00:00:00"
+
+
+def test_path_ngrams_ordered_by_event_time(spark, patch_load):
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 10:01:00", 1, "click", 1.0, "{}"),
+        (3, "2024-01-01 10:02:00", 1, "purchase", 1.0, "{}"),
+        (4, "2024-01-01 10:03:00", 1, "view", 1.0, "{}"),
+        # user 2 too short for a trigram
+        (5, "2024-01-01 10:00:00", 2, "view", 1.0, "{}"),
+        (6, "2024-01-01 10:01:00", 2, "click", 1.0, "{}"),
+    ]
+    patch_load({"events": _events_df(spark, rows)})
+    out = {r.trigram: (r.n, r.n_users)
+           for r in entrymod.queries()["path_ngrams"](spark, "x").collect()}
+    assert out == {"view>click>purchase": (1, 1), "click>purchase>view": (1, 1)}
+
+
+def test_k_anonymity_small_groups_flagged(spark, patch_load):
+    cust = spark.createDataFrame(
+        [(i, "n", 1, 500.0, "SEG") for i in range(4)]     # one group of 4
+        + [(10, "n", 2, 500.0, "SEG")],                   # singleton group
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    patch_load({"customer": cust})
+    out = {r.k: (r.n_groups_below_k, r.n_rows_at_risk, r.n_groups)
+           for r in entrymod.queries()["k_anonymity_audit"](spark, "x").collect()}
+    assert out[2] == (1, 1, 2)   # only the singleton below k=2
+    assert out[5] == (2, 5, 2)   # both groups below k=5
