@@ -7123,6 +7123,59 @@ _REGISTRY["dedup_method_agreement"] = (
 
 
 @_q(
+    "revenue_reconciliation",
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             sum(cast(l_extendedprice AS decimal(18,2))) AS li_gross
+      FROM lineitem GROUP BY l_orderkey),
+    j AS (
+      SELECT o.o_orderkey, cast(o.o_totalprice AS decimal(18,2)) AS header,
+             li.li_gross
+      FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey)
+    SELECT count(*) AS n_orders,
+           count(*) FILTER (WHERE li_gross IS NULL) AS n_no_lines,
+           count(*) FILTER (WHERE li_gross IS NOT NULL
+                            AND header = li_gross) AS n_exact_match,
+           cast(sum(CASE WHEN li_gross IS NOT NULL
+                         THEN abs(header - li_gross)
+                         ELSE cast(0 AS decimal(18,2)) END)
+                AS DOUBLE) AS total_abs_drift
+    FROM j
+    """,
+)
+def q_revenue_reconciliation(spark, sf):
+    """Header-vs-detail reconciliation: every order's header total
+    against the exact-decimal sum of its line items — line-less
+    orders, exact matches, and the total absolute drift. The standard
+    post-load consistency gate between a fact table and its rollup;
+    one keyed aggregate on the fact, one keyed join, exact DECIMAL
+    money arithmetic end to end (drift of 0.00 means 0.00, not float
+    fuzz)."""
+    li = load(spark, sf, "lineitem").groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("li_gross")
+    )
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("header")
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left")
+    has = F.col("li_gross").isNotNull()
+    zero = F.lit(0).cast("decimal(18,2)")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(~has, 1)).alias("n_no_lines"),
+        F.count(F.when(has & (F.col("header") == F.col("li_gross")), 1)).alias(
+            "n_exact_match"
+        ),
+        F.sum(
+            F.when(has, F.abs(F.col("header") - F.col("li_gross"))).otherwise(zero)
+        )
+        .cast("double")
+        .alias("total_abs_drift"),
+    )
+
+
+@_q(
     "k_anonymity_audit",
     """
     WITH q AS (
