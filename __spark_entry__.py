@@ -7176,6 +7176,56 @@ def q_revenue_reconciliation(spark, sf):
 
 
 @_q(
+    "asof_join_forward",
+    f"""
+    SELECT k.event_id AS click_id,
+           k.user_id  AS user_id,
+           k.ts       AS click_ts,
+           p.purchase_id    AS next_purchase_id,
+           p.purchase_value AS next_purchase_value,
+           p.ts             AS next_purchase_ts
+    FROM ({_CLICKS_SQL}) k
+    ASOF LEFT JOIN (SELECT event_id AS purchase_id, user_id,
+                           value AS purchase_value, ts
+                    FROM events WHERE event_type = 'purchase') p
+      ON k.user_id = p.user_id AND k.ts <= p.ts
+    """,
+)
+def q_asof_join_forward(spark, sf):
+    """Forward as-of join (operators/joins.py:asof_join_forward): each
+    click matched to the user's EARLIEST purchase at-or-after it — the
+    'did this click convert, and to what' direction, complementing the
+    backward asof_join. Same union + running-carry plan with the
+    per-key sort reversed: one shuffle, one sort, no per-key cross
+    product; DuckDB's ASOF ``<=`` join is the exact oracle."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        joins,
+    )
+
+    left = _clicks(spark, sf).select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    right = _purchases(spark, sf).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("value").alias("purchase_value"),
+        "ts",
+    )
+    out = joins.asof_join_forward(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=("purchase_id", "purchase_value"), prefix="next_",
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        "next_purchase_id",
+        "next_purchase_value",
+        F.col("next_ts").alias("next_purchase_ts"),
+    )
+
+
+@_q(
     "k_anonymity_audit",
     """
     WITH q AS (

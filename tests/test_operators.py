@@ -468,3 +468,34 @@ def test_avro_schema_mapping_covers_catalog_types(spark):
         avro.decode_value(spark, "v", avro.avro_schema_for(ev.schema))
     except RuntimeError as e:
         assert "spark-avro" in str(e)
+
+
+def test_asof_join_forward_picks_earliest_future(spark):
+    """Forward as-of: earliest right row at-or-after left ts; exact
+    tie matches; no future -> null."""
+    import pyspark.sql.functions as F
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.joins import (
+        asof_join_forward,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00"),
+         (2, 1, "2024-01-01 12:00:00"),
+         (3, 2, "2024-01-01 10:00:00")],
+        ["lid", "k", "ts_s"],
+    ).select("lid", "k", F.to_timestamp("ts_s").alias("ts"))
+    right = spark.createDataFrame(
+        [(100, 1, "2024-01-01 10:00:00"),   # exact tie with lid 1
+         (101, 1, "2024-01-01 11:00:00"),
+         (102, 1, "2024-01-01 09:00:00")],  # past only: never a forward match
+        ["rid", "k", "ts_s"],
+    ).select("rid", "k", F.to_timestamp("ts_s").alias("ts"))
+    out = {
+        r.lid: r.next_rid
+        for r in asof_join_forward(
+            left, right, key="k", left_ts="ts", right_ts="ts",
+            right_cols=("rid",), prefix="next_",
+        ).collect()
+    }
+    assert out == {1: 100, 2: None, 3: None}

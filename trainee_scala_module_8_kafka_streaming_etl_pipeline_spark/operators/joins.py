@@ -192,3 +192,54 @@ def interval_overlap_join(
         .filter((F.col(ls) <= F.col(re_)) & (F.col(rs) <= F.col(le)))
     )
     return pairs
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    prefix: str = "next_",
+) -> DataFrame:
+    """Forward as-of join: each left row picks the EARLIEST right row
+    with the same key and ``right_ts >= left_ts`` (ties included) —
+    the 'next event after' direction (pandas merge_asof
+    direction='forward').
+
+    Same union + running-carry shape as :func:`asof_join`, with the
+    sort reversed: within each key, order by (ts DESC, side) and carry
+    the last-seen right payload — which, scanned in descending time, is
+    the nearest FUTURE right row. One shuffle + one sort, no per-key
+    cross product. Right rows sort before left rows at equal ts so an
+    exact-tie matches, mirroring DuckDB's ``ON l.ts <= r.ts`` ASOF.
+    """
+    payload = F.struct(*[F.col(c) for c in right_cols], F.col(right_ts).alias("_rts"))
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        payload.alias("_payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c != key],
+    )
+    l = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        *[F.col(c) for c in left.columns if c != key],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.desc("_ts"), F.asc("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = l.unionByName(r).withColumn(
+        "_carried", F.last("_payload", ignorenulls=True).over(w)
+    )
+    out = unioned.filter(F.col("_side") == 1)
+    for c in right_cols:
+        out = out.withColumn(prefix + c, F.col(f"_carried.{c}"))
+    out = out.withColumn(prefix + right_ts, F.col("_carried._rts"))
+    return out.drop("_ts", "_side", "_payload", "_carried")
