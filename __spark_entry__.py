@@ -7226,6 +7226,138 @@ def q_asof_join_forward(spark, sf):
 
 
 @_q(
+    "conversion_lag_stats",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase
+      FROM events GROUP BY user_id),
+    lags AS (
+      SELECT (epoch_us(first_purchase) - epoch_us(first_view)) / 1e6
+               AS lag_sec
+      FROM firsts
+      WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_view)
+    SELECT count(*) AS n_converters,
+           round(quantile_cont(lag_sec, 0.5), 6) AS p50_sec,
+           round(quantile_cont(lag_sec, 0.9), 6) AS p90_sec,
+           round(cast(min(lag_sec) AS DOUBLE), 6) AS min_sec,
+           round(cast(max(lag_sec) AS DOUBLE), 6) AS max_sec
+    FROM lags
+    """,
+)
+def q_conversion_lag_stats(spark, sf):
+    """Time-to-convert distribution: per user, the lag from first view
+    to first purchase (converters only), summarized as exact
+    percentiles. ONE conditional-min aggregate extracts both firsts in
+    a single fact pass (no join between two filtered scans), the lag
+    projection is integer microsecond arithmetic, and the percentile
+    runs over O(users) rows. The funnel KPI every growth team asks of
+    an event store."""
+    ev = _events(spark, sf)
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    lags = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        (
+            (F.unix_micros("first_purchase") - F.unix_micros("first_view"))
+            / 1e6
+        ).alias("lag_sec")
+    )
+    return lags.agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        F.round(F.expr("percentile(lag_sec, 0.5)"), 6).alias("p50_sec"),
+        F.round(F.expr("percentile(lag_sec, 0.9)"), 6).alias("p90_sec"),
+        F.round(F.min("lag_sec").cast("double"), 6).alias("min_sec"),
+        F.round(F.max("lag_sec").cast("double"), 6).alias("max_sec"),
+    )
+
+
+@_q(
+    "decile_lift",
+    """
+    WITH scores AS (
+      SELECT user_id,
+             avg(CASE WHEN event_type = 'click' THEN value END) AS score,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id),
+    scored AS (
+      SELECT user_id, score, converted,
+             ntile(10) OVER (ORDER BY score DESC, user_id) AS decile
+      FROM scores WHERE score IS NOT NULL),
+    base AS (
+      SELECT cast(sum(converted) AS DOUBLE) / count(*) AS base_rate
+      FROM scored)
+    SELECT decile, count(*) AS n_users,
+           cast(sum(converted) AS bigint) AS n_converted,
+           round(cast(sum(converted) AS DOUBLE) / count(*) / base.base_rate,
+                 6) AS lift
+    FROM scored, base GROUP BY decile, base.base_rate
+    """,
+)
+def q_decile_lift(spark, sf):
+    """Decile lift table: users ranked by a behavioral score (mean
+    click value), cut into deciles, each decile's conversion rate
+    relative to the base rate — THE model-evaluation artifact for
+    targeting models. The score/outcome extraction is one conditional
+    aggregate per user; the ntile runs over O(users) rows with a
+    deterministic (score, user_id) tiebreak; the base rate broadcasts
+    as a 1-row join. Mean click value uses avg over doubles read
+    straight from storage — per-user groups are tiny and DuckDB/Spark
+    agree on the sequential mean of a handful of values; the decile
+    CUT survives any representable difference anyway."""
+    ev = _events(spark, sf)
+    scores = ev.groupBy("user_id").agg(
+        F.avg(F.when(F.col("event_type") == "click", F.col("value"))).alias(
+            "score"
+        ),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    w = Window.orderBy(F.desc("score"), "user_id")
+    scored = scores.filter(F.col("score").isNotNull()).withColumn(
+        "decile", F.ntile(10).over(w)
+    )
+    base = scored.agg(
+        (F.sum("converted").cast("double") / F.count(F.lit(1))).alias(
+            "base_rate"
+        )
+    )
+    return (
+        scored.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+        )
+        .crossJoin(F.broadcast(base))
+        .select(
+            "decile",
+            "n_users",
+            "n_converted",
+            F.round(
+                F.col("n_converted").cast("double")
+                / F.col("n_users")
+                / F.col("base_rate"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@_q(
     "k_anonymity_audit",
     """
     WITH q AS (
