@@ -7358,6 +7358,89 @@ def q_decile_lift(spark, sf):
 
 
 @_q(
+    "content_chunk_dedup",
+    """
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS n
+      FROM documents),
+    docs AS (SELECT * FROM norm WHERE len(n) >= 16),
+    b AS (
+      SELECT doc_id, n,
+             [1] || list_filter(generate_series(2, len(n) - 7),
+                     i -> (('0x' || substr(md5(substr(n, i, 8)), 1, 15))::BIGINT
+                           % 64) = 0)
+                 || [len(n) + 1] AS bf
+      FROM docs),
+    ch AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(bf) - 1),
+                     k -> substr(n, bf[k], bf[k+1] - bf[k]))) AS chunk
+      FROM b),
+    agg AS (
+      SELECT md5(chunk) AS fp, count(*) AS occ,
+             count(DISTINCT doc_id) AS ndocs
+      FROM ch GROUP BY fp)
+    SELECT cast(sum(occ) AS bigint) AS n_chunk_occurrences,
+           count(*) AS n_distinct_chunks,
+           count(*) FILTER (WHERE ndocs >= 2) AS n_shared_chunks,
+           cast(coalesce(sum(occ) FILTER (WHERE ndocs >= 2), 0) AS bigint)
+             AS n_shared_occurrences,
+           round(coalesce(sum(occ) FILTER (WHERE ndocs >= 2), 0)::DOUBLE
+                 / sum(occ), 6) AS shared_frac
+    FROM agg
+    """,
+)
+def q_content_chunk_dedup(spark, sf):
+    """Content-defined chunking dedup (the rsync/FastCDC idea applied
+    to corpus text): chunk boundaries fall where the md5-derived hash
+    of an 8-char window is 0 mod 64 (expected ~64-char chunks), so
+    IDENTICAL passages chunk identically regardless of byte offset —
+    the property fixed-size chunking (operators/multimodal.py) lacks,
+    and the reason CDC detects shared boilerplate shifted by an edit.
+    Boundary detection and chunk slicing are narrow higher-order array
+    expressions inside codegen; the only shuffle aggregates 32-char
+    chunk fingerprints. Output: corpus-level shared-block statistics."""
+    d = load(spark, sf, "documents")
+    base = d.select(
+        "doc_id", dedup.normalize_text("text").alias("n")
+    ).filter(F.length("n") >= 16)
+    bf = F.expr(
+        "concat(array(1), "
+        "filter(sequence(2, length(n) - 7), "
+        "  i -> pmod(cast(conv(substr(md5(substr(n, i, 8)), 1, 15), 16, 10) "
+        "            as bigint), 64) = 0), "
+        "array(length(n) + 1))"
+    )
+    ch = base.withColumn("bf", bf).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(bf) - 1), "
+                "k -> substr(n, element_at(bf, k), "
+                "     element_at(bf, k + 1) - element_at(bf, k)))"
+            )
+        ).alias("chunk"),
+    )
+    agg = ch.groupBy(F.md5("chunk").alias("fp")).agg(
+        F.count(F.lit(1)).alias("occ"),
+        F.countDistinct("doc_id").alias("ndocs"),
+    )
+    shared = F.when(F.col("ndocs") >= 2, F.col("occ"))
+    return agg.agg(
+        F.sum("occ").cast("bigint").alias("n_chunk_occurrences"),
+        F.count(F.lit(1)).alias("n_distinct_chunks"),
+        F.count(shared).alias("n_shared_chunks"),
+        F.coalesce(F.sum(shared), F.lit(0)).cast("bigint").alias(
+            "n_shared_occurrences"
+        ),
+        F.round(
+            F.coalesce(F.sum(shared), F.lit(0)).cast("double") / F.sum("occ"),
+            6,
+        ).alias("shared_frac"),
+    )
+
+
+@_q(
     "k_anonymity_audit",
     """
     WITH q AS (

@@ -673,3 +673,22 @@ def test_k_anonymity_small_groups_flagged(spark, patch_load):
            for r in entrymod.queries()["k_anonymity_audit"](spark, "x").collect()}
     assert out[2] == (1, 1, 2)   # only the singleton below k=2
     assert out[5] == (2, 5, 2)   # both groups below k=5
+
+
+def test_content_chunks_offset_invariant(spark, patch_load):
+    """The CDC property: a shared passage chunks identically even when
+    shifted by a prefix edit, so shared blocks are detected; with two
+    docs = prefix + same long passage, most chunk occurrences are
+    shared."""
+    passage = "the quick brown fox jumps over the lazy dog " * 20
+    docs = spark.createDataFrame(
+        [(1, passage, "en", "s", 1),
+         (2, "zzz unique prefix " + passage, "en", "s", 1)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    patch_load({"documents": docs})
+    [r] = entrymod.queries()["content_chunk_dedup"](spark, "x").collect()
+    # the interior boundaries align after the first shared boundary, so
+    # the bulk of occurrences are shared between the two docs
+    assert r.n_shared_occurrences > 0
+    assert r.shared_frac > 0.5
