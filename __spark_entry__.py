@@ -7441,6 +7441,92 @@ def q_content_chunk_dedup(spark, sf):
 
 
 @_q(
+    "shared_passage_pairs",
+    """
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS n
+      FROM documents),
+    docs AS (SELECT * FROM norm WHERE len(n) >= 16),
+    b AS (
+      SELECT doc_id, n,
+             [1] || list_filter(generate_series(2, len(n) - 7),
+                     i -> (('0x' || substr(md5(substr(n, i, 8)), 1, 15))::BIGINT
+                           % 64) = 0)
+                 || [len(n) + 1] AS bf
+      FROM docs),
+    ch AS (
+      SELECT DISTINCT doc_id,
+             md5(unnest(list_transform(generate_series(1, len(bf) - 1),
+                     k -> substr(n, bf[k], bf[k+1] - bf[k])))) AS fp
+      FROM b),
+    fpd AS (
+      SELECT fp, list_sort(list(DISTINCT doc_id)) AS ds, count(DISTINCT doc_id) AS nd
+      FROM ch GROUP BY fp),
+    pairs AS (
+      SELECT a AS doc_a, b2 AS doc_b
+      FROM (SELECT unnest(ds) AS a, ds FROM fpd WHERE nd BETWEEN 2 AND 20),
+           unnest(ds) AS t(b2)
+      WHERE a < b2)
+    SELECT doc_a, doc_b, count(*) AS n_shared_chunks
+    FROM pairs GROUP BY doc_a, doc_b
+    HAVING count(*) >= 3
+    """,
+)
+def q_shared_passage_pairs(spark, sf):
+    """Containment detection: document pairs sharing >=3 content-
+    defined chunks — the copy/quote relationship whole-document
+    Jaccard misses when a small doc is embedded in a large one. Pair
+    generation follows the LSH-banding shape: group doc ids per chunk
+    fingerprint, SKIP boilerplate fingerprints (>20 docs — their pairs
+    are noise and their expansion is the quadratic hazard), and expand
+    the remaining tiny lists to pairs in-partition. The only shuffles
+    move 32-char fingerprints and id pairs."""
+    d = load(spark, sf, "documents")
+    base = d.select(
+        "doc_id", dedup.normalize_text("text").alias("n")
+    ).filter(F.length("n") >= 16)
+    bf = F.expr(
+        "concat(array(1), "
+        "filter(sequence(2, length(n) - 7), "
+        "  i -> pmod(cast(conv(substr(md5(substr(n, i, 8)), 1, 15), 16, 10) "
+        "            as bigint), 64) = 0), "
+        "array(length(n) + 1))"
+    )
+    ch = (
+        base.withColumn("bf", bf)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(bf) - 1), "
+                    "k -> substr(n, element_at(bf, k), "
+                    "     element_at(bf, k + 1) - element_at(bf, k)))"
+                )
+            ).alias("chunk"),
+        )
+        .select("doc_id", F.md5("chunk").alias("fp"))
+        .distinct()
+    )
+    fpd = ch.groupBy("fp").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ds")
+    ).filter((F.size("ds") >= 2) & (F.size("ds") <= 20))
+    pairs = fpd.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds)), "
+                "y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_chunks"))
+        .filter(F.col("n_shared_chunks") >= 3)
+    )
+
+
+@_q(
     "k_anonymity_audit",
     """
     WITH q AS (
