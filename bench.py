@@ -87,6 +87,7 @@ HEADLINE = [
     "corpus_build_pipeline",
     "cohort_matrix",
     "skew_audit",
+    "content_chunk_dedup",
     "streaming_interval_join",
     "streaming_cdc_upsert",
 ]
