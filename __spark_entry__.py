@@ -7526,6 +7526,83 @@ def q_shared_passage_pairs(spark, sf):
     )
 
 
+def _join_size_oracle() -> str:
+    d, w = sketches.CMS_D, sketches.CMS_W
+    ev_cells = "\n      UNION ALL ".join(
+        f"SELECT {i} AS i, "
+        + _H60_SQL.format(x=f"'{i}_' || user_id::VARCHAR")
+        + f" % {w} AS col FROM events"
+        for i in range(d)
+    )
+    o_cells = "\n      UNION ALL ".join(
+        f"SELECT {i} AS i, "
+        + _H60_SQL.format(x=f"'{i}_' || o_custkey::VARCHAR")
+        + f" % {w} AS col FROM orders"
+        for i in range(d)
+    )
+    return f"""
+    WITH ea AS (SELECT i, col, count(*) AS cnt FROM ({ev_cells}) GROUP BY 1, 2),
+    ob AS (SELECT i, col, count(*) AS cnt FROM ({o_cells}) GROUP BY 1, 2),
+    ip AS (
+      SELECT ea.i, sum(ea.cnt * ob.cnt) AS dot
+      FROM ea JOIN ob ON ea.i = ob.i AND ea.col = ob.col
+      GROUP BY ea.i),
+    est AS (SELECT cast(min(dot) AS bigint) AS cms_estimate FROM ip),
+    ec AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY user_id),
+    oc AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY o_custkey),
+    exact AS (
+      SELECT cast(coalesce(sum(ec.c * oc.c), 0) AS bigint) AS exact_size
+      FROM ec JOIN oc ON ec.k = oc.k)
+    SELECT exact.exact_size, est.cms_estimate,
+           round(est.cms_estimate::DOUBLE
+                 / greatest(exact.exact_size, 1), 6) AS over_ratio
+    FROM exact, est
+    """
+
+
+@_q("join_size_sketch_eval", _join_size_oracle())
+def q_join_size_sketch_eval(spark, sf):
+    """Join-size estimation by sketch inner product (the AMS/CMS
+    technique query optimizers use for cardinality statistics): the
+    CMS cell tables of each join side's key column — O(d*w) state
+    built in one pass per table — inner-product per hash row, min over
+    rows, against the exact join cardinality (sum of per-key count
+    products). The estimate is a guaranteed upper bound; the reported
+    over_ratio is the collision inflation. Everything is exact integer
+    arithmetic, so even the 'approximate' path is oracle-checkable."""
+    ev = _events(spark, sf).select("user_id")
+    o = load(spark, sf, "orders").select("o_custkey")
+    ea = sketches.cms_cells(ev, "user_id")
+    ob = sketches.cms_cells(o, "o_custkey")
+    ip = (
+        ea.alias("a")
+        .join(ob.alias("b"), ["i", "col"])
+        .groupBy("i")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot"))
+    )
+    est = ip.agg(F.min("dot").cast("bigint").alias("cms_estimate"))
+    ec = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    oc = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c"))
+    exact = (
+        ec.alias("e")
+        .join(oc.alias("o"), F.col("e.user_id") == F.col("o.o_custkey"))
+        .agg(
+            F.coalesce(F.sum(F.col("e.c") * F.col("o.c")), F.lit(0))
+            .cast("bigint")
+            .alias("exact_size")
+        )
+    )
+    return exact.crossJoin(est).select(
+        "exact_size",
+        "cms_estimate",
+        F.round(
+            F.col("cms_estimate").cast("double")
+            / F.greatest(F.col("exact_size"), F.lit(1)),
+            6,
+        ).alias("over_ratio"),
+    )
+
+
 @_q(
     "k_anonymity_audit",
     """
