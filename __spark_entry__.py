@@ -7547,7 +7547,10 @@ def _join_size_oracle() -> str:
       SELECT ea.i, sum(ea.cnt * ob.cnt) AS dot
       FROM ea JOIN ob ON ea.i = ob.i AND ea.col = ob.col
       GROUP BY ea.i),
-    est AS (SELECT cast(min(dot) AS bigint) AS cms_estimate FROM ip),
+    est AS (
+      SELECT cast(CASE WHEN count(*) < {d} THEN 0 ELSE min(dot) END AS bigint)
+               AS cms_estimate
+      FROM ip),
     ec AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY user_id),
     oc AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY o_custkey),
     exact AS (
@@ -7580,7 +7583,15 @@ def q_join_size_sketch_eval(spark, sf):
         .groupBy("i")
         .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot"))
     )
-    est = ip.agg(F.min("dot").cast("bigint").alias("cms_estimate"))
+    # a hash row absent from the join has a true inner product of 0
+    # (no co-occupied cells), so any missing row forces the min to 0 —
+    # without this, fully-disjoint key sets would return NULL
+    est = ip.agg(
+        F.when(F.count(F.lit(1)) < sketches.CMS_D, F.lit(0))
+        .otherwise(F.min("dot"))
+        .cast("bigint")
+        .alias("cms_estimate")
+    )
     ec = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
     oc = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c"))
     exact = (

@@ -272,3 +272,37 @@ def test_pagerank_mass_bounds_and_determinism(spark, raw):
     for node, rank in out1.items():
         assert rank >= 150_000_000
         assert rank <= 150_000_000 + (85 * total) // 100
+
+
+_keys = st.lists(st.integers(0, 12), min_size=1, max_size=40)
+
+
+@given(a_keys=_keys, b_keys=_keys)
+@_SETTINGS
+def test_cms_join_estimate_upper_bounds_exact(spark, a_keys, b_keys):
+    """CMS inner-product join-size estimate is a guaranteed upper bound
+    on the exact join cardinality (collisions only ever add mass)."""
+    import pyspark.sql.functions as F
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        sketches,
+    )
+
+    a = spark.createDataFrame([(k,) for k in a_keys], ["k"])
+    b = spark.createDataFrame([(k,) for k in b_keys], ["k"])
+    ip = (
+        sketches.cms_cells(a, "k").alias("x")
+        .join(sketches.cms_cells(b, "k").alias("y"), ["i", "col"])
+        .groupBy("i")
+        .agg(F.sum(F.col("x.cnt") * F.col("y.cnt")).alias("dot"))
+    )
+    [est] = ip.agg(
+        F.when(F.count(F.lit(1)) < sketches.CMS_D, F.lit(0))
+        .otherwise(F.min("dot"))
+        .alias("e")
+    ).collect()
+    from collections import Counter
+
+    ca, cb = Counter(a_keys), Counter(b_keys)
+    exact = sum(ca[k] * cb.get(k, 0) for k in ca)
+    assert est.e >= exact
