@@ -7615,6 +7615,96 @@ def q_join_size_sketch_eval(spark, sf):
 
 
 @_q(
+    "embedding_confusion",
+    """
+    WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    cent0 AS (
+      SELECT label, i, round(avg(v[i]), 6) AS m
+      FROM c, generate_series(1, 64) AS g(i)
+      GROUP BY label, i),
+    cent AS (SELECT label AS clabel, list(m ORDER BY i) AS cv
+             FROM cent0 GROUP BY label),
+    d AS (
+      SELECT c.vec_id, c.label, cent.clabel,
+             round((SELECT sum((v[i] - cv[i]) * (v[i] - cv[i]))
+                    FROM generate_series(1, 64) AS g(i)), 6) AS sq
+      FROM c CROSS JOIN cent),
+    own AS (SELECT vec_id, label, sq AS own_sq FROM d WHERE label = clabel),
+    other AS (
+      SELECT vec_id,
+             min_by(clabel,
+                    cast(round(sq * 1e6) AS bigint) * 1000 + clabel)
+               AS nearest_other,
+             min(sq) AS other_sq
+      FROM d WHERE label <> clabel GROUP BY vec_id)
+    SELECT own.label, other.nearest_other,
+           count(*) AS n_confused
+    FROM own JOIN other ON own.vec_id = other.vec_id
+    WHERE other.other_sq < own.own_sq
+    GROUP BY own.label, other.nearest_other
+    """,
+)
+def q_embedding_confusion(spark, sf):
+    """Embedding-space confusion matrix (mislabel-candidate detection):
+    vectors that sit closer to ANOTHER label's centroid than their
+    own, grouped by (label, nearest other label) — the screen that
+    surfaces annotation errors and collapsed classes before training.
+    Centroids reuse the posexplode + per-dim aggregate pattern (only
+    |labels| x 64 rows cross the exchange after map-side partials) and
+    broadcast to a vectors x |labels| comparison; each distance is a
+    sequential JVM fold. The argmin key packs (micro-rounded distance,
+    label) into one integer so ties break identically in both
+    engines."""
+    emb = load(spark, sf, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    )
+    cent = dims.groupBy("label", "pos").agg(F.round(F.avg("col"), 6).alias("m"))
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s.getField("m"),
+        ).alias("cv")
+    ).select(F.col("label").alias("clabel"), "cv")
+    sq = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("cv"),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ),
+        6,
+    )
+    d = emb.select("vec_id", "label", "embedding").crossJoin(
+        F.broadcast(cent_arr)
+    ).select("vec_id", "label", "clabel", sq.alias("sq"))
+    own = d.filter(F.col("label") == F.col("clabel")).select(
+        "vec_id", "label", F.col("sq").alias("own_sq")
+    )
+    other = (
+        d.filter(F.col("label") != F.col("clabel"))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                "clabel",
+                F.round(F.col("sq") * 1e6).cast("bigint") * 1000
+                + F.col("clabel"),
+            ).alias("nearest_other"),
+            F.min("sq").alias("other_sq"),
+        )
+    )
+    return (
+        own.join(other, "vec_id")
+        .filter(F.col("other_sq") < F.col("own_sq"))
+        .groupBy("label", "nearest_other")
+        .agg(F.count(F.lit(1)).alias("n_confused"))
+    )
+
+
+@_q(
     "k_anonymity_audit",
     """
     WITH q AS (
