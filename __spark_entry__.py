@@ -1159,7 +1159,8 @@ def q_asof_join(spark, sf):
     "json_extract",
     """
     SELECT event_type,
-           sum(cast(regexp_extract(props, '"k": ([0-9]+)', 1) AS bigint)) AS sum_k,
+           cast(sum(cast(regexp_extract(props, '"k": ([0-9]+)', 1) AS bigint))
+                AS bigint) AS sum_k,
            count(*) AS n
     FROM events GROUP BY event_type
     """,
@@ -1222,7 +1223,7 @@ _HIST_BINS = 20
       SELECT cast(least(greatest(floor(value / {_HIST_BIN_W}), 0),
                         {_HIST_BINS - 1}) AS INT) AS bin
       FROM events)
-    SELECT bin, bin * {_HIST_BIN_W} AS bin_lo, count(*) AS n_events,
+    SELECT bin, cast(bin * {_HIST_BIN_W} AS DOUBLE) AS bin_lo, count(*) AS n_events,
            cast(sum(count(*)) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
                 AS BIGINT) AS cum_events,
            round(sum(count(*)) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
@@ -2777,10 +2778,10 @@ def q_product_profit(spark, sf):
     "late_shipment_priority",
     """
     SELECT l_linestatus AS ship_class,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_priority_lines,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_priority_lines
+           cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS bigint) AS high_priority_lines,
+           cast(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS bigint) AS low_priority_lines
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate > o_orderdate + INTERVAL 75 DAY
     GROUP BY 1
@@ -5873,7 +5874,7 @@ def q_pagerank_3iter(spark, sf):
       SELECT source, doc_id, tok,
              sum(tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
       FROM t)
-    SELECT source, (cum - tok) // 2000 AS bin,
+    SELECT source, cast((cum - tok) // 2000 AS bigint) AS bin,
            count(*) AS n_docs,
            cast(sum(tok) AS bigint) AS tokens_packed,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
@@ -6646,7 +6647,7 @@ def q_per_group_sample(spark, sf):
       SELECT split, source, doc_id, tok,
              sum(tok) OVER (PARTITION BY split, source ORDER BY doc_id) AS cum
       FROM sp)
-    SELECT split, source, (cum - tok) // 2000 AS bin,
+    SELECT split, source, cast((cum - tok) // 2000 AS bigint) AS bin,
            count(*) AS n_docs,
            cast(sum(tok) AS bigint) AS tokens_packed,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
@@ -7762,9 +7763,57 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship.shipped_orders(spark, "/root/testdata/sf0.001")
 
 
+# Registry order exposed to the driver.  The driver samples a prefix of
+# `queries()`, so the first entries are chosen to cover every SURVEY.md §2
+# operator (including the streaming halves S7/S8/A3/E1 that replay the
+# reference's live-update demo, /root/reference/README.md:639-679) plus one
+# representative of each LLM-pipeline family; everything else follows in
+# definition order.
+_PRIORITY = [
+    # §2 reference parity, batch (S1-S6, S9, P1-P3, J1-J2, A1-A2, E2)
+    "latest_by_offset", "project_filter", "stream_table_enrich",
+    "interval_join", "interval_join_bucketed", "flagship_shipped_orders",
+    "flagship_sql", "cdc_unwrap_rewrite", "cdc_unwrap_drop", "keyed_upsert",
+    "event_time_parse",
+    # §2 reference parity, streaming (S5/S7/S8, A3, E1, J1/J2/A2 live forms)
+    "streaming_flagship_golden", "streaming_latest_by_offset",
+    "streaming_interval_join", "streaming_cdc_upsert",
+    "streaming_materialize_topic",
+    # the r2 red row, re-surfaced with the BIGINT-cast oracle fix
+    "json_extract",
+    # dedup family
+    "dedup_exact", "minhash_near_dups", "simhash_fingerprint",
+    "simhash_near_dups", "dedup_clusters", "decontaminate",
+    "content_chunk_dedup", "dedup_keep_best",
+    # similarity / embeddings
+    "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk", "ann_recall_eval",
+    "embedding_neardup", "kmeans_embeddings", "pca_top_component",
+    "embedding_confusion",
+    # text analysis
+    "text_stats", "lang_id", "token_count", "doc_fingerprint",
+    # multimodal plumbing
+    "multimodal_meta", "multimodal_chunks", "multimodal_decode",
+    "multimodal_frame_sample",
+    # dataset assembly
+    "hash_split", "shard_pack", "stratified_sample", "source_mixture",
+    "sequence_pack", "corpus_build_pipeline",
+    # sketches
+    "hll_cardinality", "cms_heavy_hitters", "quantile_sketch",
+]
+
+
+def _ordered() -> list[str]:
+    rest = [n for n in _REGISTRY if n not in set(_PRIORITY)]
+    return [n for n in _PRIORITY if n in _REGISTRY] + rest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+    return {name: _REGISTRY[name][0] for name in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+    return {
+        name: _REGISTRY[name][1]
+        for name in _ordered()
+        if _REGISTRY[name][1] is not None
+    }
