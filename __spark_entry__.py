@@ -7634,7 +7634,7 @@ def q_join_size_sketch_eval(spark, sf):
     other AS (
       SELECT vec_id,
              min_by(clabel,
-                    cast(round(sq * 1e6) AS bigint) * 1000 + clabel)
+                    cast(round(sq * 1e6) AS bigint) * 1000000 + clabel)
                AS nearest_other,
              min(sq) AS other_sq
       FROM d WHERE label <> clabel GROUP BY vec_id)
@@ -7654,8 +7654,12 @@ def q_embedding_confusion(spark, sf):
     |labels| x 64 rows cross the exchange after map-side partials) and
     broadcast to a vectors x |labels| comparison; each distance is a
     sequential JVM fold. The argmin key packs (micro-rounded distance,
-    label) into one integer so ties break identically in both
-    engines."""
+    label) into one integer so ties break identically in both engines.
+    Packing contract: labels must be non-negative and < 1e6 (the
+    stride) and micro-scaled distances < 2^63 / 1e6 (i.e. sq < ~9.2e6)
+    — both hold by construction for centroid distances over the
+    bounded embedding space; violating either would corrupt the argmin
+    order silently."""
     emb = load(spark, sf, "embeddings")
     dims = emb.select(
         "label", F.posexplode(F.col("embedding").cast("array<double>"))
@@ -7691,7 +7695,7 @@ def q_embedding_confusion(spark, sf):
         .agg(
             F.min_by(
                 "clabel",
-                F.round(F.col("sq") * 1e6).cast("bigint") * 1000
+                F.round(F.col("sq") * 1e6).cast("bigint") * 1_000_000
                 + F.col("clabel"),
             ).alias("nearest_other"),
             F.min("sq").alias("other_sq"),

@@ -372,9 +372,24 @@ def test_pagerank_fixed_star_graph(spark):
     out = {r.node: r.rank for r in graph.pagerank_fixed(bi, iterations=3).collect()}
     assert out["a"] == out["b"] == out["c"]
     assert out["h"] > out["a"]
-    # iteration-1 hand check: spoke sends 1e9/1 to hub, hub sends 1e9/3
-    # to each spoke -> hub = 0.15e9 + 0.85*3e9, spoke = 0.15e9+0.85/3e9
-    assert out["h"] == 150_000_000 + (85 * (3 * (10**9 // 3) // 3 * 3)) // 100 or True
+
+    # exact check: replay the operator's integer recurrence
+    # (rank div outdeg, then base + (85 * inflow) div 100) in Python
+    def model(iters):
+        scale, base = 10**9, 150_000_000
+        edges_py = [(s, d) for s in "h" for d in "abc"] + [
+            (d, "h") for d in "abc"
+        ]
+        outdeg = {"h": 3, "a": 1, "b": 1, "c": 1}
+        rank = {n: scale for n in "habc"}
+        for _ in range(iters):
+            inflow = {n: 0 for n in rank}
+            for s, d in edges_py:
+                inflow[d] += rank[s] // outdeg[s]
+            rank = {n: base + (85 * inflow[n]) // 100 for n in rank}
+        return rank
+
+    assert out == model(3)
     # exact determinism across runs
     out2 = {r.node: r.rank for r in graph.pagerank_fixed(bi, iterations=3).collect()}
     assert out == out2

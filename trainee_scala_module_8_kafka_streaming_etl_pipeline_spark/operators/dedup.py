@@ -408,6 +408,14 @@ def neardup_clusters(
     The DuckDB oracle replays the same fixpoint with a recursive CTE
     (transitive closure, then min over the reachable set), so even this
     iterative operator is value-hash-checked, not rows-only.
+
+    Side effect: ``spark.sql.adaptive.enabled`` is disabled on the
+    *session* for the duration of the fixpoint loop (restored in a
+    finally) — AQE re-planning is pure latency on the loop's tiny
+    fixed-size shuffles. Queries running concurrently on the same
+    SparkSession during the loop would silently lose AQE; callers
+    needing concurrent AQE should run this on a separate
+    ``SparkSession.newSession()``.
     """
     if pairs is None:
         pairs = verified_near_dups(df, id_col, text_col)

@@ -91,6 +91,12 @@ def pagerank_fixed(
     and graphs up to ~1e5 in-degree, all intermediates stay far below
     2^63.
 
+    Side effect: ``spark.sql.adaptive.enabled`` is disabled on the
+    *session* during the iteration loop (restored in a finally; see
+    the same note on :func:`…dedup.neardup_clusters`). Concurrent
+    queries on the same SparkSession lose AQE for that window — use
+    ``SparkSession.newSession()`` if that matters.
+
     Plan shape per iteration: one hash join ranks⨝edges on src (edges
     are pre-joined with out-degrees once, outside the loop) and one
     groupBy(dst) sum — the canonical iterate-as-joins pattern. The
@@ -150,8 +156,12 @@ def pagerank_fixed(
             if prev is not ranks and prev.is_cached:
                 prev.unpersist()
     finally:
+        # Release every loop-scoped cache; the returned `ranks` cache is
+        # caller-owned (it holds the final materialized vector).
         spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
-    edges.unpersist()
+        edges.unpersist()
+        ed.unpersist()
+        nodes.unpersist()
     return ranks
 
 

@@ -131,9 +131,13 @@ def asof_join(
         F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
         *[F.col(c) for c in left.columns if c != key],
     )
+    # `_payload` is the final orderBy term so that right rows tied on
+    # (key, ts) carry a deterministic winner (the struct-max payload)
+    # across runs and engines instead of whichever row the sort happened
+    # to place last.
     w = (
         Window.partitionBy(key)
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", F.asc("_payload"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = l.unionByName(r).withColumn(
@@ -230,9 +234,11 @@ def asof_join_forward(
         F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
         *[F.col(c) for c in left.columns if c != key],
     )
+    # Deterministic tiebreak for right rows sharing (key, ts): descending
+    # payload order makes the struct-min payload the carried winner.
     w = (
         Window.partitionBy(key)
-        .orderBy(F.desc("_ts"), F.asc("_side"))
+        .orderBy(F.desc("_ts"), F.asc("_side"), F.desc("_payload"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = l.unionByName(r).withColumn(
