@@ -106,6 +106,57 @@ def test_interval_join_matches_naive(spark, left, right):
     assert {(r["l_id"], r["r_id"]) for r in bucketed.collect()} == want
 
 
+# timestamps biased toward bucket edges: multiples of the bucket width
+# and their +/-1 neighbors are the off-by-one danger zone for the
+# floor(ts/b) assignment and the +/-K explode.
+@given(
+    left=_events,
+    right=_events,
+    window=st.integers(1, 30),
+    bucket=st.integers(1, 30),
+)
+@_SETTINGS
+def test_interval_join_bucketed_matches_plain(spark, left, right, window, bucket):
+    """Pair-set equality of the bucketed scale plan against the plain
+    range-predicate plan for ANY (window, bucket) combination — the
+    window may span multiple buckets (explode span K = ceil(W/b)) and
+    timestamps land on bucket boundaries."""
+    if not left or not right:
+        return
+    # snap half the timestamps onto bucket edges to probe boundaries
+    left = [(k, t - t % bucket if i % 2 else t) for i, (k, t) in enumerate(left)]
+    right = [(k, t - t % bucket if i % 2 else t) for i, (k, t) in enumerate(right)]
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], ["l_id", "l_k", "l_s"]
+    ).withColumn("l_ts", F.timestamp_seconds("l_s"))
+    rdf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(right)], ["r_id", "r_k", "r_s"]
+    ).withColumn("r_ts", F.timestamp_seconds("r_s"))
+    kw = dict(
+        keys=[("l_k", "r_k")],
+        left_ts="l_ts",
+        right_ts="r_ts",
+        lower=f"-INTERVAL {window} SECONDS",
+        upper=f"INTERVAL {window} SECONDS",
+    )
+    plain = interval_join(ldf, rdf, **kw).select("l.l_id", "r.r_id")
+    want = {(r["l_id"], r["r_id"]) for r in plain.collect()}
+    assert want == {
+        (li, ri)
+        for li, (lk, lt) in enumerate(left)
+        for ri, (rk, rt) in enumerate(right)
+        if lk == rk and lt - window <= rt <= lt + window
+    }
+    bucketed = interval_join(
+        ldf,
+        rdf,
+        time_bucket_seconds=bucket,
+        window_span_seconds=window,
+        **kw,
+    ).select("l.l_id", "r.r_id")
+    assert {(r["l_id"], r["r_id"]) for r in bucketed.collect()} == want
+
+
 @given(
     rows=st.lists(
         st.tuples(st.integers(0, 1), st.integers(1, 50)),  # (group, tokens)

@@ -54,6 +54,7 @@ def interval_join(
     upper: str = "INTERVAL 1 DAY",
     how: str = "inner",
     time_bucket_seconds: int | None = None,
+    window_span_seconds: int | None = None,
 ) -> DataFrame:
     """Stream-stream interval join (reference J2, ``WITHIN n``): match
     rows with equal keys whose event times differ by at most the window.
@@ -67,10 +68,19 @@ def interval_join(
     when single keys span years of data but the window is small, a pure
     key join materializes the per-key cross product before the range
     filter. Bucketing assigns the left row to bucket floor(ts/b) and
-    explodes each right row into its 3 adjacent buckets, joining on
+    explodes each right row into its adjacent buckets, joining on
     (key, bucket) so only temporally-near rows ever meet. Each matching
     pair meets in exactly one bucket (the left row's), so no dedup is
-    needed. Choose b = window size.
+    needed.
+
+    The explode span is ±K buckets around the right row's own bucket
+    with K = ceil(window_span / b): a matching left row's timestamp is
+    within the window span of the right row's, so its bucket index can
+    differ by at most that many buckets. Pass ``window_span_seconds``
+    as max(|lower|, |upper|) whenever the window may exceed the bucket
+    width; when omitted, K defaults to 1, which is complete ONLY when
+    b >= window span (the recommended sizing, b = window span — a
+    larger K multiplies the right side's explode factor).
     """
     lcond = [F.col(f"l.{lk}") == F.col(f"r.{rk}") for lk, rk in keys]
     l_df, r_df = left.alias("l"), right.alias("r")
@@ -80,9 +90,16 @@ def interval_join(
     )
     if time_bucket_seconds:
         b = int(time_bucket_seconds)
+        k = (
+            1
+            if window_span_seconds is None
+            else max(1, -(-int(window_span_seconds) // b))
+        )
         l_df = l_df.withColumn("_bkt", (F.unix_timestamp(F.col(f"l.{left_ts}")) / b).cast("long"))
         r_bkt = (F.unix_timestamp(F.col(f"r.{right_ts}")) / b).cast("long")
-        r_df = r_df.withColumn("_bkt", F.explode(F.array(r_bkt - 1, r_bkt, r_bkt + 1)))
+        r_df = r_df.withColumn(
+            "_bkt", F.explode(F.array(*[r_bkt + i for i in range(-k, k + 1)]))
+        )
         cond = reduce(lambda a, c: a & c, lcond)
         joined = l_df.join(r_df, (l_df["_bkt"] == r_df["_bkt"]) & cond & range_cond, how)
         return joined.drop("_bkt")
