@@ -80,40 +80,60 @@ DECODE_SCHEMA = (
 )
 
 
-def decode_media(
-    media: DataFrame, id_col: str = "doc_id", bytes_col: str = "media_bytes"
-) -> DataFrame:
-    """Feature-extract each payload with an Arrow-batched ``mapInPandas``.
-
-    Real decoders (PIL / soundfile / av) are not installed in this
-    container; the import-guarded fallback is a DETERMINISTIC synthetic
-    decode so the pipeline shape is testable end-to-end:
+def synthetic_decode(buf: bytes) -> tuple[int, int]:
+    """Default decoder: DETERMINISTIC synthetic dimensions so the
+    pipeline shape is testable (and SQL-oracle-checkable) in a container
+    with no codec libraries:
 
         width  = 100 + n_bytes mod 540
         height = 100 + first_byte mod 380   (0 for empty payloads)
-
-    which a SQL oracle reproduces from octet_length + the first hex
-    byte.  Swapping in a real decoder changes only ``_decode_one``.
     """
+    n = len(buf)
+    first = buf[0] if n else 0
+    return 100 + n % 540, 100 + first % 380
 
-    def _decode_one(buf: bytes) -> tuple[int, int]:
-        try:  # pragma: no cover - codec libs absent in this container
-            import PIL.Image  # noqa: F401
 
-            raise NotImplementedError(
-                "real image decode not wired; container has no codecs"
-            )
-        except ImportError:
-            pass
-        n = len(buf)
-        first = buf[0] if n else 0
-        return 100 + n % 540, 100 + first % 380
+def pil_image_decoder():
+    """Production decoder factory: returns a ``bytes -> (width, height)``
+    callable backed by PIL when the library is installed; raises
+    ImportError (with the install hint) otherwise.  Keeping the import
+    inside the factory means the engine itself never depends on codecs —
+    callers opt in with ``decode_media(df, decoder=pil_image_decoder())``.
+    """
+    import io
+
+    from PIL import Image  # raises ImportError when codecs are absent
+
+    def _decode(buf: bytes) -> tuple[int, int]:
+        with Image.open(io.BytesIO(buf)) as img:
+            return img.width, img.height
+
+    return _decode
+
+
+def decode_media(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    bytes_col: str = "media_bytes",
+    decoder=None,
+) -> DataFrame:
+    """Feature-extract each payload with an Arrow-batched ``mapInPandas``.
+
+    ``decoder`` is any ``bytes -> (width, height)`` callable, executed
+    per payload inside the Arrow batch loop on the executors (it must be
+    picklable).  Defaults to :func:`synthetic_decode` — this container
+    ships no codec libraries; inject :func:`pil_image_decoder`'s result
+    (or any custom fn) for real media.  The Spark-side plumbing
+    (schema, Arrow batching, partition-parallel execution) is identical
+    either way.
+    """
+    decode_one = decoder if decoder is not None else synthetic_decode
 
     def _batches(iterator):
         import pandas as pd
 
         for pdf in iterator:
-            dims = [_decode_one(b if b is not None else b"") for b in pdf[bytes_col]]
+            dims = [decode_one(b if b is not None else b"") for b in pdf[bytes_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
