@@ -90,6 +90,8 @@ HEADLINE = [
     "content_chunk_dedup",
     "streaming_interval_join",
     "streaming_cdc_upsert",
+    "streaming_flagship_golden",
+    "streaming_hll",
 ]
 
 
