@@ -3319,6 +3319,81 @@ def q_corpus_clean(spark, sf):
 
 
 @_q(
+    "pii_scrub",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' contact user' || doc_id || '@example.com now'
+                     ELSE '' END
+             || CASE WHEN doc_id % 4 = 0
+                     THEN ' call +1-555-' || lpad(cast(doc_id % 10000 AS varchar), 4, '0')
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' id 123-45-' || lpad(cast(doc_id % 10000 AS varchar), 4, '0')
+                     ELSE '' END AS t
+      FROM documents)
+    SELECT doc_id,
+           cast(len(regexp_extract_all(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS bigint)
+             AS n_emails,
+           cast(len(regexp_extract_all(t,
+                '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS bigint) AS n_phones,
+           cast(len(regexp_extract_all(t,
+                '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS bigint) AS n_ssns,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+                '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g')) AS scrubbed_md5
+    FROM aug
+    """,
+)
+def q_pii_scrub(spark, sf):
+    """PII detection + redaction (the corpus-release scrub): per-doc
+    match counts for email/phone/SSN patterns and the md5 of the
+    redacted text.  The synthetic corpus contains no organic PII, so the
+    query deterministically injects typed PII spans derived from doc_id
+    (identically in both engines) — the scrub logic is then verified on
+    real hits, not on a vacuous zero-match corpus.  Patterns live in
+    functions/text.py:PII_PATTERNS, restricted to the regex subset with
+    identical Java-regex/RE2 semantics.  Entire query is one narrow
+    projection — no shuffle, scales with the scan."""
+    d = load(spark, sf, "documents")
+    pad4 = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit(" call +1-555-"), pad4),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" id 123-45-"), pad4),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    counts = T.pii_counts(F.col("t"))
+    return aug.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["phone"].alias("n_phones"),
+        counts["ssn"].alias("n_ssns"),
+        F.md5(T.scrub_pii(F.col("t"))).alias("scrubbed_md5"),
+    )
+
+
+@_q(
     "length_percentiles",
     """
     SELECT lang,
@@ -4699,6 +4774,75 @@ def q_streaming_interval_join(spark, sf):
     )
     _run_to_memory(out, "streaming_interval_join", "append")
     return spark.table("streaming_interval_join")
+
+
+@_q(
+    "streaming_interval_join_left",
+    f"""
+    WITH p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+               FROM ({_PURCHASES_SQL})),
+         k AS (SELECT event_id AS k_id, user_id AS k_user, ts AS k_ts
+               FROM ({_CLICKS_SQL})),
+         wm AS (SELECT date_trunc('millisecond',
+                  least((SELECT max(p_ts) FROM p),
+                        (SELECT max(k_ts) FROM k)) - INTERVAL 1 DAY) AS w)
+    SELECT p_id AS purchase_id, k_id AS click_id, p_user AS user_id,
+           p_ts AS purchase_ts, k_ts AS click_ts
+    FROM p JOIN k
+      ON p_user = k_user
+     AND k_ts >= p_ts - INTERVAL 1 DAY AND k_ts <= p_ts + INTERVAL 1 DAY
+    UNION ALL
+    SELECT p_id, cast(NULL AS bigint), p_user, p_ts,
+           cast(NULL AS timestamp)
+    FROM p, wm
+    WHERE NOT EXISTS (SELECT 1 FROM k
+                      WHERE k_user = p_user
+                        AND k_ts >= p_ts - INTERVAL 1 DAY
+                        AND k_ts <= p_ts + INTERVAL 1 DAY)
+      AND p_ts + INTERVAL 1 DAY < wm.w
+    """,
+)
+def q_streaming_interval_join_left(spark, sf):
+    """J2 streaming LEFT OUTER form (ksqlDB ``LEFT JOIN ... WITHIN``):
+    watermarked stream-stream left-outer interval join.  Unmatched
+    purchases emit null-extended exactly when the global watermark
+    (min over both inputs of max event time - delay, floored to ms)
+    passes the end of their match window; purchases whose window is
+    still open at end-of-stream are withheld.  The oracle replays that
+    emission rule: inner pairs UNION unmatched lefts with
+    p_ts + window < watermark — so the engine's outer-emission
+    semantics, not just the join predicate, are value-checked."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.pipeline import (
+        watermarked_interval_join,
+    )
+
+    ev = _events_stream(spark, sf)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    k = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("k_id"), F.col("user_id").alias("k_user"),
+        F.col("ts").alias("k_ts"),
+    )
+    out = watermarked_interval_join(
+        p, k,
+        keys=[("p_user", "k_user")],
+        left_ts="p_ts",
+        right_ts="k_ts",
+        lower="-INTERVAL 1 DAY",
+        upper="INTERVAL 1 DAY",
+        watermark="1 day",
+        how="leftOuter",
+    ).select(
+        F.col("p_id").alias("purchase_id"),
+        F.col("k_id").alias("click_id"),
+        F.col("p_user").alias("user_id"),
+        F.col("p_ts").alias("purchase_ts"),
+        F.col("k_ts").alias("click_ts"),
+    )
+    _run_to_memory(out, "streaming_interval_join_left", "append")
+    return spark.table("streaming_interval_join_left")
 
 
 @_q(

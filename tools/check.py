@@ -2,7 +2,10 @@
 
 Runs every `queries()` entry on Spark and the matching `oracle_sql()` on
 DuckDB over the same parquet tables, then compares row count, sorted
-column names, and a value hash of the sorted rows.
+column names, a value hash of the sorted rows, AND the normalized result
+types (via DuckDB DESCRIBE vs Spark dtypes — catches HUGEINT/DECIMAL
+divergences that hash identically here but differently in the driver's
+serializer; see tools/typecheck.py).
 
 Usage: python tools/check.py [sf_dir] [query ...]
 """
@@ -20,6 +23,7 @@ import duckdb
 from pyspark.sql import SparkSession
 
 import __spark_entry__ as entrymod
+from tools.typecheck import norm_type
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -106,17 +110,36 @@ def main():
         sh = value_hash(scols, [tuple(r) for r in srows])
         oh = value_hash(ocols, orows)
         row["hash_match"] = sh == oh
-        ok = row["rows_match"] and row["schema_match"] and row["hash_match"]
+        try:
+            otypes = {
+                r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()
+            }
+            stypes = dict(sdf.dtypes)
+            row["type_match"] = all(
+                c in stypes and norm_type(stypes[c]) == norm_type(t)
+                for c, t in otypes.items()
+            )
+        except Exception:  # DESCRIBE unsupported for this statement shape
+            row["type_match"] = None
+        ok = (
+            row["rows_match"]
+            and row["schema_match"]
+            and row["hash_match"]
+            and row["type_match"] is not False
+        )
         results[name] = row
         flag = "OK " if ok else "FAIL"
         print(
             f"{name:28s} {flag} rows={len(srows)}/{len(orows)}"
             f" schema={row['schema_match']} hash={row['hash_match']}"
+            f" types={row['type_match']}"
         )
     bad = {
         k: v
         for k, v in results.items()
-        if v.get("err") or not (v.get("hash_match", True) and v.get("rows_match", True))
+        if v.get("err")
+        or not (v.get("hash_match", True) and v.get("rows_match", True))
+        or v.get("type_match") is False
     }
     print(json.dumps({"n": len(results), "bad": list(bad)}, indent=0))
     spark.stop()

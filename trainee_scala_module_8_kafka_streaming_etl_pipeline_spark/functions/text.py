@@ -114,6 +114,37 @@ def fingerprint(col: str = "text") -> Column:
     return F.md5(F.regexp_replace(F.lower(F.col(col)), "[^a-z0-9]", ""))
 
 
+# PII detection/redaction patterns.  Deliberately restricted to regex
+# syntax with identical semantics in Java regex (Spark) and RE2 (DuckDB):
+# char classes, bounded/unbounded repetition, optional prefix.  Ordered:
+# emails scrub first (their local parts may contain digits), then phones,
+# then SSNs — the phone shape (1-2/3/4 digit groups) cannot match inside
+# an SSN (3/2/4), so sequential replacement is order-safe.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    "ssn": (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+}
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (the audit half of redaction)."""
+    return {
+        kind: F.regexp_count(col, F.lit(pat)).cast("bigint")
+        for kind, (pat, _) in PII_PATTERNS.items()
+    }
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact every PII pattern with its typed placeholder — the
+    corpus-release scrub step.  Pure JVM regexp_replace chain: narrow,
+    no shuffle, scales with the scan."""
+    out = col
+    for pat, placeholder in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, placeholder)
+    return out
+
+
 def word_ngrams(col: Column, n: int) -> Column:
     """Sliding word n-grams over a token array, space-joined.
 

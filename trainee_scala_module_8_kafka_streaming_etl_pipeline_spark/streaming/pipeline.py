@@ -72,12 +72,21 @@ def watermarked_interval_join(
     lower: str = "-INTERVAL 7 DAYS",
     upper: str = "INTERVAL 7 DAYS",
     watermark: str = "7 days",
+    how: str = "inner",
 ) -> DataFrame:
-    """J2 streaming form: both sides watermarked on event time, inner
-    join on the keys plus the time-range condition.  The watermark bounds
+    """J2 streaming form: both sides watermarked on event time, joined
+    on the keys plus the time-range condition.  The watermark bounds
     join state — buffered rows older than (max event time - watermark -
     window) are evicted, reproducing ksqlDB's WITHIN-window state
-    retention (SURVEY.md §4)."""
+    retention (SURVEY.md §4).
+
+    ``how='leftOuter'`` gives the ksqlDB ``LEFT JOIN ... WITHIN``
+    analogue: an unmatched left row is emitted null-extended once the
+    watermark passes the end of its match window (left_ts + upper) —
+    i.e. when no future right row can still match it.  Left rows whose
+    window is still open when the stream ends are never emitted (the
+    engine cannot prove them unmatched); the exact emission rule is
+    oracle-checked by the `streaming_interval_join_left` entry."""
     l_df = left.withWatermark(left_ts, watermark).alias("l")
     r_df = right.withWatermark(right_ts, watermark).alias("r")
     cond = F.lit(True)
@@ -88,7 +97,7 @@ def watermarked_interval_join(
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") + F.expr(lower))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(upper))
     )
-    return l_df.join(r_df, cond, "inner")
+    return l_df.join(r_df, cond, how)
 
 
 def sessionize_stream(
