@@ -199,6 +199,33 @@ def test_upsert_rerun_same_batch_is_idempotent(spark, tmp_path):
         assert {(r.id, r.v) for r in read_state(spark, state).collect()} == want
 
 
+def test_upsert_schema_evolution_widen(spark, tmp_path):
+    """CDC widen: a mid-stream ALTER TABLE ADD COLUMN grows the envelope.
+    With allow_schema_evolution the merge unions by name — untouched
+    keys read NULL for the new column, updated keys carry its value.
+    Without the flag, drift fails loudly."""
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [("1", "a", False, 0), ("2", "b", False, 1)],
+        ["id", "v", "__deleted", "_offset"],
+    )
+    upsert_batch(b1, state, keys=["id"], offset_col="_offset")
+    b2 = spark.createDataFrame(
+        [("2", "b2", "emea", False, 2), ("3", "c", "apac", False, 3)],
+        ["id", "v", "region", "__deleted", "_offset"],
+    )
+    with pytest.raises(Exception):  # fixed-schema pipeline: loud failure
+        upsert_batch(b2, state, keys=["id"], offset_col="_offset")
+    upsert_batch(
+        b2, state, keys=["id"], offset_col="_offset",
+        allow_schema_evolution=True,
+    )
+    got = {
+        r.id: (r.v, r.region) for r in read_state(spark, state).collect()
+    }
+    assert got == {"1": ("a", None), "2": ("b2", "emea"), "3": ("c", "apac")}
+
+
 def test_vacuum_keeps_reader_visible_version(spark, tmp_path):
     """A reader that resolved the pointer just before new commits +
     vacuum(keep=2) can still collect its DataFrame: retention never

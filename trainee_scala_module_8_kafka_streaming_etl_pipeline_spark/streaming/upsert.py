@@ -59,6 +59,7 @@ def upsert_batch(
     keys: Sequence[str],
     offset_col: str,
     deleted_col: str | None = "__deleted",
+    allow_schema_evolution: bool = False,
 ) -> None:
     """One MERGE: fold ``batch_df`` into the state table at ``state_dir``.
 
@@ -68,6 +69,16 @@ def upsert_batch(
     re-enter the merge with ``__deleted=false`` and their stored offset,
     so a stale re-delivery (offset lower than the state's) never
     regresses a key.
+
+    ``allow_schema_evolution=True`` handles the CDC widen case — an
+    upstream ``ALTER TABLE ADD COLUMN`` makes Debezium envelopes grow a
+    field mid-stream (the reference's schemas come from Schema Registry
+    and may evolve, /root/reference/README.md:389).  The merge then
+    unions by name with nulls for columns either side lacks: prior-state
+    rows read NULL for the new column until a change re-writes their
+    key, exactly how a keyed ES index behaves.  Dropped columns are kept
+    (new rows carry NULL).  Off by default so unexpected schema drift in
+    a fixed-schema pipeline still fails loudly.
     """
     spark = batch_df.sparkSession
     prior = read_state(spark, state_dir)
@@ -77,7 +88,9 @@ def upsert_batch(
     if prior is not None:
         if deleted_col and deleted_col not in prior.columns:
             prior = prior.withColumn(deleted_col, F.lit(False))
-        merged = prior.unionByName(batch_df, allowMissingColumns=False)
+        merged = prior.unionByName(
+            batch_df, allowMissingColumns=allow_schema_evolution
+        )
     else:
         merged = batch_df
     value_cols = [
@@ -139,6 +152,7 @@ def keyed_upsert_sink(
     offset_col: str,
     deleted_col: str | None = "__deleted",
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    allow_schema_evolution: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` function maintaining a keyed-upsert state table —
     the writeStream side of reference S9/E2.  ``transform`` (optional)
@@ -148,6 +162,13 @@ def keyed_upsert_sink(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if transform is not None:
             batch_df = transform(batch_df)
-        upsert_batch(batch_df, state_dir, keys, offset_col, deleted_col)
+        upsert_batch(
+            batch_df,
+            state_dir,
+            keys,
+            offset_col,
+            deleted_col,
+            allow_schema_evolution=allow_schema_evolution,
+        )
 
     return _sink
