@@ -7901,6 +7901,87 @@ def q_k_anonymity_audit(spark, sf):
     )
 
 
+_ALPHA_FRAC_SQL = (
+    r"round(len(list_filter(regexp_split_to_array(trim(text), '\s+'),"
+    r" w -> regexp_matches(w, '[a-zA-Z]')))"
+    f" / greatest({_TOK_SQL}, 1), 6)"
+)
+_SYMBOL_RATIO_SQL = (
+    r"round(len(regexp_extract_all(text, '#|\.\.\.'))"
+    f" / greatest({_TOK_SQL}, 1), 6)"
+)
+_MWL_SQL = (
+    r"round(length(regexp_replace(text, '\s+', '', 'g'))"
+    f" / greatest({_TOK_SQL}, 1), 6)"
+)
+
+
+@_q(
+    "gopher_quality_filter",
+    f"""
+    SELECT doc_id,
+           {_TOK_SQL}        AS n_words,
+           {_MWL_SQL}        AS mean_word_len,
+           {_ALPHA_FRAC_SQL} AS alpha_word_frac,
+           {_SYMBOL_RATIO_SQL} AS symbol_ratio,
+           {_STOP_SQL}       AS stop_hits,
+           cast(({_TOK_SQL} BETWEEN {T.GOPHER_MIN_WORDS} AND {T.GOPHER_MAX_WORDS})
+                AND ({_MWL_SQL} BETWEEN {T.GOPHER_MIN_MEAN_WORD_LEN}
+                                    AND {T.GOPHER_MAX_MEAN_WORD_LEN})
+                AND ({_ALPHA_FRAC_SQL} >= {T.GOPHER_MIN_ALPHA_FRAC})
+                AND ({_SYMBOL_RATIO_SQL} <= {T.GOPHER_MAX_SYMBOL_RATIO})
+                AND ({_STOP_SQL} >= {T.GOPHER_MIN_STOP_HITS}) AS int) AS keep
+    FROM documents
+    """,
+)
+def q_gopher_quality_filter(spark, sf):
+    """Gopher-style heuristic quality rules (Rae et al. 2021 §A1.1, the
+    public web-filtering rule set): word-count bounds, mean-word-length
+    bounds, alphabetic-word fraction, symbol-to-word ratio, minimum
+    stopword hits — each surfaced as a column plus the conjunction as
+    `keep`.  Pure narrow projection of JVM built-ins (higher-order
+    `filter` over the token array, no UDF): zero shuffles, fully inside
+    WholeStageCodegen, scales with the scan at 100 TB."""
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        T.n_tokens().alias("n_words"),
+        T.avg_token_len().alias("mean_word_len"),
+        T.alpha_token_frac().alias("alpha_word_frac"),
+        T.symbol_word_ratio().alias("symbol_ratio"),
+        T.stopword_count().alias("stop_hits"),
+        T.gopher_keep().alias("keep"),
+    )
+
+
+@_q(
+    "semantic_decontaminate",
+    f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bench AS (SELECT vec_id AS bench_id, v AS bv FROM c WHERE vec_id % 97 = 3),
+    s AS (
+      SELECT a.vec_id, bench.bench_id, {_cos_sql('a.v', 'bench.bv')} AS cos
+      FROM c a CROSS JOIN bench WHERE a.vec_id % 97 <> 3),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, bench_id) AS rn
+      FROM s),
+    m AS (SELECT vec_id, max(cos) AS max_cos FROM s GROUP BY vec_id)
+    SELECT r.vec_id, r.bench_id AS nearest_bench_id, m.max_cos,
+           cast(m.max_cos >= 0.3 AS int) AS contaminated
+    FROM ranked r JOIN m USING (vec_id) WHERE rn = 1
+    """,
+)
+def q_semantic_decontaminate(spark, sf):
+    """Embedding-space decontamination: max benchmark cosine per corpus
+    vector + flag.  Complements the n-gram `decontaminate` entry —
+    paraphrased eval leakage shares no 8-gram but stays close in
+    embedding space.  Scale plan: benchmark side broadcast (eval suites
+    are tiny vs the corpus), one map-side-combined max_by aggregate, no
+    corpus shuffle (operators/similarity.py:benchmark_screen)."""
+    return similarity.benchmark_screen(load(spark, sf, "embeddings"))
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================

@@ -707,3 +707,55 @@ def test_content_chunks_offset_invariant(spark, patch_load):
     # the bulk of occurrences are shared between the two docs
     assert r.n_shared_occurrences > 0
     assert r.shared_frac > 0.5
+
+
+def test_gopher_rules_each_rule_discriminates(spark, patch_load):
+    """One doc per failing rule plus one clean keeper: too short, bad
+    mean word length (digit soup is fine — length rule), low alpha
+    fraction, symbol spam, and no stopwords."""
+    good = "the quick brown fox and the lazy dog of it is in to " * 3  # 36 words
+    docs = spark.createDataFrame(
+        [
+            (1, good, "en", "s", 1),
+            (2, "the of it", "en", "s", 1),                       # too few words
+            (3, "the of " + "x " * 30, "en", "s", 1),             # mean len < 3
+            (4, "the of it is " + "1 2 3 4 " * 8, "en", "s", 1),  # alpha frac low
+            (5, good + " " + "# " * 20, "en", "s", 1),            # symbol spam
+            (6, "words without common stopword markers " * 6, "en", "s", 1),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    patch_load({"documents": docs})
+    out = {r.doc_id: r for r in
+           entrymod.queries()["gopher_quality_filter"](spark, "x").collect()}
+    assert out[1].keep == 1
+    for bad in (2, 3, 4, 5, 6):
+        assert out[bad].keep == 0, bad
+    # per-rule columns expose WHICH rule fired
+    assert out[2].n_words < 20
+    assert out[3].mean_word_len < 3.0
+    assert out[4].alpha_word_frac < 0.8
+    assert out[5].symbol_ratio > 0.1
+    assert out[6].stop_hits < 2
+
+
+def test_semantic_decontaminate_flags_near_bench_vector(spark, patch_load):
+    """A corpus vector equal to a benchmark vector is flagged (cos=1);
+    an orthogonal one is not; nearest ties break to the lowest bench id."""
+    dim = 64
+    e = [0.0] * dim
+    ax0 = list(e); ax0[0] = 1.0
+    ax1 = list(e); ax1[1] = 1.0
+    rows = [
+        (3, ax0, 0),            # bench (3 % 97 == 3)
+        (10, ax0, 0),           # duplicate of bench -> contaminated
+        (11, ax1, 0),           # orthogonal -> clean
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"]) \
+        .withColumn("embedding", F.col("embedding").cast("array<float>"))
+    patch_load({"embeddings": emb})
+    out = {r.vec_id: r for r in
+           entrymod.queries()["semantic_decontaminate"](spark, "x").collect()}
+    assert out[10].contaminated == 1 and out[10].nearest_bench_id == 3
+    assert out[10].max_cos == 1.0
+    assert out[11].contaminated == 0

@@ -108,6 +108,55 @@ def predicted_lang(col: str = "text") -> Column:
     return F.when(best >= 8, decoded).otherwise(F.lit("und"))
 
 
+def alpha_token_frac(col: str = "text") -> Column:
+    """Fraction of whitespace tokens containing at least one alphabetic
+    character (the Gopher "80% of words contain an alphabetic char"
+    rule, Rae et al. 2021 §A1.1).  Higher-order ``filter`` over the
+    token array — JVM-side, no UDF; DuckDB mirrors it with
+    ``list_filter`` + ``regexp_matches``."""
+    toks = F.split(F.trim(F.col(col)), WORD_SPLIT)
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-zA-Z]")))
+    return F.round(n_alpha.cast("double") / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+# hash/ellipsis symbols per word — the Gopher symbol-to-word-ratio rule.
+SYMBOL_PATTERN = r"#|\.\.\."
+
+
+def symbol_word_ratio(col: str = "text") -> Column:
+    return F.round(
+        F.regexp_count(F.col(col), F.lit(SYMBOL_PATTERN)).cast("double")
+        / F.greatest(n_tokens(col), F.lit(1)),
+        6,
+    )
+
+
+# Gopher rule bounds (word-count bounds adapted to the synthetic corpus
+# scale; the published rules use 50..100k words for web pages)
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 5000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_keep(col: str = "text") -> Column:
+    """Conjunction of the Gopher quality-heuristic rules: word-count
+    bounds, mean-word-length bounds, alphabetic-word fraction,
+    symbol-to-word ratio, and minimum stopword hits.  Returned as INT
+    (1 keep / 0 drop) so both engines hash identically."""
+    keep = (
+        n_tokens(col).between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & avg_token_len(col).between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+        & (alpha_token_frac(col) >= GOPHER_MIN_ALPHA_FRAC)
+        & (symbol_word_ratio(col) <= GOPHER_MAX_SYMBOL_RATIO)
+        & (stopword_count(col) >= GOPHER_MIN_STOP_HITS)
+    )
+    return keep.cast("int")
+
+
 def fingerprint(col: str = "text") -> Column:
     """Document fingerprint: md5 of the alnum-normalized text — robust
     to whitespace/punctuation-only edits, portable across engines."""

@@ -284,6 +284,51 @@ def lsh_topk(
     )
 
 
+def benchmark_screen(
+    emb: DataFrame,
+    bench_mod: int = 97,
+    bench_rem: int = 3,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic decontamination: for every corpus vector, its maximum
+    cosine against a (small) benchmark set, plus a contamination flag.
+
+    Complements the n-gram decontamination operator (operators/dedup.py
+    ``decontaminate``): paraphrased eval leakage shares no 8-gram but
+    stays close in embedding space.  The benchmark side is tiny relative
+    to any corpus (eval suites are thousands of rows vs billions), so
+    the scale plan is a broadcast expansion — each corpus partition
+    scores against the broadcast benchmark locally, then ONE map-side-
+    combined ``max_by`` aggregate collapses the N x B expansion to one
+    row per corpus vector before the exchange.  No corpus shuffle, no
+    window sort, no all-pairs.  Deterministic bench selection
+    (id % mod == rem) keeps the oracle replayable; production passes a
+    real benchmark frame in the same shape.
+    """
+    is_bench = F.pmod(F.col(id_col), F.lit(bench_mod)) == bench_rem
+    bench = emb.filter(is_bench).select(
+        F.col(id_col).alias("bench_id"), F.col(vec_col).alias("b_vec")
+    )
+    corpus = emb.filter(~is_bench)
+    scored = corpus.join(F.broadcast(bench)).select(
+        id_col,
+        "bench_id",
+        cosine_col(vec_col, "b_vec").alias("cos"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.max_by(
+                "bench_id", F.struct(F.col("cos"), (-F.col("bench_id")).alias("nid"))
+            ).alias("nearest_bench_id"),
+            F.max("cos").alias("max_cos"),
+        )
+        .withColumn("contaminated", (F.col("max_cos") >= threshold).cast("int"))
+    )
+
+
 def cosine_pairs_blocked(
     emb: DataFrame,
     threshold: float = 0.4,
