@@ -7982,6 +7982,86 @@ def q_semantic_decontaminate(spark, sf):
     return similarity.benchmark_screen(load(spark, sf, "embeddings"))
 
 
+@_q(
+    "psi_drift",
+    """
+    WITH b AS (
+      SELECT cast((epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS bigint) AS mid
+      FROM events),
+    binned AS (
+      SELECT event_type AS grp,
+             CASE WHEN epoch_us(ts) < b.mid THEN 'ref' ELSE 'cur' END AS period,
+             least(cast(floor(value / 25.0) AS int), 19) AS bin
+      FROM events, b WHERE value IS NOT NULL),
+    counts AS (
+      SELECT grp, period, bin, count(*) AS c FROM binned GROUP BY 1, 2, 3),
+    spine AS (
+      SELECT g.grp, r.range::INT AS bin
+      FROM (SELECT DISTINCT grp FROM binned) g CROSS JOIN range(20) r),
+    full_bins AS (
+      SELECT s.grp, s.bin,
+             coalesce(cr.c, 0) AS c_ref, coalesce(cc.c, 0) AS c_cur
+      FROM spine s
+      LEFT JOIN counts cr ON cr.grp = s.grp AND cr.bin = s.bin AND cr.period = 'ref'
+      LEFT JOIN counts cc ON cc.grp = s.grp AND cc.bin = s.bin AND cc.period = 'cur'),
+    tot AS (
+      SELECT grp, sum(c_ref) AS n_ref, sum(c_cur) AS n_cur
+      FROM full_bins GROUP BY grp),
+    psi AS (
+      SELECT f.grp,
+             cast(t.n_ref AS bigint) AS n_ref,
+             cast(t.n_cur AS bigint) AS n_cur,
+             round(sum(((f.c_cur + 1) / (t.n_cur + 20.0)
+                        - (f.c_ref + 1) / (t.n_ref + 20.0))
+                       * ln(((f.c_cur + 1) / (t.n_cur + 20.0))
+                            / ((f.c_ref + 1) / (t.n_ref + 20.0)))), 6) AS psi
+      FROM full_bins f JOIN tot t USING (grp)
+      GROUP BY f.grp, t.n_ref, t.n_cur)
+    SELECT grp AS event_type, n_ref, n_cur, psi,
+           cast(psi >= 0.1 AS int) AS drifted
+    FROM psi
+    """,
+)
+def q_psi_drift(spark, sf):
+    """Population Stability Index per event_type between the first and
+    second half of the table's time span — the snapshot-vs-ingest drift
+    gate a pipeline runs before retraining.  One scan pass for the time
+    bounds, one narrow bin assignment, one map-side-combined aggregate
+    down to groups x bins x 2 rows; everything after the scan is
+    O(groups x bins) (operators/profiling.py:psi_drift)."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        profiling,
+    )
+
+    return profiling.psi_drift(_events(spark, sf))
+
+
+@_q(
+    "weighted_sample_topk",
+    """
+    WITH keyed AS (
+      SELECT o_orderkey, o_totalprice,
+             round(-ln(((('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT
+                         % 1073741824) + 0.5) / 1073741824.0)
+                   / o_totalprice, 12) AS samp_key
+      FROM orders WHERE o_totalprice > 0)
+    SELECT o_orderkey, o_totalprice, samp_key
+    FROM keyed ORDER BY samp_key, o_orderkey LIMIT 100
+    """,
+)
+def q_weighted_sample_topk(spark, sf):
+    """Fixed-size weighted sample without replacement (Efraimidis-
+    Spirakis keys over a deterministic md5 uniform): the exact-size
+    counterpart to the Bernoulli `source_mixture` downsampler.  Spark
+    plans orderBy+limit as TakeOrderedAndProject — per-partition k-heaps
+    merged on the driver, no global sort shuffle
+    (operators/sampling.py:es_topk_sample)."""
+    o = load(spark, sf, "orders")
+    return sampling.es_topk_sample(
+        o, weight_col="o_totalprice", k=100, id_col="o_orderkey"
+    ).select("o_orderkey", "o_totalprice", "samp_key")
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================

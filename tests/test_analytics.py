@@ -759,3 +759,49 @@ def test_semantic_decontaminate_flags_near_bench_vector(spark, patch_load):
     assert out[10].contaminated == 1 and out[10].nearest_bench_id == 3
     assert out[10].max_cos == 1.0
     assert out[11].contaminated == 0
+
+
+def test_psi_drift_flags_shifted_distribution(spark, patch_load):
+    """Type 'shift' moves all mass from bin 0 to bin 19 between halves
+    -> large PSI; type 'flat' is identical in both halves -> tiny PSI
+    (only smoothing noise)."""
+    rows = []
+    eid = 0
+    # first half: Jan 1; second half: Jan 9 (midpoint ~Jan 5)
+    for day, half in (("2024-01-01", "ref"), ("2024-01-09", "cur")):
+        for i in range(50):
+            eid += 1
+            shift_val = 1.0 if half == "ref" else 480.0  # bin 0 vs bin 19
+            rows.append((eid, f"{day} 10:00:{i:02d}", 1, "shift", shift_val, "{}"))
+            eid += 1
+            rows.append((eid, f"{day} 11:00:{i:02d}", 1, "flat", 100.0, "{}"))
+    patch_load({"events": _events_df(spark, rows)})
+    out = {r.event_type: r for r in
+           entrymod.queries()["psi_drift"](spark, "x").collect()}
+    assert out["shift"].drifted == 1 and out["shift"].psi > 1.0
+    assert out["flat"].drifted == 0 and abs(out["flat"].psi) < 0.01
+    assert out["flat"].n_ref == 50 and out["flat"].n_cur == 50
+
+
+def test_es_topk_sample_size_determinism_and_weight_dominance(spark):
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        sampling,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 7, 1e9).otherwise(1.0).alias("w"),
+    )
+    a = sampling.es_topk_sample(df, "w", k=50).collect()
+    b = sampling.es_topk_sample(df, "w", k=50).collect()
+    assert len(a) == 50
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]  # rerun-identical
+    assert 7 in {r.doc_id for r in a}  # giant weight dominates
+    # zero/negative weights never sampled
+    z = df.withColumn("w", F.when(F.col("doc_id") < 990, -1.0).otherwise(1.0))
+    picked = {r.doc_id for r in sampling.es_topk_sample(z, "w", k=50).collect()}
+    assert picked and all(d >= 990 for d in picked)
+    # the k-smallest selection plans as TakeOrderedAndProject (heap
+    # merge), not a global sort shuffle
+    plan = sampling.es_topk_sample(df, "w", k=50)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -59,3 +59,98 @@ def profile_columns(
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    n_bins: int = 20,
+    bin_width: float = 25.0,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the table's time span, per group — the standard drift check a
+    pipeline runs between a reference snapshot and a fresh ingest
+    before retraining on it.
+
+    Semantics: rows split into 'ref' (ts before the midpoint of
+    [min_ts, max_ts]) and 'cur'; values bucket into ``n_bins``
+    fixed-width bins (last bin open-ended); per group,
+    PSI = sum_bins (p_cur - p_ref) * ln(p_cur / p_ref) with add-one
+    (Laplace) smoothing so empty bins are defined.  PSI >= ``threshold``
+    flags the group (0.1 is the conventional "some drift" cutoff).
+
+    Scale shape: ONE pass computes the global time bounds (two scalars
+    broadcast back), one narrow projection assigns (group, period, bin),
+    and ONE map-side-combined aggregate reduces to at most
+    groups x bins x 2 rows — everything after the scan is
+    O(groups x bins), independent of row count.  The bin spine is built
+    by cross-joining the distinct groups with a literal ``sequence``
+    explode so smoothing covers bins no row hit, exactly as the oracle
+    does.  No rand(), no window over the fact table, no driver-side row
+    data.
+    """
+    bounds = df.agg(
+        F.min(ts_col).alias("_min_ts"), F.max(ts_col).alias("_max_ts")
+    ).select(
+        (
+            (F.unix_micros("_min_ts") + F.unix_micros("_max_ts")) / F.lit(2)
+        ).cast("bigint").alias("_mid_us")
+    )
+    binned = (
+        df.crossJoin(F.broadcast(bounds))
+        .filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            F.when(F.unix_micros(ts_col) < F.col("_mid_us"), F.lit("ref"))
+            .otherwise(F.lit("cur"))
+            .alias("period"),
+            F.least(
+                F.floor(F.col(value_col) / F.lit(bin_width)), F.lit(n_bins - 1)
+            ).cast("int").alias("bin"),
+        )
+    )
+    counts = binned.groupBy("grp", "period", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    spine = (
+        binned.select("grp")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                counts.sparkSession.range(1)
+                .select(F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"))
+                .select(F.col("bin").cast("int").alias("bin"))
+            )
+        )
+    )
+    full = (
+        spine.join(
+            counts.groupBy("grp", "bin").pivot("period", ["ref", "cur"]).sum("c"),
+            ["grp", "bin"],
+            "left",
+        )
+        .select(
+            "grp",
+            "bin",
+            F.coalesce("ref", F.lit(0)).alias("c_ref"),
+            F.coalesce("cur", F.lit(0)).alias("c_cur"),
+        )
+    )
+    totals = full.groupBy("grp").agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    p_ref = (F.col("c_ref") + 1).cast("double") / (F.col("n_ref") + n_bins)
+    p_cur = (F.col("c_cur") + 1).cast("double") / (F.col("n_cur") + n_bins)
+    return (
+        full.join(totals, "grp")
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.first("n_ref").alias("n_ref"),
+            F.first("n_cur").alias("n_cur"),
+            F.round(F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)), 6).alias("psi"),
+        )
+        .withColumn("drifted", (F.col("psi") >= threshold).cast("int"))
+    )

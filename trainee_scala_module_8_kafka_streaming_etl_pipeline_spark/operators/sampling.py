@@ -124,3 +124,39 @@ def pack_shards(
         tokens.alias("n_tok"),
         F.floor((cum - tokens) / F.lit(budget)).cast("long").alias("shard_id"),
     )
+
+
+def es_topk_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size weighted sampling WITHOUT replacement via the
+    Efraimidis–Spirakis one-pass key: key = -ln(u) / w with u a
+    deterministic per-row uniform in (0,1); the k smallest keys are a
+    correct weighted sample (equivalent to ranking by u^(1/w)).
+
+    Complements :func:`weighted_sample` (Bernoulli, rate-per-row, output
+    size varies) when the contract is an EXACT sample size — eval-set
+    carving, per-source quotas, debugging slices.  rand()-free: u comes
+    from the row key's 60-bit md5 prefix, so reruns and retries pick the
+    identical sample.
+
+    Scale shape: key assignment is a narrow projection; the k-smallest
+    selection is ``orderBy(key).limit(k)``, which Spark plans as
+    TakeOrderedAndProject — each partition keeps a k-sized heap and the
+    driver merges P heaps, no global sort shuffle.  Keys round to 12 dp
+    (with the id tiebreak) so both engines rank identically.
+    """
+    h = F.expr(
+        f"cast(conv(substr(md5(cast({id_col} as string)), 1, 15), 16, 10) as bigint)"
+    )
+    u = (F.pmod(h, F.lit(1 << 30)).cast("double") + 0.5) / F.lit(float(1 << 30))
+    key = F.round(-F.log(u) / F.col(weight_col), 12)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("samp_key", key)
+        .orderBy("samp_key", id_col)
+        .limit(k)
+    )
