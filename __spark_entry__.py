@@ -8036,6 +8036,42 @@ def q_psi_drift(spark, sf):
     return profiling.psi_drift(_events(spark, sf))
 
 
+@_q("streaming_psi_drift", _REGISTRY["psi_drift"][1])
+def q_streaming_psi_drift(spark, sf):
+    """Continuously-maintained drift monitor (streaming/drift.py): the
+    snapshot boundary is fixed up front (one scalar from the reference
+    table — in production a training-time config), then every
+    micro-batch sum-merges its (group, period, bin) histogram into
+    O(groups x bins) state; PSI is readable at any moment.  Sum-merge is
+    batch-split invariant, so the batch psi_drift SQL is the exact
+    oracle."""
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.drift import (
+        read_psi,
+        run_drift_stream,
+    )
+
+    [b] = (
+        _events(spark, sf)
+        .agg(F.min("ts").alias("a"), F.max("ts").alias("z"))
+        .select(
+            ((F.unix_micros("a") + F.unix_micros("z")) / F.lit(2))
+            .cast("bigint")
+            .alias("m")
+        )
+        .collect()
+    )
+    base = tempfile.mkdtemp(prefix="stream_psi_")
+    with _stream_partitions(spark):
+        run_drift_stream(
+            _events_stream(spark, sf).select("event_type", "ts", "value"),
+            f"{base}/state",
+            b.m,
+        )
+    return read_psi(spark, f"{base}/state")
+
+
 @_q(
     "weighted_sample_topk",
     """

@@ -197,3 +197,43 @@ def test_streaming_hist_two_rounds_match_batch(spark, tmp_path):
         batch.n, batch.p50_est, batch.p90_est, batch.p99_est
     )
     assert streamed.n == 600
+
+
+def test_drift_state_batch_split_invariant(spark, tmp_path):
+    """Merging the drift histogram in two batches equals the batch
+    operator over the union: sum-merge is batch-split invariant, and
+    the maintained PSI flags the group whose second half shifted."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        profiling,
+    )
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.drift import (
+        merge_drift_batch,
+        read_psi,
+    )
+
+    def ev(day, grp, val, n):
+        return [(grp, f"2024-01-{day:02d} 10:00:{i:02d}", float(val)) for i in range(n)]
+
+    # 'shift' moves bins between halves; 'flat' does not
+    rows = (ev(1, "shift", 1.0, 30) + ev(9, "shift", 480.0, 30)
+            + ev(1, "flat", 100.0, 30) + ev(9, "flat", 100.0, 30))
+    df = spark.createDataFrame(rows, ["event_type", "ts", "value"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    [mid] = df.agg(
+        ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2)
+        .cast("bigint").alias("m")
+    ).collect()
+    # split on an arbitrary interleaved predicate — NOT the time split —
+    # so invariance is tested across a nontrivial batch boundary
+    b1 = df.filter(F.second("ts") % 2 == 0)
+    b2 = df.filter(F.second("ts") % 2 == 1)
+    state = str(tmp_path / "state")
+    merge_drift_batch(b1, state, mid.m)
+    merge_drift_batch(b2, state, mid.m)
+    streamed = {r.event_type: r for r in read_psi(spark, state).collect()}
+    batch = {r.event_type: r for r in profiling.psi_drift(df).collect()}
+    for g in ("shift", "flat"):
+        assert streamed[g].psi == batch[g].psi, g
+        assert streamed[g].drifted == batch[g].drifted
+    assert streamed["shift"].drifted == 1 and streamed["flat"].drifted == 0

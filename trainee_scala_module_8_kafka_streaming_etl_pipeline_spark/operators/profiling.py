@@ -61,62 +61,41 @@ def profile_columns(
     )
 
 
-def psi_drift(
+def assign_drift_bins(
     df: DataFrame,
+    mid_us,
     group_col: str = "event_type",
     value_col: str = "value",
     ts_col: str = "ts",
     n_bins: int = 20,
     bin_width: float = 25.0,
+) -> DataFrame:
+    """Per-row (grp, period, bin) assignment against a snapshot boundary
+    ``mid_us`` (epoch micros; a Column or literal).  Narrow projection —
+    the shared front half of batch and streaming PSI."""
+    return df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        F.when(F.unix_micros(ts_col) < mid_us, F.lit("ref"))
+        .otherwise(F.lit("cur"))
+        .alias("period"),
+        F.least(
+            F.floor(F.col(value_col) / F.lit(bin_width)), F.lit(n_bins - 1)
+        ).cast("int").alias("bin"),
+    )
+
+
+def psi_from_counts(
+    counts: DataFrame,
+    group_col: str = "event_type",
+    n_bins: int = 20,
     threshold: float = 0.1,
 ) -> DataFrame:
-    """Population Stability Index between the first and second half of
-    the table's time span, per group — the standard drift check a
-    pipeline runs between a reference snapshot and a fresh ingest
-    before retraining on it.
-
-    Semantics: rows split into 'ref' (ts before the midpoint of
-    [min_ts, max_ts]) and 'cur'; values bucket into ``n_bins``
-    fixed-width bins (last bin open-ended); per group,
-    PSI = sum_bins (p_cur - p_ref) * ln(p_cur / p_ref) with add-one
-    (Laplace) smoothing so empty bins are defined.  PSI >= ``threshold``
-    flags the group (0.1 is the conventional "some drift" cutoff).
-
-    Scale shape: ONE pass computes the global time bounds (two scalars
-    broadcast back), one narrow projection assigns (group, period, bin),
-    and ONE map-side-combined aggregate reduces to at most
-    groups x bins x 2 rows — everything after the scan is
-    O(groups x bins), independent of row count.  The bin spine is built
-    by cross-joining the distinct groups with a literal ``sequence``
-    explode so smoothing covers bins no row hit, exactly as the oracle
-    does.  No rand(), no window over the fact table, no driver-side row
-    data.
-    """
-    bounds = df.agg(
-        F.min(ts_col).alias("_min_ts"), F.max(ts_col).alias("_max_ts")
-    ).select(
-        (
-            (F.unix_micros("_min_ts") + F.unix_micros("_max_ts")) / F.lit(2)
-        ).cast("bigint").alias("_mid_us")
-    )
-    binned = (
-        df.crossJoin(F.broadcast(bounds))
-        .filter(F.col(value_col).isNotNull())
-        .select(
-            F.col(group_col).alias("grp"),
-            F.when(F.unix_micros(ts_col) < F.col("_mid_us"), F.lit("ref"))
-            .otherwise(F.lit("cur"))
-            .alias("period"),
-            F.least(
-                F.floor(F.col(value_col) / F.lit(bin_width)), F.lit(n_bins - 1)
-            ).cast("int").alias("bin"),
-        )
-    )
-    counts = binned.groupBy("grp", "period", "bin").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    """PSI per group from a (grp, period, bin, c) count table — the
+    mergeable histogram state both the batch operator and the streaming
+    monitor reduce to.  Builds the full bin spine (so Laplace smoothing
+    covers bins no row hit), then one O(groups x bins) aggregate."""
     spine = (
-        binned.select("grp")
+        counts.select("grp")
         .distinct()
         .crossJoin(
             F.broadcast(
@@ -154,3 +133,51 @@ def psi_drift(
         )
         .withColumn("drifted", (F.col("psi") >= threshold).cast("int"))
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    n_bins: int = 20,
+    bin_width: float = 25.0,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the table's time span, per group — the standard drift check a
+    pipeline runs between a reference snapshot and a fresh ingest
+    before retraining on it.
+
+    Semantics: rows split into 'ref' (ts before the midpoint of
+    [min_ts, max_ts]) and 'cur'; values bucket into ``n_bins``
+    fixed-width bins (last bin open-ended); per group,
+    PSI = sum_bins (p_cur - p_ref) * ln(p_cur / p_ref) with add-one
+    (Laplace) smoothing so empty bins are defined.  PSI >= ``threshold``
+    flags the group (0.1 is the conventional "some drift" cutoff).
+
+    Scale shape: ONE pass computes the global time bounds (two scalars
+    broadcast back), one narrow projection assigns (group, period, bin),
+    and ONE map-side-combined aggregate reduces to at most
+    groups x bins x 2 rows — everything after the scan is
+    O(groups x bins), independent of row count.  No rand(), no window
+    over the fact table, no driver-side row data.  The streaming
+    monitor (streaming/drift.py) maintains the same count state
+    incrementally and shares :func:`psi_from_counts`.
+    """
+    bounds = df.agg(
+        F.min(ts_col).alias("_min_ts"), F.max(ts_col).alias("_max_ts")
+    ).select(
+        (
+            (F.unix_micros("_min_ts") + F.unix_micros("_max_ts")) / F.lit(2)
+        ).cast("bigint").alias("_mid_us")
+    )
+    binned = assign_drift_bins(
+        df.crossJoin(F.broadcast(bounds)),
+        F.col("_mid_us"),
+        group_col, value_col, ts_col, n_bins, bin_width,
+    )
+    counts = binned.groupBy("grp", "period", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return psi_from_counts(counts, group_col, n_bins, threshold)
