@@ -92,6 +92,10 @@ HEADLINE = [
     "streaming_cdc_upsert",
     "streaming_flagship_golden",
     "streaming_hll",
+    "gopher_quality_filter",
+    "semantic_decontaminate",
+    "psi_drift",
+    "weighted_sample_topk",
 ]
 
 

@@ -176,3 +176,35 @@ def test_dup_ngram_joins_on_hashed_key(spark):
     plan = _plan(spark, "dup_ngram_coverage")
     assert "xxhash64" in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_semantic_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark side must broadcast (no corpus shuffle before the
+    expansion) and the N x B collapse must be a hash aggregate, not a
+    window sort."""
+    plan = _plan(spark, "semantic_decontaminate")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "max_by" in plan
+
+
+def test_gopher_filter_is_narrow_projection(spark):
+    """Pure per-row rules: no shuffle at all in the plan."""
+    plan = _plan(spark, "gopher_quality_filter")
+    assert "Exchange" not in plan
+
+
+def test_weighted_sample_plans_heap_merge(spark):
+    """orderBy+limit must plan as TakeOrderedAndProject (per-partition
+    k-heaps), never a global Sort exchange."""
+    plan = _plan(spark, "weighted_sample_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+
+
+def test_psi_drift_single_fact_aggregate(spark):
+    """The fact table feeds ONE count aggregate; everything after is
+    O(groups x bins).  No window over events, no cartesian growth."""
+    plan = _plan(spark, "psi_drift")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
