@@ -357,3 +357,71 @@ def test_cms_join_estimate_upper_bounds_exact(spark, a_keys, b_keys):
     ca, cb = Counter(a_keys), Counter(b_keys)
     exact = sum(ca[k] * cb.get(k, 0) for k in ca)
     assert est.e >= exact
+
+
+_weights = st.lists(
+    st.floats(min_value=0.001, max_value=1e6, allow_nan=False,
+              allow_infinity=False),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(ws=_weights, k=st.integers(1, 20))
+@_SETTINGS
+def test_es_topk_sample_matches_naive_smallest_keys(spark, ws, k):
+    """The sampled set must be EXACTLY the k smallest ES keys computed
+    independently in Python (same md5-uniform, same rounding)."""
+    import hashlib
+    import math
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.sampling import (
+        es_topk_sample,
+    )
+
+    rows = [(i, w) for i, w in enumerate(ws)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = [r.doc_id for r in es_topk_sample(df, "w", k=k).collect()]
+
+    def key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        u = ((h % (1 << 30)) + 0.5) / float(1 << 30)
+        return round(-math.log(u) / w, 12)
+
+    want = [i for i, w in sorted(rows, key=lambda t: (key(*t), t[0]))[:k]]
+    assert got == want
+
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("ab1 .#")), min_size=0, max_size=60
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=_texts)
+@_SETTINGS
+def test_alpha_token_frac_matches_naive(spark, texts):
+    """Engine alpha-token fraction vs a direct Python split on
+    adversarial whitespace/symbol soup."""
+    import re
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.functions import (
+        text as T,
+    )
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: r.af
+        for r in df.select(
+            "doc_id", T.alpha_token_frac().alias("af")
+        ).collect()
+    }
+    for i, t in docs:
+        toks = re.split(r"\s+", t.strip())  # mirrors split(trim(x))
+        n_alpha = sum(1 for w in toks if re.search("[a-zA-Z]", w))
+        want = round(n_alpha / max(len(toks), 1), 6)
+        assert got[i] == want, (i, repr(t))
