@@ -7991,7 +7991,7 @@ def q_semantic_decontaminate(spark, sf):
     binned AS (
       SELECT event_type AS grp,
              CASE WHEN epoch_us(ts) < b.mid THEN 'ref' ELSE 'cur' END AS period,
-             least(cast(floor(value / 25.0) AS int), 19) AS bin
+             greatest(0, least(cast(floor(value / 25.0) AS int), 19)) AS bin
       FROM events, b WHERE value IS NOT NULL),
     counts AS (
       SELECT grp, period, bin, count(*) AS c FROM binned GROUP BY 1, 2, 3),

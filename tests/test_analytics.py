@@ -774,7 +774,9 @@ def test_psi_drift_flags_shifted_distribution(spark, patch_load):
             shift_val = 1.0 if half == "ref" else 480.0  # bin 0 vs bin 19
             rows.append((eid, f"{day} 10:00:{i:02d}", 1, "shift", shift_val, "{}"))
             eid += 1
-            rows.append((eid, f"{day} 11:00:{i:02d}", 1, "flat", 100.0, "{}"))
+            # one negative value per half: clamps into bin 0, no row lost
+            flat_val = -5.0 if i == 0 else 100.0
+            rows.append((eid, f"{day} 11:00:{i:02d}", 1, "flat", flat_val, "{}"))
     patch_load({"events": _events_df(spark, rows)})
     out = {r.event_type: r for r in
            entrymod.queries()["psi_drift"](spark, "x").collect()}

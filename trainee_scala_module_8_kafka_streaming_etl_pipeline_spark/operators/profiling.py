@@ -78,8 +78,11 @@ def assign_drift_bins(
         F.when(F.unix_micros(ts_col) < mid_us, F.lit("ref"))
         .otherwise(F.lit("cur"))
         .alias("period"),
-        F.least(
-            F.floor(F.col(value_col) / F.lit(bin_width)), F.lit(n_bins - 1)
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.floor(F.col(value_col) / F.lit(bin_width)), F.lit(n_bins - 1)
+            ),
         ).cast("int").alias("bin"),
     )
 
