@@ -425,3 +425,52 @@ def test_alpha_token_frac_matches_naive(spark, texts):
         n_alpha = sum(1 for w in toks if re.search("[a-zA-Z]", w))
         want = round(n_alpha / max(len(toks), 1), 6)
         assert got[i] == want, (i, repr(t))
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(raw=_edges)
+@_SETTINGS
+def test_neardup_clusters_match_union_find(spark, raw):
+    """Distributed min-label propagation vs a direct Python union-find
+    on random graphs (self-loops dropped, duplicates/parallel edges
+    kept, isolated nodes preserved)."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.dedup import (
+        neardup_clusters,
+    )
+
+    n_nodes = 16
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(n_nodes)], ["doc_id", "text"]
+    )
+    edges = [(a, b) for a, b in raw if a != b]
+    pairs = spark.createDataFrame(
+        edges or [(0, 0)], ["doc_a", "doc_b"]
+    )
+    if not edges:
+        pairs = pairs.filter("doc_a <> doc_b")  # typed empty frame
+    got = {
+        r.doc_id: r.cluster_id
+        for r in neardup_clusters(docs, pairs=pairs).collect()
+    }
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: min(j for j in range(n_nodes) if find(j) == find(i))
+            for i in range(n_nodes)}
+    assert got == want
