@@ -8098,6 +8098,39 @@ def q_weighted_sample_topk(spark, sf):
     ).select("o_orderkey", "o_totalprice", "samp_key")
 
 
+@_q("streaming_weighted_sample", _REGISTRY["weighted_sample_topk"][1])
+def q_streaming_weighted_sample(spark, sf):
+    """Continuously-maintained weighted reservoir
+    (streaming/reservoir.py): each micro-batch assigns deterministic
+    Efraimidis-Spirakis keys and min-k-merges into O(k) state.  min-k
+    is associative, commutative, AND idempotent, so the streamed sample
+    equals the batch sample over the union — the batch ES SQL is the
+    exact oracle."""
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.reservoir import (
+        read_reservoir,
+        run_reservoir_stream,
+    )
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.sources import (
+        file_stream,
+    )
+
+    schema = load(spark, sf, "orders").schema
+    base = tempfile.mkdtemp(prefix="stream_resv_")
+    with _stream_partitions(spark):
+        run_reservoir_stream(
+            file_stream(spark, f"{sf}/orders.parque[t]", schema),
+            f"{base}/state",
+            weight_col="o_totalprice",
+            k=100,
+            id_col="o_orderkey",
+        )
+    return read_reservoir(spark, f"{base}/state").select(
+        "o_orderkey", "o_totalprice", "samp_key"
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================

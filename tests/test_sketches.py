@@ -237,3 +237,32 @@ def test_drift_state_batch_split_invariant(spark, tmp_path):
         assert streamed[g].psi == batch[g].psi, g
         assert streamed[g].drifted == batch[g].drifted
     assert streamed["shift"].drifted == 1 and streamed["flat"].drifted == 0
+
+
+def test_reservoir_state_batch_split_invariant_and_idempotent(spark, tmp_path):
+    """min-k merge: two-batch ingest == one-shot batch ES sample, and
+    re-merging an already-committed batch changes nothing (idempotent
+    under re-delivery)."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.sampling import (
+        es_topk_sample,
+    )
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.reservoir import (
+        merge_reservoir_batch,
+        read_reservoir,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).cast("double").alias("w")
+    )
+    b1 = df.filter(F.col("doc_id") % 3 != 0)
+    b2 = df.filter(F.col("doc_id") % 3 == 0)
+    state = str(tmp_path / "state")
+    merge_reservoir_batch(b1, state, "w", k=40)
+    merge_reservoir_batch(b2, state, "w", k=40)
+    got = sorted(r.doc_id for r in read_reservoir(spark, state).collect())
+    want = sorted(r.doc_id for r in es_topk_sample(df, "w", k=40).collect())
+    assert got == want and len(got) == 40
+    # re-deliver b2: state must not change
+    merge_reservoir_batch(b2, state, "w", k=40)
+    again = sorted(r.doc_id for r in read_reservoir(spark, state).collect())
+    assert again == want

@@ -149,14 +149,22 @@ def es_topk_sample(
     driver merges P heaps, no global sort shuffle.  Keys round to 12 dp
     (with the id tiebreak) so both engines rank identically.
     """
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("samp_key", es_key(weight_col, id_col))
+        .orderBy("samp_key", id_col)
+        .limit(k)
+    )
+
+
+def es_key(weight_col: str, id_col: str) -> F.Column:
+    """The Efraimidis-Spirakis sort key: -ln(u)/w with u a deterministic
+    md5-derived uniform in (0,1).  Exposed separately so the streaming
+    reservoir (streaming/reservoir.py) assigns the IDENTICAL key per
+    row — which is what makes the streamed sample equal the batch
+    sample and the min-k state merge associative."""
     h = F.expr(
         f"cast(conv(substr(md5(cast({id_col} as string)), 1, 15), 16, 10) as bigint)"
     )
     u = (F.pmod(h, F.lit(1 << 30)).cast("double") + 0.5) / F.lit(float(1 << 30))
-    key = F.round(-F.log(u) / F.col(weight_col), 12)
-    return (
-        df.filter(F.col(weight_col) > 0)
-        .withColumn("samp_key", key)
-        .orderBy("samp_key", id_col)
-        .limit(k)
-    )
+    return F.round(-F.log(u) / F.col(weight_col), 12)
