@@ -657,3 +657,35 @@ def test_asof_join_forward_picks_earliest_future(spark):
         ).collect()
     }
     assert out == {1: 100, 2: None, 3: None}
+
+
+def test_backfill_partitions_rewrites_only_target_days(spark, tmp_path):
+    """Dynamic partition overwrite: backfilling one day replaces that
+    day's rows, preserves every other day, and reruns are idempotent
+    (retry-safe sink semantics)."""
+    import pyspark.sql.functions as F
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.layout import (
+        backfill_partitions,
+    )
+
+    path = str(tmp_path / "days")
+    base = spark.createDataFrame(
+        [("2024-01-01", i, 1.0) for i in range(5)]
+        + [("2024-01-02", i, 1.0) for i in range(5)],
+        ["day", "k", "v"],
+    )
+    backfill_partitions(base, path, "day")
+    # backfill day 2 with corrected values (3 rows instead of 5)
+    fix = spark.createDataFrame(
+        [("2024-01-02", i, 9.0) for i in range(3)], ["day", "k", "v"]
+    )
+    backfill_partitions(fix, path, "day")
+    out = spark.read.parquet(path)
+    d1 = out.filter(F.col("day") == "2024-01-01")
+    d2 = out.filter(F.col("day") == "2024-01-02")
+    assert d1.count() == 5 and d1.agg(F.sum("v")).first()[0] == 5.0
+    assert d2.count() == 3 and d2.agg(F.sum("v")).first()[0] == 27.0
+    # rerun the same backfill: state converges (idempotent)
+    backfill_partitions(fix, path, "day")
+    assert spark.read.parquet(path).count() == 8

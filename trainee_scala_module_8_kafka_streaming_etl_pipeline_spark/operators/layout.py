@@ -93,3 +93,29 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def backfill_partitions(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+) -> None:
+    """Idempotent partition backfill: rewrite ONLY the partitions
+    present in ``df``, leaving every other partition of the table
+    untouched (Spark's dynamic partition overwrite).
+
+    Why at 100 TB: reprocessing one bad day must not truncate the other
+    ~1000 days (static overwrite mode deletes the whole table root),
+    and appending instead of overwriting duplicates the day on every
+    retry.  Dynamic overwrite makes the backfill job idempotent —
+    rerunning it converges to the same table state — which is the
+    property every scheduled/auto-retried pipeline needs from its
+    sink.  The write itself adds no extra shuffle beyond the
+    partitionBy clustering.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
