@@ -8132,6 +8132,98 @@ def q_streaming_weighted_sample(spark, sf):
 
 
 # ===========================================================================
+# time-series smoothing / seasonality (round 3)
+# ===========================================================================
+
+_EWMA_ALPHA = 0.3
+_EWMA_LAGS = 8
+
+
+def _oracle_ewma() -> str:
+    lag_cols = ",\n             ".join(
+        f"lag(value, {i}) OVER w AS x{i}" for i in range(1, _EWMA_LAGS)
+    )
+    num_terms = []
+    den_terms = []
+    for i in range(_EWMA_LAGS):
+        wt = repr(float((1.0 - _EWMA_ALPHA) ** i))
+        x = "value" if i == 0 else f"x{i}"
+        num_terms.append(f"CASE WHEN {x} IS NOT NULL THEN {x} * {wt} ELSE 0.0 END")
+        den_terms.append(f"CASE WHEN {x} IS NOT NULL THEN {wt} ELSE 0.0 END")
+    num = "\n             + ".join(num_terms)
+    den = "\n             + ".join(den_terms)
+    return f"""
+    WITH lagged AS (
+      SELECT event_type, event_id, ts, value,
+             {lag_cols}
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+    SELECT event_type, event_id, ts, value,
+           round(({num})
+                 / ({den}), 6) AS ewma
+    FROM lagged
+    """
+
+
+@_q("ewma_smooth", _oracle_ewma())
+def q_ewma_smooth(spark, sf):
+    """Truncated EWMA per event_type (operators/timeseries.py:ewma):
+    the recursive EWMA is inherently sequential per key, so it is
+    re-expressed as a fixed 8-lag weighted sum in ONE window — one
+    shuffle on the key, whole-stage-codegen'd arithmetic, no UDF and no
+    per-key sequential state; the dropped tail carries (1-α)^8 ≈ 5.8%
+    weight, documented in the operator.  Extends the reference's
+    event-time surface (SURVEY.md §2.4) with the smoothing rollup a
+    hypertable continuous aggregate provides."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        timeseries,
+    )
+
+    return timeseries.ewma(
+        _events(spark, sf),
+        key_cols=["event_type"],
+        ts_col="ts",
+        value_col="value",
+        offset_col="event_id",
+        alpha=_EWMA_ALPHA,
+        lags=_EWMA_LAGS,
+    )
+
+
+@_q(
+    "dow_seasonality",
+    """
+    WITH d AS (
+      SELECT event_type, isodow(ts) - 1 AS weekday,
+             count(*) AS n, sum(value::DECIMAL(18,6)) AS s
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, weekday, n AS n_events,
+           round(s::DOUBLE / n, 6) AS dow_mean,
+           round((s::DOUBLE / n)
+                 / (sum(s) OVER (PARTITION BY event_type)::DOUBLE
+                    / sum(n) OVER (PARTITION BY event_type)), 6) AS seasonal_index
+    FROM d
+    """,
+)
+def q_dow_seasonality(spark, sf):
+    """Day-of-week seasonal index per event_type
+    (operators/timeseries.py:dow_seasonality): one map-side-combined
+    hash aggregate to (key, weekday) — the exchange carries ≤7 rows per
+    key regardless of input volume — then window math over that tiny
+    frame for the key totals.  DECIMAL accumulation keeps partial
+    combines associative; weekday is ISO Monday=0 (Spark ``weekday`` ≡
+    DuckDB ``isodow-1``) because the engines' ``dayofweek`` origins
+    differ."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        timeseries,
+    )
+
+    return timeseries.dow_seasonality(
+        _events(spark, sf), key_cols=["event_type"], ts_col="ts", value_col="value"
+    )
+
+
+# ===========================================================================
 # driver contract
 # ===========================================================================
 

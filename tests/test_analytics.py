@@ -807,3 +807,37 @@ def test_es_topk_sample_size_determinism_and_weight_dominance(spark):
     # merge), not a global sort shuffle
     plan = sampling.es_topk_sample(df, "w", k=50)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ewma_ramp_up_and_weights(spark, patch_load):
+    """Row 1 is its own EWMA (no history); row 2 blends with weight
+    (1-alpha)=0.7 on the lag; a key's rows never leak into another key."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 10.0, "{}"),
+        (2, "2024-01-01 11:00:00", 1, "view", 20.0, "{}"),
+        (3, "2024-01-01 12:00:00", 1, "view", 30.0, "{}"),
+        (4, "2024-01-01 10:30:00", 1, "click", 100.0, "{}"),
+    ]
+    patch_load({"events": _events_df(spark, rows)})
+    out = {r.event_id: r.ewma for r in
+           entrymod.queries()["ewma_smooth"](spark, "x").collect()}
+    assert out[1] == 10.0
+    # (20 + 0.7*10) / 1.7
+    assert abs(out[2] - 27.0 / 1.7) < 1e-6
+    # (30 + 0.7*20 + 0.49*10) / 2.19
+    assert abs(out[3] - 48.9 / 2.19) < 1e-6
+    assert out[4] == 100.0  # other key unaffected
+
+
+def test_dow_seasonality_index_averages_to_type_mean(spark, patch_load):
+    """2024-01-01 is a Monday (weekday 0).  Mon mean 10, Tue mean 30 ->
+    overall 20, indices 0.5 / 1.5."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 10.0, "{}"),
+        (2, "2024-01-02 10:00:00", 1, "view", 30.0, "{}"),
+    ]
+    patch_load({"events": _events_df(spark, rows)})
+    out = {r.weekday: (r.dow_mean, r.seasonal_index) for r in
+           entrymod.queries()["dow_seasonality"](spark, "x").collect()}
+    assert out[0] == (10.0, 0.5)
+    assert out[1] == (30.0, 1.5)

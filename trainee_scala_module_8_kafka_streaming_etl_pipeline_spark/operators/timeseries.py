@@ -152,6 +152,93 @@ def gap_fill_from_daily(daily: DataFrame, key_cols: Sequence[str]) -> DataFrame:
     )
 
 
+def ewma(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    offset_col: str,
+    alpha: float = 0.3,
+    lags: int = 8,
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average per key.
+
+    ``ewma = Σ_{i<lags} (1-α)^i · x_{t-i} / Σ_{i<lags} (1-α)^i`` over the
+    lags actually present (ramp-up rows normalize by the weights of the
+    rows they have) — pandas' ``ewm(adjust=True)`` truncated to a fixed
+    window, which makes the statistic exactly computable in one pass.
+
+    Spark-first (100 TB): the untruncated recursive EWMA is a sequential
+    scan per key — unparallelizable within a key and not expressible
+    without a stateful UDF.  Truncation to ``lags`` terms turns it into
+    ``lags`` ``lag()`` expressions inside ONE window (one shuffle on the
+    key, one in-partition sort, whole-stage-codegen'd arithmetic): the
+    weight of the dropped tail is (1-α)^lags (≈0.058 for α=.3, L=8),
+    a documented approximation bound, while the plan stays embarrassingly
+    parallel across keys.  No UDF, no iteration, no state.
+
+    Determinism: ties in ``ts_col`` are broken by ``offset_col`` (unique
+    arrival order — the same rule latest_by_offset uses,
+    /root/reference/README.md:436), and both numerator and denominator
+    are fixed-length left-associated float chains, so any engine
+    evaluating IEEE doubles in source order reproduces the bits.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, offset_col)
+    num = None
+    den = None
+    for i in range(lags):
+        wt = float((1.0 - alpha) ** i)
+        x = F.col(value_col) if i == 0 else F.lag(value_col, i).over(w)
+        term = F.when(x.isNotNull(), x * F.lit(wt)).otherwise(F.lit(0.0))
+        dterm = F.when(x.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = dterm if den is None else den + dterm
+    return df.select(
+        *key_cols,
+        F.col(offset_col),
+        F.col(ts_col),
+        F.col(value_col),
+        F.round(num / den, 6).alias("ewma"),
+    )
+
+
+def dow_seasonality(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Day-of-week seasonal profile per key: mean value per weekday and
+    its ratio to the key's overall mean (seasonal index).
+
+    One hash aggregate to (key, weekday) — map-side combined, so the
+    exchange carries ≤ 7 rows per key regardless of input volume — then
+    window functions over that tiny aggregated frame for the key totals
+    (no second shuffle over raw data).  Sums accumulate in DECIMAL so
+    partials combine associatively; only the final divides are double.
+
+    weekday is ISO Monday=0 … Sunday=6 (Spark ``weekday`` ≡ DuckDB
+    ``isodow - 1``), chosen because the engines' default ``dayofweek``
+    origins differ.
+    """
+    y = F.col(value_col).cast("decimal(18,6)")
+    daily = df.groupBy(
+        *key_cols, F.weekday(ts_col).alias("weekday")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(y).alias("s"))
+    kw = Window.partitionBy(*key_cols)
+    tot_n = F.sum("n").over(kw)
+    tot_s = F.sum("s").over(kw)
+    dow_mean = F.col("s").cast("double") / F.col("n")
+    all_mean = tot_s.cast("double") / tot_n
+    return daily.select(
+        *key_cols,
+        "weekday",
+        F.col("n").alias("n_events"),
+        F.round(dow_mean, 6).alias("dow_mean"),
+        F.round(dow_mean / all_mean, 6).alias("seasonal_index"),
+    )
+
+
 def linear_trend(
     df: DataFrame,
     key_cols: Sequence[str],
