@@ -8131,6 +8131,35 @@ def q_streaming_weighted_sample(spark, sf):
     )
 
 
+@_q("streaming_event_transitions", _REGISTRY["event_transitions"][1])
+def q_streaming_event_transitions(spark, sf):
+    """Continuously-maintained Markov transition matrix
+    (streaming/transitions.py): a transition spans two adjacent rows of
+    a per-user sequence, so per-batch counts alone would miss every
+    batch-boundary pair — state additionally keeps each user's segment
+    endpoints and merging segments bridges earlier.last -> later.first.
+    The state version number IS the micro-batch id, making a crashed
+    batch's re-run a deterministic overwrite (exactly-once without an
+    idempotent aggregate).  The batch event_transitions SQL is the exact
+    oracle."""
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.transitions import (
+        read_transitions,
+        run_transitions_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_trans_")
+    with _stream_partitions(spark):
+        run_transitions_stream(
+            _events_stream(spark, sf).select(
+                "user_id", "event_type", "ts", "event_id"
+            ),
+            f"{base}/state",
+        )
+    return read_transitions(spark, f"{base}/state")
+
+
 # ===========================================================================
 # time-series smoothing / seasonality (round 3)
 # ===========================================================================

@@ -208,3 +208,76 @@ def test_watermark_drop_rule_window_end_vs_ms_floored_wm(spark, tmp_path):
     q.awaitTermination()
     tags = sorted(r["tag"] for r in spark.sql("select tag from wm_rule").collect())
     assert tags == ["end_gt_wm", "pin", "seed"]
+
+
+def test_streaming_transitions_bridge_batch_boundaries(spark, tmp_path):
+    """Transitions spanning micro-batch boundaries are counted via the
+    segment-endpoint state, and a re-delivered batch (crash replay)
+    overwrites its own commit instead of double-counting."""
+    import glob
+    import shutil
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.transitions import (
+        merge_transitions_batch,
+        read_transitions,
+        run_transitions_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cols = ["user_id", "ts_s", "event_type", "event_id"]
+
+    def write(rows, name, age_s):
+        df = spark.createDataFrame(rows, cols).withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).select("user_id", "event_type", "ts", "event_id")
+        tmp = str(tmp_path / f"tmp_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = str(src / f"{name}.parquet")
+        shutil.copy(part, dst)
+        t = _time.time() - age_s
+        os.utime(dst, (t, t))
+
+    # u1: A B | A | B   u2: A | A B  ->  A->B:3  B->A:1  A->A:1
+    write([(1, "2024-01-01 10:00:00", "A", 1),
+           (1, "2024-01-01 10:01:00", "B", 2),
+           (2, "2024-01-01 10:00:30", "A", 3)], "f1", 150)
+    write([(1, "2024-01-01 10:02:00", "A", 4),
+           (2, "2024-01-01 10:02:30", "A", 5),
+           (2, "2024-01-01 10:03:00", "B", 6)], "f2", 100)
+    write([(1, "2024-01-01 10:04:00", "B", 7)], "f3", 50)
+
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, event_type string, ts timestamp, event_id bigint"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    state = str(tmp_path / "state")
+    run_transitions_stream(stream, state)
+
+    out = {(r.from_type, r.to_type): (r.n, r.p)
+           for r in read_transitions(spark, state).collect()}
+    assert out == {
+        ("A", "B"): (3, 0.75),
+        ("A", "A"): (1, 0.25),
+        ("B", "A"): (1, 1.0),
+    }
+
+    # Crash replay: re-apply the last batch with its original batch id —
+    # the version-per-batch commit recomputes from the prior version, so
+    # counts are unchanged.
+    last = spark.createDataFrame(
+        [(1, "2024-01-01 10:04:00", "B", 7)], cols
+    ).withColumn("ts", F.to_timestamp("ts_s")).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    merge_transitions_batch(last, state, 2)
+    replay = {(r.from_type, r.to_type): r.n
+              for r in read_transitions(spark, state).collect()}
+    assert replay == {("A", "B"): 3, ("A", "A"): 1, ("B", "A"): 1}
