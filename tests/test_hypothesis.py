@@ -474,3 +474,71 @@ def test_neardup_clusters_match_union_find(spark, raw):
     want = {i: min(j for j in range(n_nodes) if find(j) == find(i))
             for i in range(n_nodes)}
     assert got == want
+
+
+# events: (user, minute, type_idx); cuts: global time cut points splitting
+# the stream into ordered micro-batches (contiguous time-slices per user —
+# the segment-merge contract).
+_trans_events = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 59), st.integers(0, 2)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(raw=_trans_events, cuts=st.sets(st.integers(1, 59), max_size=3))
+@_SETTINGS
+def test_streaming_transitions_match_batch_under_any_split(spark, raw, cuts):
+    """Folding time-sliced micro-batches through the segment-merge state
+    yields exactly the batch transition counts, for any cut points —
+    boundary transitions come from the bridge step, never get lost, and
+    never double-count."""
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.transitions import (
+        merge_transitions_batch,
+        read_transitions,
+    )
+
+    rows = [
+        (u, f"2024-01-01 10:{m:02d}:00", f"T{t}", i)
+        for i, (u, m, t) in enumerate(raw)
+    ]
+
+    def mkdf(rs):
+        return (
+            spark.createDataFrame(
+                rs, ["user_id", "ts_s", "event_type", "event_id"]
+            )
+            .withColumn("ts", F.to_timestamp("ts_s"))
+            .select("user_id", "event_type", "ts", "event_id")
+        )
+
+    # naive expected counts: per user, order by (minute, event_id)
+    seqs: dict[int, list[tuple[int, int, str]]] = {}
+    for i, (u, m, t) in enumerate(raw):
+        seqs.setdefault(u, []).append((m, i, f"T{t}"))
+    expected: dict[tuple[str, str], int] = {}
+    for s in seqs.values():
+        s.sort()
+        for (_, _, a), (_, _, b) in zip(s, s[1:]):
+            expected[(a, b)] = expected.get((a, b), 0) + 1
+
+    bounds = sorted(cuts) + [60]
+    state = tempfile.mkdtemp(prefix="trans_prop_")
+    bid = 0
+    lo = 0
+    for hi in bounds:
+        batch = [r for r, (_, m, _) in zip(rows, raw) if lo <= m < hi]
+        lo = hi
+        if not batch:
+            continue
+        merge_transitions_batch(mkdf(batch), f"{state}/s", bid)
+        bid += 1
+    if bid == 0:
+        return
+    got = {
+        (r.from_type, r.to_type): r.n
+        for r in read_transitions(spark, f"{state}/s").collect()
+    }
+    assert got == expected
