@@ -8160,6 +8160,31 @@ def q_streaming_event_transitions(spark, sf):
     return read_transitions(spark, f"{base}/state")
 
 
+@_q("streaming_interarrival", _REGISTRY["interarrival_stats"][1])
+def q_streaming_interarrival(spark, sf):
+    """Continuously-maintained per-user inter-arrival stats
+    (streaming/interarrival.py): the gap straddling each micro-batch
+    boundary is recovered by the same segment-endpoint bridge the
+    transition state uses; stats fold with count/min/max/sum in exact
+    integer microseconds, and the version-per-batch commit makes crash
+    replay a deterministic overwrite.  The batch interarrival_stats SQL
+    is the exact oracle."""
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.interarrival import (
+        read_interarrival,
+        run_interarrival_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_gap_")
+    with _stream_partitions(spark):
+        run_interarrival_stream(
+            _events_stream(spark, sf).select("user_id", "ts", "event_id"),
+            f"{base}/state",
+        )
+    return read_interarrival(spark, f"{base}/state")
+
+
 # ===========================================================================
 # time-series smoothing / seasonality (round 3)
 # ===========================================================================

@@ -281,3 +281,39 @@ def test_streaming_transitions_bridge_batch_boundaries(spark, tmp_path):
     replay = {(r.from_type, r.to_type): r.n
               for r in read_transitions(spark, state).collect()}
     assert replay == {("A", "B"): 3, ("A", "A"): 1, ("B", "A"): 1}
+
+
+def test_streaming_interarrival_bridges_batch_boundary(spark, tmp_path):
+    """The gap between the last event of one micro-batch and the first
+    of the next is counted exactly once, in integer microseconds."""
+    import pyspark.sql.functions as F
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.interarrival import (
+        merge_interarrival_batch,
+        read_interarrival,
+    )
+
+    cols = ["user_id", "ts_s", "event_id"]
+
+    def mkdf(rows):
+        return spark.createDataFrame(rows, cols).withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).select("user_id", "ts", "event_id")
+
+    state = str(tmp_path / "state")
+    # u1: 10:00, 10:01 | 10:03   gaps 60s, 120s; u2: single event, 0 gaps
+    merge_interarrival_batch(
+        mkdf([(1, "2024-01-01 10:00:00", 1),
+              (1, "2024-01-01 10:01:00", 2),
+              (2, "2024-01-01 10:00:30", 3)]), state, 0)
+    merge_interarrival_batch(mkdf([(1, "2024-01-01 10:03:00", 4)]), state, 1)
+
+    out = {r.user_id: (r.n_gaps, r.min_gap_us, r.max_gap_us, r.total_gap_us)
+           for r in read_interarrival(spark, state).collect()}
+    assert out[1] == (2, 60_000_000, 120_000_000, 180_000_000)
+    assert out[2] == (0, None, None, None)
+
+    # crash replay of batch 1: unchanged
+    merge_interarrival_batch(mkdf([(1, "2024-01-01 10:03:00", 4)]), state, 1)
+    out2 = {r.user_id: r.n_gaps for r in read_interarrival(spark, state).collect()}
+    assert out2 == {1: 2, 2: 0}
