@@ -96,6 +96,10 @@ HEADLINE = [
     "semantic_decontaminate",
     "psi_drift",
     "weighted_sample_topk",
+    "ewma_smooth",
+    "dow_seasonality",
+    "streaming_event_transitions",
+    "streaming_interarrival",
 ]
 
 

@@ -841,3 +841,27 @@ def test_dow_seasonality_index_averages_to_type_mean(spark, patch_load):
            entrymod.queries()["dow_seasonality"](spark, "x").collect()}
     assert out[0] == (10.0, 0.5)
     assert out[1] == (30.0, 1.5)
+
+
+def test_kcore_peel_cascades_and_flags_convergence(spark):
+    """Star + triangle: k=2 peel removes the leaves in round 1, which
+    drops the hub in round 2; the triangle survives as the 2-core."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.graph import (
+        kcore_peel,
+    )
+
+    edges = spark.createDataFrame(
+        # triangle 1-2-3; hub 10 with leaves 11,12 and a spoke into 1
+        [(1, 2), (2, 3), (1, 3), (10, 11), (10, 12), (1, 10)],
+        ["u", "v"],
+    )
+    out = kcore_peel(edges, k=2, rounds=3).collect()
+    by_node = {r.node: (r.core_degree, r.converged) for r in out}
+    assert set(by_node) == {1, 2, 3}
+    assert all(d == 2 for d, _ in by_node.values())
+    assert all(c for _, c in by_node.values())
+
+    # one round only: leaves are gone but the hub (still deg-3 in round
+    # 1's input) survives; convergence is unknown -> False
+    partial = {r.node for r in kcore_peel(edges, k=2, rounds=1).collect()}
+    assert partial == {1, 2, 3, 10}

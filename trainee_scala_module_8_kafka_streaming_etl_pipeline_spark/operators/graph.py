@@ -216,3 +216,59 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
     n_edges = o.agg(F.count(F.lit(1)).alias("n_edges"))
     return nodes.crossJoin(n_edges).crossJoin(tri)
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Bounded-round k-core peel: repeatedly drop nodes whose degree in
+    the surviving subgraph is < k; after ``rounds`` passes, return the
+    survivors with their subgraph degree and a ``converged`` flag
+    (True iff the last pass removed nothing — i.e. the result IS the
+    k-core, not just an intermediate).
+
+    Fixing the round count (instead of looping to convergence) keeps
+    the operator deterministic, oracle-expressible (the rounds unroll
+    into a CTE chain), and cost-bounded on adversarial graphs — a long
+    thin "peeling chain" graph can need O(V) passes; a production run
+    picks rounds from the convergence flag of the previous batch.
+
+    Plan per round: two LEFT SEMI joins restrict the (cached,
+    bidirectional) edge list to surviving endpoints — hash joins on the
+    node id, skew-tolerant because survivors only shrink — then ONE
+    map-side-combinable count per node.  Driver sees only the survivor
+    COUNT per round (one scalar) for the convergence flag; node rows
+    never leave the executors.  Intermediate survivor sets are cached
+    per round and unpersisted as soon as the next round lands; the
+    returned frame is computed before the caches drop.
+    """
+    sym = (
+        edges.select(F.col("u").alias("n"), F.col("v").alias("m"))
+        .unionAll(edges.select(F.col("v").alias("n"), F.col("u").alias("m")))
+        .cache()
+    )
+    sym.count()  # materialize before the peel loop branches over it
+    cached: list[DataFrame] = []
+    try:
+        alive: DataFrame | None = None
+        counts: list[int] = []
+        for _ in range(rounds):
+            e = sym
+            if alive is not None:
+                an = alive.select(F.col("node").alias("n"))
+                am = alive.select(F.col("node").alias("m"))
+                e = e.join(an, "n", "left_semi").join(am, "m", "left_semi")
+            deg = e.groupBy(F.col("n").alias("node")).agg(
+                F.count(F.lit(1)).alias("core_degree")
+            )
+            alive = deg.filter(F.col("core_degree") >= k).cache()
+            cached.append(alive)
+            counts.append(alive.count())
+        # Survivor sets shrink monotonically, so equal consecutive counts
+        # means equal sets means fixpoint.  rounds == 1 -> unknown -> False.
+        converged = len(counts) >= 2 and counts[-1] == counts[-2]
+        out = alive.withColumn("converged", F.lit(converged)).cache()
+        out.count()  # materialize before the loop caches drop (caller-owned)
+        return out
+    finally:
+        sym.unpersist()
+        for c in cached:
+            c.unpersist()
