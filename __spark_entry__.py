@@ -8198,6 +8198,88 @@ def q_streaming_interarrival(spark, sf):
     return read_interarrival(spark, f"{base}/state")
 
 
+@_q(
+    "hll_rollup_pyramid",
+    f"""
+    WITH h AS (
+      SELECT cast(date_trunc('day', ts) AS TIMESTAMP) AS period,
+             {_H60_SQL.format(x="user_id::VARCHAR")} AS hv
+      FROM events),
+    b AS (SELECT period, hv % {_HLL_M} AS bucket, hv // {_HLL_M} AS w FROM h),
+    r AS (
+      SELECT period, bucket,
+             max(CASE WHEN w = 0 THEN {1 << 53} ELSE w & (-w) END) AS v_max
+      FROM b GROUP BY 1, 2),
+    wr AS (
+      SELECT cast(date_trunc('week', period) AS TIMESTAMP) AS period, bucket,
+             max(v_max) AS v_max
+      FROM r GROUP BY 1, 2),
+    dagg AS (
+      SELECT 'day' AS grain, period, count(*) AS buckets_used,
+             sum({1 << 54} // v_max) AS s_used
+      FROM r GROUP BY 2),
+    wagg AS (
+      SELECT 'week' AS grain, period, count(*) AS buckets_used,
+             sum({1 << 54} // v_max) AS s_used
+      FROM wr GROUP BY 2),
+    exd AS (
+      SELECT 'day' AS grain, cast(date_trunc('day', ts) AS TIMESTAMP) AS period,
+             count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 2),
+    exw AS (
+      SELECT 'week' AS grain, cast(date_trunc('week', ts) AS TIMESTAMP) AS period,
+             count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 2)
+    SELECT a.grain, a.period, n_exact, buckets_used,
+           round({_HLL_SCALE}
+                 / (s_used + ({_HLL_M} - buckets_used) * {1 << 55})::DOUBLE,
+                 2) AS hll_estimate
+    FROM (SELECT * FROM dagg UNION ALL SELECT * FROM wagg) a
+    JOIN (SELECT * FROM exd UNION ALL SELECT * FROM exw) e
+      USING (grain, period)
+    """,
+)
+def q_hll_rollup_pyramid(spark, sf):
+    """Time-grain sketch pyramid (operators/sketches.py): daily HLL
+    register frames estimate per-day distinct users, and the WEEKLY
+    estimates are produced by max-merging the daily registers — never
+    re-scanning events — because max-merge of register frames is
+    exactly the register frame of the unioned data.  This is the
+    materialized-rollup pattern a 100 TB continuous aggregate needs:
+    coarser grains derive from O(periods x m)-sized sketch state, not
+    from the fact table.  n_exact sits alongside for error inspection."""
+    df = _events(spark, sf).select(
+        F.date_trunc("day", "ts").alias("period"), "user_id"
+    )
+    dregs = sketches.hll_registers(df, "user_id", ["period"]).cache()
+    dregs.count()  # two consumers: day estimates + week merge
+    day_est = sketches.hll_estimate_from_registers(dregs, ["period"]).withColumn(
+        "grain", F.lit("day")
+    )
+    wregs = (
+        dregs.select(
+            F.date_trunc("week", "period").alias("period"), "bucket", "v_max"
+        )
+        .groupBy("period", "bucket")
+        .agg(F.max("v_max").alias("v_max"))
+    )
+    week_est = sketches.hll_estimate_from_registers(wregs, ["period"]).withColumn(
+        "grain", F.lit("week")
+    )
+    ev = _events(spark, sf)
+    ex_day = ev.groupBy(F.date_trunc("day", "ts").alias("period")).agg(
+        F.countDistinct("user_id").alias("n_exact")
+    ).withColumn("grain", F.lit("day"))
+    ex_week = ev.groupBy(F.date_trunc("week", "ts").alias("period")).agg(
+        F.countDistinct("user_id").alias("n_exact")
+    ).withColumn("grain", F.lit("week"))
+    est = day_est.unionByName(week_est)
+    exact = ex_day.unionByName(ex_week)
+    return est.join(exact, ["grain", "period"]).select(
+        "grain", "period", "n_exact", "buckets_used", "hll_estimate"
+    )
+
+
 _KCORE_K = 80
 _KCORE_ROUNDS = 3
 

@@ -266,3 +266,42 @@ def test_reservoir_state_batch_split_invariant_and_idempotent(spark, tmp_path):
     merge_reservoir_batch(b2, state, "w", k=40)
     again = sorted(r.doc_id for r in read_reservoir(spark, state).collect())
     assert again == want
+
+
+def test_hll_week_merge_equals_direct_week_sketch(spark):
+    """max-merging daily register frames IS the weekly sketch: the
+    derived weekly estimate equals the estimate computed directly on
+    the week's raw data."""
+    import pyspark.sql.functions as F
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        sketches,
+    )
+
+    rows = [
+        (f"2024-01-{d:02d} 10:00:00", uid)
+        for d in range(1, 8)
+        for uid in range(d * 7)  # overlapping user sets across days
+    ]
+    df = spark.createDataFrame(rows, ["ts_s", "user_id"]).select(
+        F.to_timestamp("ts_s").alias("ts"), "user_id"
+    )
+    daily = sketches.hll_registers(
+        df.select(F.date_trunc("day", "ts").alias("period"), "user_id"),
+        "user_id",
+        ["period"],
+    )
+    merged = (
+        daily.select(F.date_trunc("week", "period").alias("period"),
+                     "bucket", "v_max")
+        .groupBy("period", "bucket")
+        .agg(F.max("v_max").alias("v_max"))
+    )
+    direct = sketches.hll_registers(
+        df.select(F.date_trunc("week", "ts").alias("period"), "user_id"),
+        "user_id",
+        ["period"],
+    )
+    m = {(r.period, r.bucket): r.v_max for r in merged.collect()}
+    d = {(r.period, r.bucket): r.v_max for r in direct.collect()}
+    assert m == d
