@@ -8280,6 +8280,61 @@ def q_hll_rollup_pyramid(spark, sf):
     )
 
 
+def _oracle_pq() -> str:
+    S, D, NC, ST = (
+        similarity.PQ_SUBS,
+        similarity.PQ_DSUB,
+        similarity.PQ_CODES,
+        similarity.PQ_CW_STRIDE,
+    )
+    dist = (
+        "cast(round(round((SELECT sum(({a}[sc.s * {D} + i] - {b}[sc.s * {D} + i])"
+        " * ({a}[sc.s * {D} + i] - {b}[sc.s * {D} + i]))"
+        " FROM generate_series(1, {D}) AS g(i)), 6) * 1e6) AS bigint)"
+    )
+    return f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cw AS (SELECT (vec_id // {ST})::INT AS code, v AS w FROM c
+           WHERE vec_id % {ST} = 0 AND vec_id < {NC * ST}),
+    sc AS (SELECT unnest(range(0, {S})) AS s),
+    ad AS (
+      SELECT a.vec_id, sc.s, cw.code,
+             {dist.format(a="a.v", b="cw.w", D=D)} AS dmic
+      FROM c a CROSS JOIN sc CROSS JOIN cw),
+    codes AS (
+      SELECT vec_id, s, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY dmic, code) AS rn
+        FROM ad) WHERE rn = 1),
+    qd AS (
+      SELECT q.vec_id AS query_id, sc.s, cw.code,
+             {dist.format(a="q.v", b="cw.w", D=D)} AS dmic
+      FROM c q CROSS JOIN sc CROSS JOIN cw WHERE q.vec_id < 10),
+    scored AS (
+      SELECT qd.query_id, codes.vec_id AS neighbor_id, sum(qd.dmic) AS admic
+      FROM codes JOIN qd ON codes.s = qd.s AND codes.code = qd.code
+      WHERE codes.vec_id <> qd.query_id
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, admic / 1e6 AS approx_d2, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY admic, neighbor_id) AS rnk
+      FROM scored) WHERE rnk <= 5
+    """
+
+
+@_q("ann_pq_topk", _oracle_pq())
+def q_ann_pq_topk(spark, sf):
+    """Product-quantized ANN (operators/similarity.py:pq_topk): corpus
+    vectors compress to 8 codebook indices; queries rank by asymmetric
+    distance against a per-query 64-entry lookup table — the memory
+    half of IVF-PQ, where a 100 TB corpus's searchable state is 8
+    bytes/vector instead of 64 floats.  Every per-subspace distance is
+    quantized to integer micro-units before comparison or summation, so
+    argmin and ranking are order-independent integer arithmetic and the
+    DuckDB replay is bit-identical."""
+    return similarity.pq_topk(load(spark, sf, "embeddings"))
+
+
 _KCORE_K = 80
 _KCORE_ROUNDS = 3
 

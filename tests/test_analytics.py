@@ -865,3 +865,28 @@ def test_kcore_peel_cascades_and_flags_convergence(spark):
     # 1's input) survives; convergence is unknown -> False
     partial = {r.node for r in kcore_peel(edges, k=2, rounds=1).collect()}
     assert partial == {1, 2, 3, 10}
+
+
+def test_pq_topk_exact_duplicate_ranks_first(spark):
+    """A vector identical to the query shares all 8 codes, so its
+    asymmetric distance equals the query's own self-distance table sum
+    -> strictly minimal; approx_d2 is exactly the quantized q-to-code
+    distance, and rank 1 with id tiebreak."""
+    import random
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for vid in range(220):
+        rows.append((vid, [rng.uniform(-1, 1) for _ in range(64)]))
+    rows[200] = (200, list(rows[0][1]))  # exact duplicate of query 0
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {(r.query_id, r.rnk): (r.neighbor_id, r.approx_d2)
+           for r in pq_topk(emb, n_queries=1, k=3).collect()}
+    nid, _ = out[(0, 1)]
+    assert nid == 200
+    # duplicate's distance can't exceed any other neighbor's
+    assert out[(0, 1)][1] <= out[(0, 2)][1] <= out[(0, 3)][1]

@@ -528,3 +528,111 @@ def kmeans_fixed(
             ).alias("c_vec")
         )
     return assigned.select(id_col, "cluster_id"), cent
+
+
+# --- product quantization (IVF-PQ's compression half) ----------------------
+
+PQ_SUBS = 8        # subspaces
+PQ_DSUB = 8        # dims per subspace (PQ_SUBS * PQ_DSUB = LSH_DIM = 64)
+PQ_CODES = 8       # codewords per subspace
+PQ_CW_STRIDE = 25  # codeword source vectors: vec_id in {0,25,...,175}
+
+# Per-subspace squared L2 between two full vectors' s-th slices, left-
+# folded in index order, then quantized to integer micro-units: the
+# micro-int is what gets compared and summed, so argmin and the final
+# distance are ORDER-INDEPENDENT integer arithmetic — no float-sum
+# association anywhere across engines.
+_SUBDIST_MICRO = (
+    "cast(round(round(aggregate(zip_with("
+    "slice({a}, s * {dsub} + 1, {dsub}), slice({b}, s * {dsub} + 1, {dsub}),"
+    " (x, y) -> (cast(x as double) - cast(y as double))"
+    " * (cast(x as double) - cast(y as double))),"
+    " 0D, (acc, v) -> acc + v), 6) * 1e6, 0) as bigint)"
+)
+
+
+def _subdist_micro(a: str, b: str) -> F.Column:
+    return F.expr(_SUBDIST_MICRO.format(a=a, b=b, dsub=PQ_DSUB))
+
+
+def pq_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantized approximate top-k: each corpus vector is
+    compressed to PQ_SUBS codebook indices (3 bits each here — 64 bits
+    of vector state per doc instead of 64 floats), and queries rank
+    neighbors by the asymmetric distance Σ_s d(q_s, codeword[code_s]).
+
+    This is the memory side of IVF-PQ: at 100 TB the uncompressed
+    corpus cannot live in RAM, but the code table (8 bytes/vector) can —
+    scans touch codes plus a per-query 64-entry lookup table, never raw
+    vectors.  Deterministic by construction: codewords are the stride-
+    selected vectors (same spirit as ivf_topk's stride centroids — a
+    Lloyd refinement would drop in via kmeans_fixed without changing
+    the query path), assignment breaks ties on the lower code id, and
+    every distance is an integer micro-unit, so cross-engine results
+    are bit-identical.
+
+    Plan: codebook and query distance tables are crossJoin-broadcast
+    (64 and n_queries x 64 rows); assignment is one broadcast join +
+    min_by per (vector, subspace); scoring joins codes to the broadcast
+    lookup table and partial-aggregates the per-subspace terms to one
+    row per (query, vector) BEFORE the exchange; ranking shuffles only
+    (query, neighbor, dist) triples.
+    """
+    subs = F.explode(F.array(*[F.lit(s) for s in range(PQ_SUBS)])).alias("s")
+    cw = (
+        emb.filter(
+            (F.col(id_col) % PQ_CW_STRIDE == 0)
+            & (F.col(id_col) < PQ_CODES * PQ_CW_STRIDE)
+        )
+        .select(
+            (F.col(id_col) / PQ_CW_STRIDE).cast("int").alias("code"),
+            F.col(vec_col).alias("cw_vec"),
+        )
+        .select("code", "cw_vec", subs)
+    )
+    corpus = emb.select(F.col(id_col), F.col(vec_col).alias("v")).select(
+        id_col, "v", subs
+    )
+    # (vector, subspace) -> nearest codeword by integer micro-distance
+    codes = (
+        corpus.join(F.broadcast(cw), "s")
+        .select(
+            id_col,
+            "s",
+            F.struct(
+                _subdist_micro("v", "cw_vec").alias("dmic"), F.col("code")
+            ).alias("dc"),
+        )
+        .groupBy(id_col, "s")
+        .agg(F.min("dc").alias("dc"))
+        .select(id_col, "s", F.col("dc.code").alias("code"))
+    )
+    q = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    dtab = q.select("query_id", "qv", subs).join(F.broadcast(cw), "s").select(
+        "query_id", "s", "code", _subdist_micro("qv", "cw_vec").alias("dmic")
+    )
+    scored = (
+        codes.join(F.broadcast(dtab), ["s", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.sum("dmic").alias("admic"))
+    )
+    w = Window.partitionBy("query_id").orderBy("admic", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("admic") / F.lit(1e6)).alias("approx_d2"),
+            "rnk",
+        )
+    )
