@@ -8280,6 +8280,88 @@ def q_hll_rollup_pyramid(spark, sf):
     )
 
 
+_TEMP_BP = 10000  # basis-point buckets for the temperature keep test
+_TEMP_BUDGET = "0.5"  # corpus fraction the mixture targets
+
+
+@_q(
+    "temperature_mixture",
+    f"""
+    WITH h AS (
+      SELECT source,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % {_TEMP_BP} AS b
+      FROM documents),
+    hist AS (SELECT source, b, count(*) AS c FROM h GROUP BY 1, 2),
+    tot AS (SELECT source, sum(c)::BIGINT AS n_s FROM hist GROUP BY 1),
+    g AS (SELECT sum(n_s)::BIGINT AS total,
+                 sum(sqrt(n_s::DOUBLE)) AS sum_sqrt FROM tot),
+    rates AS (
+      SELECT source, n_s,
+             least({_TEMP_BP},
+                   cast(round({_TEMP_BP}.0 * {_TEMP_BUDGET} * total
+                              * sqrt(n_s::DOUBLE) / sum_sqrt / n_s)
+                        AS BIGINT)) AS rate_bp
+      FROM tot CROSS JOIN g)
+    SELECT r.source, n_s AS n_total, rate_bp,
+           cast(coalesce(sum(c) FILTER (WHERE b < rate_bp), 0) AS BIGINT)
+             AS n_kept
+    FROM rates r JOIN hist USING (source)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_temperature_mixture(spark, sf):
+    """Temperature-based source rebalancing (the multilingual-LM
+    sampling rule): target share of source s ∝ n_s^0.5, realized as a
+    deterministic hash keep-rate in basis points.  α = 0.5 so the only
+    transcendental is sqrt (IEEE correctly-rounded in both engines —
+    pow(x, 0.7) would not replay bit-identically).
+
+    ONE scan of the fact table aggregates to a (source x {_TEMP_BP})
+    bucket histogram; counts, global temperature weights, per-source
+    rates, and the kept tally all derive from that histogram — state
+    O(sources x bp) regardless of corpus size, and the same histogram
+    is the streaming/incremental carrier (sum-merged).  Rates clamp at
+    100% — upsampling beyond 1x is an epoch-level concern, not a
+    filter's."""
+    d = load(spark, sf, "documents")
+    hist = d.groupBy(
+        "source", sampling.hash_bucket("doc_id", _TEMP_BP).alias("b")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = hist.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_s"))
+    g = tot.agg(
+        F.sum("n_s").cast("bigint").alias("total"),
+        F.sum(F.sqrt(F.col("n_s").cast("double"))).alias("sum_sqrt"),
+    )
+    rates = tot.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n_s",
+        F.least(
+            F.lit(_TEMP_BP).cast("bigint"),
+            F.round(
+                F.lit(float(_TEMP_BP))
+                * F.lit(float(_TEMP_BUDGET))
+                * F.col("total")
+                * F.sqrt(F.col("n_s").cast("double"))
+                / F.col("sum_sqrt")
+                / F.col("n_s"),
+                0,
+            ).cast("bigint"),
+        ).alias("rate_bp"),
+    )
+    return (
+        rates.join(hist, "source")
+        .groupBy("source", F.col("n_s").alias("n_total"), "rate_bp")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("b") < F.col("rate_bp"), F.col("c"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_kept")
+        )
+    )
+
+
 def _oracle_pq() -> str:
     S, D, NC, ST = (
         similarity.PQ_SUBS,

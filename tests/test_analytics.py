@@ -890,3 +890,27 @@ def test_pq_topk_exact_duplicate_ranks_first(spark):
     assert nid == 200
     # duplicate's distance can't exceed any other neighbor's
     assert out[(0, 1)][1] <= out[(0, 2)][1] <= out[(0, 3)][1]
+
+
+def test_temperature_mixture_flattens_source_skew(spark, patch_load):
+    """alpha=0.5 keep rates: a source 100x larger gets a ~10x LOWER
+    keep rate, so realized shares flatten toward each other; tiny
+    sources clamp at 100%."""
+    rows = [(i, "t", "en", "big", 10) for i in range(1000)]
+    rows += [(10_000 + i, "t", "en", "small", 10) for i in range(10)]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    patch_load({"documents": docs})
+    out = {r.source: (r.n_total, r.rate_bp, r.n_kept)
+           for r in entrymod.queries()["temperature_mixture"](spark, "x").collect()}
+    n_b, rate_b, kept_b = out["big"]
+    n_s, rate_s, kept_s = out["small"]
+    assert (n_b, n_s) == (1000, 10)
+    assert rate_s == 10000  # clamped: keep everything from the tiny source
+    # unclamped rates scale as 1/sqrt(n): the 100x-larger source keeps
+    # ~46% here (0.5 * 1010 * sqrt(1000)/34.78 / 1000 = 0.459)
+    assert rate_b == 4591
+    assert kept_s == 10
+    # realized keep tracks the rate (hash buckets are near-uniform)
+    assert abs(kept_b / n_b - rate_b / 10000) < 0.05
