@@ -8323,43 +8323,46 @@ def q_temperature_mixture(spark, sf):
     is the streaming/incremental carrier (sum-merged).  Rates clamp at
     100% — upsampling beyond 1x is an epoch-level concern, not a
     filter's."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.mixture import (
+        mixture_from_hist,
+    )
+
     d = load(spark, sf, "documents")
     hist = d.groupBy(
         "source", sampling.hash_bucket("doc_id", _TEMP_BP).alias("b")
     ).agg(F.count(F.lit(1)).alias("c"))
-    tot = hist.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_s"))
-    g = tot.agg(
-        F.sum("n_s").cast("bigint").alias("total"),
-        F.sum(F.sqrt(F.col("n_s").cast("double"))).alias("sum_sqrt"),
+    return mixture_from_hist(hist, budget=float(_TEMP_BUDGET))
+
+
+@_q("streaming_temperature_mixture", _REGISTRY["temperature_mixture"][1])
+def q_streaming_temperature_mixture(spark, sf):
+    """Continuously-maintained temperature mixture
+    (streaming/mixture.py): micro-batches sum-merge into the
+    (source x bucket) histogram under the version-per-batch
+    exactly-once commit, and the mixture derives from that
+    O(sources x bp) state at read time through the SAME code path the
+    batch query uses — so the batch temperature_mixture SQL is the
+    exact oracle."""
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.mixture import (
+        read_mixture,
+        run_mixture_stream,
     )
-    rates = tot.crossJoin(F.broadcast(g)).select(
-        "source",
-        "n_s",
-        F.least(
-            F.lit(_TEMP_BP).cast("bigint"),
-            F.round(
-                F.lit(float(_TEMP_BP))
-                * F.lit(float(_TEMP_BUDGET))
-                * F.col("total")
-                * F.sqrt(F.col("n_s").cast("double"))
-                / F.col("sum_sqrt")
-                / F.col("n_s"),
-                0,
-            ).cast("bigint"),
-        ).alias("rate_bp"),
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.sources import (
+        file_stream,
     )
-    return (
-        rates.join(hist, "source")
-        .groupBy("source", F.col("n_s").alias("n_total"), "rate_bp")
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("b") < F.col("rate_bp"), F.col("c"))),
-                F.lit(0),
-            )
-            .cast("bigint")
-            .alias("n_kept")
+
+    schema = load(spark, sf, "documents").schema
+    base = tempfile.mkdtemp(prefix="stream_mix_")
+    with _stream_partitions(spark):
+        run_mixture_stream(
+            file_stream(spark, f"{sf}/documents.parque[t]", schema).select(
+                "doc_id", "source"
+            ),
+            f"{base}/state",
         )
-    )
+    return read_mixture(spark, f"{base}/state", budget=float(_TEMP_BUDGET))
 
 
 def _oracle_pq() -> str:

@@ -100,6 +100,10 @@ HEADLINE = [
     "dow_seasonality",
     "streaming_event_transitions",
     "streaming_interarrival",
+    "kcore_peel",
+    "ann_pq_topk",
+    "temperature_mixture",
+    "hll_rollup_pyramid",
 ]
 
 

@@ -317,3 +317,26 @@ def test_streaming_interarrival_bridges_batch_boundary(spark, tmp_path):
     merge_interarrival_batch(mkdf([(1, "2024-01-01 10:03:00", 4)]), state, 1)
     out2 = {r.user_id: r.n_gaps for r in read_interarrival(spark, state).collect()}
     assert out2 == {1: 2, 2: 0}
+
+
+def test_streaming_mixture_sum_merge_and_replay(spark, tmp_path):
+    """Histogram state sums across batches; a crash-replayed batch
+    overwrites its own commit (no double counts)."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.mixture import (
+        merge_mixture_batch,
+        read_mixture,
+    )
+
+    cols = ["doc_id", "source"]
+    b0 = spark.createDataFrame([(i, "big") for i in range(100)]
+                               + [(1000, "small")], cols)
+    b1 = spark.createDataFrame([(100 + i, "big") for i in range(100)], cols)
+    state = str(tmp_path / "state")
+    merge_mixture_batch(b0, state, 0)
+    merge_mixture_batch(b1, state, 1)
+    out = {r.source: r.n_total for r in read_mixture(spark, state).collect()}
+    assert out == {"big": 200, "small": 1}
+
+    merge_mixture_batch(b1, state, 1)  # crash replay
+    out2 = {r.source: r.n_total for r in read_mixture(spark, state).collect()}
+    assert out2 == {"big": 200, "small": 1}
