@@ -8536,6 +8536,43 @@ def q_ewma_smooth(spark, sf):
 
 
 @_q(
+    "streaming_ewma",
+    f"""
+    SELECT event_type, event_id, ts, value, ewma FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY ts DESC, event_id DESC) AS _rn
+      FROM ({_oracle_ewma()})) WHERE _rn = 1
+    """,
+)
+def q_streaming_ewma(spark, sf):
+    """Continuously-maintained truncated EWMA (streaming/ewma.py): the
+    8-lag EWMA at a key's latest event depends on exactly its last 8
+    events, so state is that top-8 ring per key — and top-L selection
+    is associative, commutative AND idempotent, so the fold needs no
+    commit protocol to survive batch splits or re-delivery.  The read
+    path runs the batch ewma operator over the state frame, so the
+    batch SQL qualified to the latest row per key is the exact
+    oracle."""
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.ewma import (
+        read_ewma,
+        run_ewma_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_ewma_")
+    with _stream_partitions(spark):
+        run_ewma_stream(
+            _events_stream(spark, sf).select(
+                "event_type", "ts", "value", "event_id"
+            ),
+            f"{base}/state",
+            key_cols=["event_type"],
+        )
+    return read_ewma(spark, f"{base}/state", ["event_type"])
+
+
+@_q(
     "dow_seasonality",
     """
     WITH d AS (

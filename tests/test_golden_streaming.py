@@ -340,3 +340,41 @@ def test_streaming_mixture_sum_merge_and_replay(spark, tmp_path):
     merge_mixture_batch(b1, state, 1)  # crash replay
     out2 = {r.source: r.n_total for r in read_mixture(spark, state).collect()}
     assert out2 == {"big": 200, "small": 1}
+
+
+def test_streaming_ewma_ring_matches_batch_across_batches(spark, tmp_path):
+    """Top-8 ring folded over two batches yields the same latest EWMA
+    the batch operator computes over the union; replay is a no-op."""
+    import pyspark.sql.functions as F
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.timeseries import (
+        ewma as batch_ewma,
+    )
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.ewma import (
+        merge_ewma_batch,
+        read_ewma,
+    )
+
+    cols = ["event_type", "ts_s", "value", "event_id"]
+
+    def mkdf(rows):
+        return spark.createDataFrame(rows, cols).withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).select("event_type", "ts", "value", "event_id")
+
+    rows0 = [("A", f"2024-01-01 10:{m:02d}:00", float(m), m) for m in range(6)]
+    rows1 = [("A", f"2024-01-01 10:{m:02d}:00", float(m), m) for m in range(6, 12)]
+    state = str(tmp_path / "state")
+    merge_ewma_batch(mkdf(rows0), state, ["event_type"], "ts", "value", "event_id")
+    merge_ewma_batch(mkdf(rows1), state, ["event_type"], "ts", "value", "event_id")
+
+    [got] = read_ewma(spark, state, ["event_type"]).collect()
+    full = batch_ewma(mkdf(rows0 + rows1), ["event_type"], "ts", "value",
+                      "event_id").orderBy(F.desc("ts")).limit(1).collect()[0]
+    assert got.event_id == full.event_id == 11
+    assert got.ewma == full.ewma
+
+    # replay batch 1: the kept top-8 set cannot change
+    merge_ewma_batch(mkdf(rows1), state, ["event_type"], "ts", "value", "event_id")
+    [again] = read_ewma(spark, state, ["event_type"]).collect()
+    assert again.ewma == got.ewma
