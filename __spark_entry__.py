@@ -8280,6 +8280,96 @@ def q_hll_rollup_pyramid(spark, sf):
     )
 
 
+@_q(
+    "tokenizer_fertility",
+    f"""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           cast(sum(length(text)) AS bigint) AS n_chars,
+           cast(sum({_BPE_SQL}) AS bigint) AS n_bpe_tokens,
+           round(cast(sum({_BPE_SQL}) AS bigint)
+                 / cast(sum(length(text)) AS bigint)::DOUBLE, 6)
+             AS tokens_per_char,
+           round(cast(sum({_BPE_SQL}) AS bigint)
+                 / cast(sum({_TOK_SQL}) AS bigint)::DOUBLE, 6)
+             AS fertility
+    FROM documents GROUP BY lang, source
+    """,
+)
+def q_tokenizer_fertility(spark, sf):
+    """Tokenizer cost matrix per (lang, source): BPE-ish tokens per
+    character (compute/storage planning — how many tokens a byte of
+    this slice costs) and fertility = subword tokens per whitespace
+    word (the multilingual tokenizer-efficiency metric).  One
+    map-side-combined aggregate over the corpus; all counts integer
+    until the two final ratios."""
+    d = load(spark, sf, "documents")
+    bpe = F.sum(T.n_bpe_tokens()).cast("bigint")
+    ws = F.sum(T.n_tokens()).cast("bigint")
+    chars = F.sum(F.length("text")).cast("bigint")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        chars.alias("n_chars"),
+        bpe.alias("n_bpe_tokens"),
+        F.round(bpe / chars.cast("double"), 6).alias("tokens_per_char"),
+        F.round(bpe / ws.cast("double"), 6).alias("fertility"),
+    )
+
+
+_NOVEL_W = 5  # words per novelty gram (matches the decontamination gram)
+
+
+@_q(
+    "ngram_novelty",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS n
+      FROM documents),
+    w AS (SELECT doc_id, regexp_split_to_array(n, ' ') AS ws FROM norm),
+    g AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(array_to_string(ws[i:i+{_NOVEL_W - 1}], ' ')), 1, 15))::BIGINT AS gh
+      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - {_NOVEL_W - 1})) AS i
+            FROM w WHERE len(ws) >= {_NOVEL_W})),
+    first_seen AS (SELECT gh, min(doc_id) AS first_doc FROM g GROUP BY gh)
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           cast(count(*) FILTER (WHERE first_doc = g.doc_id) AS bigint) AS n_novel,
+           round(count(*) FILTER (WHERE first_doc = g.doc_id)
+                 / count(*)::DOUBLE, 6) AS novelty
+    FROM g JOIN first_seen USING (gh)
+    GROUP BY g.doc_id
+    """,
+)
+def q_ngram_novelty(spark, sf):
+    """Novelty curve over ingest order: per document, the fraction of
+    its distinct 5-word grams whose FIRST corpus appearance (min doc_id
+    — ingest order) is this document.  Falling novelty over a crawl is
+    the standard saturation/duplication-drift signal for deciding when
+    more data stops adding information.  Plan: the distinct gram table
+    aggregates to (gram, first_doc) — map-side combined min — and joins
+    back on the 8-byte gram hash; gram strings are hashed before any
+    shuffle, and the join keys carry no text."""
+    d = load(spark, sf, "documents")
+    grams = dedup.word_gram_hashes(d, n_words=_NOVEL_W).cache()
+    grams.count()  # two consumers: first-seen agg + the join back
+    first_seen = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        grams.join(first_seen, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.alias("n_novel"),
+            F.round(novel / F.count(F.lit(1)).cast("double"), 6).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
 _TEMP_BP = 10000  # basis-point buckets for the temperature keep test
 _TEMP_BUDGET = "0.5"  # corpus fraction the mixture targets
 

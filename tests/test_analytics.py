@@ -914,3 +914,23 @@ def test_temperature_mixture_flattens_source_skew(spark, patch_load):
     assert kept_s == 10
     # realized keep tracks the rate (hash buckets are near-uniform)
     assert abs(kept_b / n_b - rate_b / 10000) < 0.05
+
+
+def test_ngram_novelty_first_seen_by_ingest_order(spark, patch_load):
+    """First doc is fully novel; an exact later duplicate has zero
+    novelty; a half-overlapping doc scores its new-gram share."""
+    base = "alpha beta gamma delta epsilon zeta"          # grams: 2 (6 words)
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", "s", len(base)),
+            (2, base, "en", "s", len(base)),              # pure duplicate
+            (3, "alpha beta gamma delta epsilon eta", "en", "s", 1),  # 1 shared, 1 new
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    patch_load({"documents": docs})
+    out = {r.doc_id: (r.n_grams, r.n_novel, r.novelty) for r in
+           entrymod.queries()["ngram_novelty"](spark, "x").collect()}
+    assert out[1] == (2, 2, 1.0)
+    assert out[2] == (2, 0, 0.0)
+    assert out[3] == (2, 1, 0.5)

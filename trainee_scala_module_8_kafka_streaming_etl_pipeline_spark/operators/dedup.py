@@ -335,6 +335,36 @@ def verified_near_dups(
 DECON_GRAM_WORDS = 5
 
 
+def word_gram_hashes(
+    df: DataFrame,
+    n_words: int = DECON_GRAM_WORDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc DISTINCT word-n-gram hashes: (id, gh) with gh the 60-bit
+    md5 prefix — the shared substrate of decontamination and the
+    novelty curve.  Gram strings never leave the row they were built
+    in: array_distinct runs inside the projection and only 8-byte
+    hashes reach any exchange."""
+    norm = normalize_text(text_col)
+    words = F.split(norm, " ")
+    g = F.expr(
+        f"transform(sequence(1, size(_w) - {n_words - 1}),"
+        f" i -> concat_ws(' ', slice(_w, i, {n_words})))"
+    )
+    return (
+        df.select(F.col(id_col), words.alias("_w"))
+        .filter(F.size("_w") >= n_words)
+        .select(F.col(id_col), F.explode(F.array_distinct(g)).alias("gram"))
+        .select(
+            F.col(id_col),
+            F.expr(
+                "cast(conv(substr(md5(gram), 1, 15), 16, 10) as bigint)"
+            ).alias("gh"),
+        )
+    )
+
+
 def contamination_flags(
     train: DataFrame,
     benchmark: DataFrame,
@@ -354,29 +384,13 @@ def contamination_flags(
     (doc_id, n_overlapping_grams).  At 100 TB the benchmark side is a
     broadcast; flagged docs are then dropped or quarantined.
     """
-
-    def grams(df: DataFrame) -> DataFrame:
-        norm = normalize_text(text_col)
-        words = F.split(norm, " ")
-        g = F.expr(
-            f"transform(sequence(1, size(_w) - {gram_words - 1}),"
-            f" i -> concat_ws(' ', slice(_w, i, {gram_words})))"
-        )
-        return (
-            df.select(F.col(id_col), words.alias("_w"))
-            .filter(F.size("_w") >= gram_words)
-            .select(F.col(id_col), F.explode(F.array_distinct(g)).alias("gram"))
-            .select(
-                F.col(id_col),
-                F.expr(
-                    "cast(conv(substr(md5(gram), 1, 15), 16, 10) as bigint)"
-                ).alias("gh"),
-            )
-        )
-
-    bench_grams = grams(benchmark).select("gh").distinct()
+    bench_grams = (
+        word_gram_hashes(benchmark, gram_words, id_col, text_col)
+        .select("gh")
+        .distinct()
+    )
     return (
-        grams(train)
+        word_gram_hashes(train, gram_words, id_col, text_col)
         .join(F.broadcast(bench_grams), "gh")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_overlapping_grams"))
