@@ -8280,6 +8280,89 @@ def q_hll_rollup_pyramid(spark, sf):
     )
 
 
+_FUNNEL_WINDOW = "INTERVAL 12 HOUR"
+
+
+@_q(
+    "funnel_windowed",
+    f"""
+    WITH fv AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+      FROM events GROUP BY user_id),
+    fc AS (
+      SELECT e.user_id, min(ts) AS first_click
+      FROM events e JOIN fv ON e.user_id = fv.user_id
+      WHERE event_type = 'click' AND ts > first_view
+        AND ts <= first_view + {_FUNNEL_WINDOW}
+      GROUP BY e.user_id),
+    fp AS (
+      SELECT e.user_id, min(ts) AS first_purchase
+      FROM events e JOIN fc ON e.user_id = fc.user_id
+      WHERE event_type = 'purchase' AND ts > first_click
+        AND ts <= first_click + {_FUNNEL_WINDOW}
+      GROUP BY e.user_id)
+    SELECT count(first_view)        AS n_view,
+           count(first_click)       AS n_click_12h,
+           count(first_purchase)    AS n_purchase_12h,
+           round(count(first_click) / count(first_view)::DOUBLE, 6)
+             AS view_to_click,
+           round(count(first_purchase)
+                 / greatest(count(first_click), 1)::DOUBLE, 6)
+             AS click_to_purchase
+    FROM fv LEFT JOIN fc USING (user_id) LEFT JOIN fp USING (user_id)
+    """,
+)
+def q_funnel_windowed(spark, sf):
+    """Conversion funnel with per-step timeout (view -> click within
+    12h -> purchase within 12h of the click) — the standard product
+    funnel definition, where a conversion outside the attribution
+    window does not count.  Same reused user_id hash partitioning as
+    event_funnel across all three stages; the timeout is a post-join
+    predicate on already-co-partitioned rows, so the window adds zero
+    shuffles over the strict funnel."""
+    ev = _events(spark, sf)
+    win = F.expr(_FUNNEL_WINDOW)
+    fv = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        )
+    )
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(fv, "user_id")
+        .filter(
+            (F.col("ts") > F.col("first_view"))
+            & (F.col("ts") <= F.col("first_view") + win)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(
+            (F.col("ts") > F.col("first_click"))
+            & (F.col("ts") <= F.col("first_click") + win)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    joined = fv.join(fc, "user_id", "left").join(fp, "user_id", "left")
+    n_view = F.count("first_view")
+    n_click = F.count("first_click")
+    n_purch = F.count("first_purchase")
+    return joined.agg(
+        n_view.alias("n_view"),
+        n_click.alias("n_click_12h"),
+        n_purch.alias("n_purchase_12h"),
+        F.round(n_click / n_view.cast("double"), 6).alias("view_to_click"),
+        F.round(
+            n_purch / F.greatest(n_click, F.lit(1)).cast("double"), 6
+        ).alias("click_to_purchase"),
+    )
+
+
 @_q(
     "tokenizer_fertility",
     f"""

@@ -934,3 +934,20 @@ def test_ngram_novelty_first_seen_by_ingest_order(spark, patch_load):
     assert out[1] == (2, 2, 1.0)
     assert out[2] == (2, 0, 0.0)
     assert out[3] == (2, 1, 0.5)
+
+
+def test_funnel_windowed_timeout_excludes_late_conversion(spark, patch_load):
+    """A click 13h after first view is outside the 12h window: counted
+    in the strict funnel, excluded here."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 13:00:00", 1, "click", 1.0, "{}"),   # late: 13h
+        (3, "2024-01-02 00:00:00", 2, "view", 1.0, "{}"),
+        (4, "2024-01-02 06:00:00", 2, "click", 1.0, "{}"),   # in-window
+        (5, "2024-01-02 07:00:00", 2, "purchase", 1.0, "{}"),
+    ]
+    patch_load({"events": _events_df(spark, rows)})
+    [r] = entrymod.queries()["funnel_windowed"](spark, "x").collect()
+    assert (r.n_view, r.n_click_12h, r.n_purchase_12h) == (2, 1, 1)
+    assert r.view_to_click == 0.5
+    assert r.click_to_purchase == 1.0
