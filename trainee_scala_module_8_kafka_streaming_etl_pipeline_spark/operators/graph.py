@@ -248,14 +248,21 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     sym.count()  # materialize before the peel loop branches over it
     cached: list[DataFrame] = []
     try:
+        e = sym
         alive: DataFrame | None = None
         counts: list[int] = []
-        for _ in range(rounds):
-            e = sym
+        for r in range(rounds):
             if alive is not None:
                 an = alive.select(F.col("node").alias("n"))
                 am = alive.select(F.col("node").alias("m"))
-                e = e.join(an, "n", "left_semi").join(am, "m", "left_semi")
+                # Progressive frontier: filter LAST round's edge list,
+                # not the full graph — each round's input only shrinks.
+                # The m-side semi-join runs first so the final shuffle
+                # is keyed on n, which the degree groupBy below reuses.
+                e = e.join(am, "m", "left_semi").join(an, "n", "left_semi")
+                if r < rounds - 1:  # round `rounds-1` reads e only once
+                    e = e.cache()
+                    cached.append(e)
             deg = e.groupBy(F.col("n").alias("node")).agg(
                 F.count(F.lit(1)).alias("core_degree")
             )
