@@ -8280,6 +8280,31 @@ def q_hll_rollup_pyramid(spark, sf):
     )
 
 
+@_q("streaming_funnel", _REGISTRY["event_funnel"][1])
+def q_streaming_funnel(spark, sf):
+    """Continuously-maintained conversion funnel (streaming/funnel.py):
+    stage minima are interdependent (first click is conditioned on the
+    first view's timestamp), so each micro-batch folds in three staged
+    conditional aggregates against the anchors effective after the
+    previous stage — valid under the ordered-log arrival contract the
+    reference's latest_by_offset also assumes.  Version-per-batch
+    commit; the batch event_funnel SQL is the exact oracle."""
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.funnel import (
+        read_funnel,
+        run_funnel_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_funnel_")
+    with _stream_partitions(spark):
+        run_funnel_stream(
+            _events_stream(spark, sf).select("user_id", "event_type", "ts"),
+            f"{base}/state",
+        )
+    return read_funnel(spark, f"{base}/state")
+
+
 _FUNNEL_WINDOW = "INTERVAL 12 HOUR"
 
 

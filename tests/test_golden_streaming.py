@@ -378,3 +378,56 @@ def test_streaming_ewma_ring_matches_batch_across_batches(spark, tmp_path):
     merge_ewma_batch(mkdf(rows1), state, ["event_type"], "ts", "value", "event_id")
     [again] = read_ewma(spark, state, ["event_type"]).collect()
     assert again.ewma == got.ewma
+
+
+def test_streaming_funnel_stages_chain_across_batches(spark, tmp_path):
+    """A click in a later batch chains to the view anchored in an
+    earlier batch; a pre-view click never counts; already-set stages
+    are not revised by later (larger-ts) events."""
+    import pyspark.sql.functions as F
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.funnel import (
+        merge_funnel_batch,
+        read_funnel,
+    )
+
+    cols = ["user_id", "ts_s", "event_type"]
+
+    def mkdf(rows):
+        return spark.createDataFrame(rows, cols).withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).select("user_id", "event_type", "ts")
+
+    state = str(tmp_path / "state")
+    # u1: click BEFORE any view (must not count), then view
+    # u2: view only
+    merge_funnel_batch(mkdf([
+        (1, "2024-01-01 09:00:00", "click"),
+        (1, "2024-01-01 10:00:00", "view"),
+        (2, "2024-01-01 10:30:00", "view"),
+    ]), state, 0)
+    # u1 clicks (chains to batch-0 view), u2 purchases w/o click (no count)
+    merge_funnel_batch(mkdf([
+        (1, "2024-01-01 11:00:00", "click"),
+        (2, "2024-01-01 11:30:00", "purchase"),
+    ]), state, 1)
+    # u1 purchases (chains), plus a later click that must NOT revise
+    merge_funnel_batch(mkdf([
+        (1, "2024-01-01 12:00:00", "purchase"),
+        (1, "2024-01-01 12:30:00", "click"),
+    ]), state, 2)
+
+    out = {r.user_id: (str(r.first_view), str(r.first_click),
+                       str(r.first_purchase), r.funnel_depth)
+           for r in read_funnel(spark, state).collect()}
+    assert out[1] == ("2024-01-01 10:00:00", "2024-01-01 11:00:00",
+                      "2024-01-01 12:00:00", 3)
+    assert out[2] == ("2024-01-01 10:30:00", "None", "None", 1)
+
+    # crash replay of batch 2
+    merge_funnel_batch(mkdf([
+        (1, "2024-01-01 12:00:00", "purchase"),
+        (1, "2024-01-01 12:30:00", "click"),
+    ]), state, 2)
+    out2 = {r.user_id: r.funnel_depth for r in read_funnel(spark, state).collect()}
+    assert out2 == {1: 3, 2: 1}
