@@ -8280,6 +8280,95 @@ def q_hll_rollup_pyramid(spark, sf):
     )
 
 
+@_q(
+    "hard_negative_mining",
+    f"""
+    WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv
+          FROM c WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             a.label = q.q_label AS label_match,
+             {_cos_sql('a.v', 'q.qv')} AS cos
+      FROM c a CROSS JOIN q WHERE a.vec_id <> q.query_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id, label_match
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, label_match, cos, rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def q_hard_negative_mining(spark, sf):
+    """Contrastive-pair mining
+    (operators/similarity.py:hard_negatives): per anchor, the top-3
+    most-similar same-label vectors (positives) and top-3 most-similar
+    other-label vectors (hard negatives — the pairs that carry the
+    contrastive gradient).  One corpus pass, broadcast anchors, one
+    window partitioned by (anchor, label_match); swaps onto the
+    IVF/LSH/PQ candidate generators unchanged at scale."""
+    return similarity.hard_negatives(load(spark, sf, "embeddings"))
+
+
+@_q(
+    "rfm_segments",
+    """
+    WITH base AS (
+      SELECT o_custkey AS customer_id,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             cast(sum(cast(o_totalprice AS DECIMAL(18,4))) AS double) AS monetary
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT customer_id, last_order, frequency, monetary,
+             ntile(5) OVER (ORDER BY last_order, customer_id) AS r_score,
+             ntile(5) OVER (ORDER BY frequency, customer_id)  AS f_score,
+             ntile(5) OVER (ORDER BY monetary, customer_id)   AS m_score
+      FROM base)
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_customers,
+           round(cast(sum(cast(round(monetary * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0 / count(*), 6) AS avg_monetary
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def q_rfm_segments(spark, sf):
+    """RFM segmentation: per customer recency (last order date),
+    frequency (order count), monetary (exact-decimal spend), each
+    quintiled into 1-5 scores, then segment-level counts and average
+    spend.  The base is ONE map-side-combined aggregate of orders; the
+    three ntiles run over the customer-level frame (|customers| rows,
+    not |orders|) with customer_id tiebreaks for determinism.  Global
+    ntile is a single-partition sort of that reduced frame — at 100 TB
+    replace with approx quantile boundaries (hist_quantiles) + a
+    broadcast range join; the quintile semantics are what the oracle
+    pins.  avg_monetary goes through integer cents so the
+    segment-level mean is engine-exact."""
+    o = load(spark, sf, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    scored = base.select(
+        "customer_id",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(Window.orderBy("last_order", "customer_id")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "customer_id")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary", "customer_id")).alias("m_score"),
+    )
+    cents = F.sum(F.round(F.col("monetary") * 100).cast("bigint")).cast("bigint")
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(cents / F.lit(100.0) / F.count(F.lit(1)), 6).alias(
+            "avg_monetary"
+        ),
+    )
+
+
 @_q("streaming_funnel", _REGISTRY["event_funnel"][1])
 def q_streaming_funnel(spark, sf):
     """Continuously-maintained conversion funnel (streaming/funnel.py):

@@ -951,3 +951,52 @@ def test_funnel_windowed_timeout_excludes_late_conversion(spark, patch_load):
     assert (r.n_view, r.n_click_12h, r.n_purchase_12h) == (2, 1, 1)
     assert r.view_to_click == 0.5
     assert r.click_to_purchase == 1.0
+
+
+def test_hard_negatives_split_by_label_and_exclude_self(spark):
+    """Positives and negatives rank independently; the anchor never
+    appears; an identical other-label vector is the #1 hard negative."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    import random
+
+    def vec(seed):
+        rng = random.Random(seed)
+        return [rng.uniform(-1, 1) for _ in range(64)]
+
+    rows = [(0, vec(1), 1)]                 # anchor, label 1
+    rows += [(i, vec(i + 1), 1) for i in range(1, 5)]      # same label
+    rows += [(10 + i, vec(i + 20), 2) for i in range(0, 4)]  # other label
+    rows.append((99, vec(1), 2))            # identical vector, other label
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = hard_negatives(emb, n_queries=1, k=3).collect()
+    ids = {r.neighbor_id for r in out}
+    assert 0 not in ids
+    pos = [r for r in out if r.label_match]
+    neg = [r for r in out if not r.label_match]
+    assert len(pos) == 3 and len(neg) == 3
+    top_neg = min(neg, key=lambda r: r.rnk)
+    assert top_neg.neighbor_id == 99 and top_neg.cos == 1.0
+
+
+def test_rfm_segments_partition_and_totals(spark, patch_load):
+    """Quintile counts sum to the customer count and segment averages
+    recover the per-customer spend on a small hand case."""
+    import pyspark.sql.functions as F
+
+    orders = spark.createDataFrame(
+        [(i, i % 10, "O", 100.0 * (1 + i % 10), f"2024-01-{1 + i % 20:02d}",
+          "1-URGENT") for i in range(40)],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"],
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    patch_load({"orders": orders})
+    out = entrymod.queries()["rfm_segments"](spark, "x").collect()
+    assert sum(r.n_customers for r in out) == 10
+    assert all(1 <= r.r_score <= 5 and 1 <= r.f_score <= 5
+               and 1 <= r.m_score <= 5 for r in out)
+    # every customer has 4 equal-priced orders -> a segment's avg equals
+    # 4x a member's order price; prices are multiples of 100
+    assert all(abs(r.avg_monetary % 100) < 1e-9 for r in out)

@@ -636,3 +636,47 @@ def pq_topk(
             "rnk",
         )
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive-pair mining: for each anchor, the top-k most similar
+    SAME-label vectors (positives) and top-k most similar OTHER-label
+    vectors (hard negatives — the pairs that actually move a
+    contrastive loss, versus easy negatives that contribute ~zero
+    gradient).
+
+    Same plan as brute_force_topk — broadcast the tiny anchor set, rank
+    with ONE window partitioned by (anchor, label_match), so both
+    classes come out of a single corpus pass; only (anchor, neighbor,
+    cos) triples reach the ranking shuffle.  At 100 TB the candidate
+    pass swaps to the IVF/LSH/PQ bucketed paths unchanged — mining is a
+    ranking policy over any neighbor generator.
+    """
+    q = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_label"),
+    )
+    pairs = emb.join(
+        F.broadcast(q), F.col(id_col) != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        (F.col(label_col) == F.col("q_label")).alias("label_match"),
+        cosine_col(vec_col, "q_vec").alias("cos"),
+    )
+    w = Window.partitionBy("query_id", "label_match").orderBy(
+        F.desc("cos"), "neighbor_id"
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "label_match", "cos", "rnk")
+    )
