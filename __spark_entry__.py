@@ -8281,6 +8281,112 @@ def q_hll_rollup_pyramid(spark, sf):
 
 
 @_q(
+    "winsorized_stats",
+    """
+    WITH b AS (
+      SELECT event_type,
+             round(quantile_cont(value::DOUBLE, 0.05), 6) AS p05,
+             round(quantile_cont(value::DOUBLE, 0.95), 6) AS p95
+      FROM events GROUP BY event_type),
+    w AS (
+      SELECT e.event_type,
+             greatest(least(e.value, p95), p05) AS wv
+      FROM events e JOIN b USING (event_type))
+    SELECT event_type, count(*) AS n,
+           round(cast(sum(cast(round(wv * 1e6) AS BIGINT)) AS BIGINT)
+                 / 1e6 / count(*), 6) AS winsorized_mean
+    FROM w GROUP BY event_type
+    """,
+)
+def q_winsorized_stats(spark, sf):
+    """Winsorized mean per event type: clip each value into its group's
+    [p5, p95] band, then average — the robust central tendency that,
+    unlike trimming or MAD filtering, keeps every row's vote.  Exact
+    percentiles come from ONE `percentile(value, array(...))` aggregate
+    (both engines use the same linear-interpolation definition, rounded
+    to 6 dp); the boundary table is group-cardinality so it broadcasts
+    back onto the fact rows, and the clipped sum accumulates in integer
+    micro-units so the mean is engine-exact.  At 100 TB swap the exact
+    percentile for the mergeable histogram sketch (hist_quantiles) —
+    the clip-join shape is unchanged."""
+    ev = _events(spark, sf)
+    b = ev.groupBy("event_type").agg(
+        F.round(
+            F.expr("percentile(cast(value as double), 0.05)"), 6
+        ).alias("p05"),
+        F.round(
+            F.expr("percentile(cast(value as double), 0.95)"), 6
+        ).alias("p95"),
+    )
+    wv = F.greatest(F.least(F.col("value"), F.col("p95")), F.col("p05"))
+    micro = F.sum(F.round(wv * 1e6).cast("bigint")).cast("bigint")
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(micro / F.lit(1e6) / F.count(F.lit(1)), 6).alias(
+                "winsorized_mean"
+            ),
+        )
+    )
+
+
+@_q(
+    "seasonal_outliers",
+    """
+    WITH st AS (
+      SELECT event_type, isodow(ts) - 1 AS weekday,
+             count(*) AS n,
+             sum(value::DECIMAL(18,6)) AS s1,
+             sum((value::DECIMAL(18,6)) * (value::DECIMAL(18,6))) AS s2
+      FROM events GROUP BY 1, 2),
+    z AS (
+      SELECT e.event_id, e.event_type, isodow(e.ts) - 1 AS weekday, e.value,
+             (e.value - s1::DOUBLE / n)
+             / sqrt((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n) / (n - 1)) AS zs
+      FROM events e JOIN st ON e.event_type = st.event_type
+                           AND isodow(e.ts) - 1 = st.weekday
+      WHERE n > 1)
+    SELECT event_id, event_type, weekday, value, round(zs, 6) AS seasonal_z
+    FROM z WHERE abs(zs) > 3
+    """,
+)
+def q_seasonal_outliers(spark, sf):
+    """Seasonality-adjusted anomaly screen: z-scores computed within
+    (event_type, weekday) cells, so a value that is normal-for-Sunday
+    does not alarm just because Sundays run hot — the calendar-aware
+    refinement of value_outliers.  Exact DECIMAL moments per cell (one
+    map-side-combined aggregate over ≤ 7x|types| cells), broadcast back
+    onto the fact rows; same plan shape at any scale."""
+    ev = _events(spark, sf)
+    y = F.col("value").cast("decimal(18,6)")
+    st = ev.groupBy(
+        "event_type", F.weekday("ts").alias("weekday")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).alias("s1"),
+        F.sum(y * y).alias("s2"),
+    ).filter(F.col("n") > 1)
+    zs = (F.col("value") - F.col("s1").cast("double") / F.col("n")) / F.sqrt(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
+        )
+        / (F.col("n") - 1)
+    )
+    return (
+        ev.select("event_id", "event_type", F.weekday("ts").alias("weekday"), "value")
+        .join(F.broadcast(st), ["event_type", "weekday"])
+        .filter(F.abs(zs) > 3)
+        .select(
+            "event_id", "event_type", "weekday", "value",
+            F.round(zs, 6).alias("seasonal_z"),
+        )
+    )
+
+
+@_q(
     "hard_negative_mining",
     f"""
     WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

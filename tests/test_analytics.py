@@ -1000,3 +1000,36 @@ def test_rfm_segments_partition_and_totals(spark, patch_load):
     # every customer has 4 equal-priced orders -> a segment's avg equals
     # 4x a member's order price; prices are multiples of 100
     assert all(abs(r.avg_monetary % 100) < 1e-9 for r in out)
+
+
+def test_winsorized_mean_clips_extremes(spark, patch_load):
+    """One huge spike gets clipped to the group's p95, pulling the
+    winsorized mean far below the raw mean."""
+    rows = [(i, "2024-01-01 10:00:00", 1, "view", 10.0, "{}")
+            for i in range(19)]
+    rows.append((99, "2024-01-01 11:00:00", 1, "view", 10000.0, "{}"))
+    patch_load({"events": _events_df(spark, rows)})
+    [r] = entrymod.queries()["winsorized_stats"](spark, "x").collect()
+    assert r.n == 20
+    raw_mean = (19 * 10.0 + 10000.0) / 20
+    assert r.winsorized_mean < raw_mean / 2
+    assert r.winsorized_mean >= 10.0
+
+
+def test_seasonal_outliers_respect_weekday_cells(spark, patch_load):
+    """A value normal for its own weekday cell is not flagged even when
+    the OTHER weekday's values are far away; a within-cell spike is."""
+    rows = []
+    eid = 0
+    # Monday cell: tight around 10, one spike at 1000
+    for v in [10.0] * 30 + [10.5] * 30 + [1000.0]:
+        eid += 1
+        rows.append((eid, "2024-01-01 10:00:00", 1, "view", v, "{}"))
+    # Tuesday cell: tight around 500 (normal-for-Tuesday; never flagged)
+    for v in [500.0] * 30 + [500.5] * 30:
+        eid += 1
+        rows.append((eid, "2024-01-02 10:00:00", 1, "view", v, "{}"))
+    patch_load({"events": _events_df(spark, rows)})
+    out = entrymod.queries()["seasonal_outliers"](spark, "x").collect()
+    assert [r.value for r in out] == [1000.0]
+    assert out[0].weekday == 0
