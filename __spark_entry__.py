@@ -8813,6 +8813,86 @@ def q_ann_pq_topk(spark, sf):
     return similarity.pq_topk(load(spark, sf, "embeddings"))
 
 
+_DAU_WIN = 7  # trailing window in days
+
+
+@_q(
+    "hll_sliding_dau",
+    f"""
+    WITH h AS (
+      SELECT cast(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             {_H60_SQL.format(x="user_id::VARCHAR")} AS hv
+      FROM events),
+    b AS (SELECT day, hv % {_HLL_M} AS bucket, hv // {_HLL_M} AS w FROM h),
+    r AS (
+      SELECT day, bucket,
+             max(CASE WHEN w = 0 THEN {1 << 53} ELSE w & (-w) END) AS v_max
+      FROM b GROUP BY 1, 2),
+    days AS (SELECT DISTINCT day FROM r),
+    wr AS (
+      SELECT d.day, r.bucket, max(r.v_max) AS v_max
+      FROM days d JOIN r
+        ON r.day <= d.day AND r.day > d.day - INTERVAL {_DAU_WIN} DAY
+      GROUP BY 1, 2),
+    agg AS (
+      SELECT day, count(*) AS buckets_used,
+             sum({1 << 54} // v_max) AS s_used
+      FROM wr GROUP BY 1),
+    ex AS (
+      SELECT d.day, count(DISTINCT e.user_id) AS n_exact
+      FROM days d JOIN events e
+        ON cast(date_trunc('day', e.ts) AS TIMESTAMP) <= d.day
+       AND cast(date_trunc('day', e.ts) AS TIMESTAMP) > d.day - INTERVAL {_DAU_WIN} DAY
+      GROUP BY 1)
+    SELECT day, n_exact, buckets_used,
+           round({_HLL_SCALE}
+                 / (s_used + ({_HLL_M} - buckets_used) * {1 << 55})::DOUBLE,
+                 2) AS dau_estimate
+    FROM agg JOIN ex USING (day)
+    """,
+)
+def q_hll_sliding_dau(spark, sf):
+    """Trailing-7-day active users per day from SLIDING register
+    merges: daily HLL register frames (O(days x 64) rows) self-join
+    over the window and max-merge — the rolling distinct count derives
+    from sketch state, never a second scan of events per window
+    position.  The window join expands each register row at most 7x,
+    versus the exact form whose (day x user) expansion scales with
+    distinct users; n_exact rides along as the error audit."""
+    ev = _events(spark, sf)
+    df = ev.select(F.date_trunc("day", "ts").alias("day"), "user_id")
+    dregs = sketches.hll_registers(df, "user_id", ["day"]).cache()
+    dregs.count()  # consumers: window merge + day list
+    days = dregs.select("day").distinct()
+    win = F.expr(f"INTERVAL {_DAU_WIN} DAY")
+    d2 = days.select(F.col("day").alias("anchor"))
+    wr = (
+        dregs.join(
+            F.broadcast(d2),
+            (F.col("day") <= F.col("anchor"))
+            & (F.col("day") > F.col("anchor") - win),
+        )
+        .groupBy(F.col("anchor").alias("day"), "bucket")
+        .agg(F.max("v_max").alias("v_max"))
+    )
+    est = sketches.hll_estimate_from_registers(wr, ["day"]).select(
+        "day", "buckets_used",
+        F.col("hll_estimate").alias("dau_estimate"),
+    )
+    ex = (
+        df.join(
+            F.broadcast(d2.select(F.col("anchor"))),
+            (F.col("day") <= F.col("anchor"))
+            & (F.col("day") > F.col("anchor") - win),
+        )
+        .groupBy(F.col("anchor").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return est.join(ex, "day").select(
+        "day", "n_exact", "buckets_used", "dau_estimate"
+    )
+
+
 _KCORE_K = 80
 _KCORE_ROUNDS = 3
 

@@ -305,3 +305,36 @@ def test_hll_week_merge_equals_direct_week_sketch(spark):
     m = {(r.period, r.bucket): r.v_max for r in merged.collect()}
     d = {(r.period, r.bucket): r.v_max for r in direct.collect()}
     assert m == d
+
+
+def test_sliding_dau_window_merge_tracks_exact(spark, monkeypatch):
+    """Day 8's trailing-7 window excludes day 1's users; estimates use
+    only in-window registers (the estimate equals the direct sketch of
+    the window's union, asserted via the exact count on disjoint sets)."""
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as entrymod
+
+    def patch_load(tables):
+        monkeypatch.setattr(
+            entrymod, "load", lambda spark, sf, name: tables[name]
+        )
+
+    rows = []
+    eid = 0
+    # day 1: users 0..9; day 8: users 100..104 (disjoint)
+    for uid in range(10):
+        eid += 1
+        rows.append((eid, "2024-01-01 10:00:00", uid, "view", 1.0, "{}"))
+    for uid in range(100, 105):
+        eid += 1
+        rows.append((eid, "2024-01-08 10:00:00", uid, "view", 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    patch_load({"events": ev})
+    out = {str(r.day): r.n_exact for r in
+           entrymod.queries()["hll_sliding_dau"](spark, "x").collect()}
+    # day 1 window = day 1 only; day 8 window = days 2..8 -> only day 8
+    assert out["2024-01-01 00:00:00"] == 10
+    assert out["2024-01-08 00:00:00"] == 5
