@@ -8475,6 +8475,31 @@ def q_rfm_segments(spark, sf):
     )
 
 
+@_q("streaming_scd2", _REGISTRY["scd2_history"][1])
+def q_streaming_scd2(spark, sf):
+    """Continuously-maintained type-2 history (streaming/scd2.py):
+    closed rows are immutable, so each micro-batch re-chains only
+    {affected keys' open rows} ∪ {batch} — a frame sized by the batch,
+    never the accumulated history — and appends.  Version-per-batch
+    commit; the batch scd2_history SQL is the exact oracle."""
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.scd2 import (
+        read_scd2,
+        run_scd2_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_scd2_")
+    with _stream_partitions(spark):
+        run_scd2_stream(
+            _events_stream(spark, sf)
+            .filter(F.col("event_type") == "purchase")
+            .select("user_id", "event_id", "value", "ts"),
+            f"{base}/state",
+        )
+    return read_scd2(spark, f"{base}/state")
+
+
 @_q("streaming_funnel", _REGISTRY["event_funnel"][1])
 def q_streaming_funnel(spark, sf):
     """Continuously-maintained conversion funnel (streaming/funnel.py):

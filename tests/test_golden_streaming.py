@@ -431,3 +431,40 @@ def test_streaming_funnel_stages_chain_across_batches(spark, tmp_path):
     ]), state, 2)
     out2 = {r.user_id: r.funnel_depth for r in read_funnel(spark, state).collect()}
     assert out2 == {1: 3, 2: 1}
+
+
+def test_streaming_scd2_closes_open_rows_across_batches(spark, tmp_path):
+    """Batch 2's change closes batch 1's open row (valid_to set,
+    is_current flips); closed rows are untouched; replay is stable."""
+    import pyspark.sql.functions as F
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.scd2 import (
+        merge_scd2_batch,
+        read_scd2,
+    )
+
+    cols = ["user_id", "event_id", "value", "ts_s"]
+
+    def mkdf(rows):
+        return spark.createDataFrame(rows, cols).withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).select("user_id", "event_id", "value", "ts")
+
+    state = str(tmp_path / "state")
+    merge_scd2_batch(mkdf([
+        (1, 1, 10.0, "2024-01-01 10:00:00"),
+        (1, 2, 11.0, "2024-01-01 11:00:00"),
+        (2, 3, 20.0, "2024-01-01 10:30:00"),
+    ]), state, 0)
+    merge_scd2_batch(mkdf([(1, 4, 12.0, "2024-01-01 12:00:00")]), state, 1)
+
+    rows = {r.event_id: (str(r.valid_to), r.is_current)
+            for r in read_scd2(spark, state).collect()}
+    assert rows[1] == ("2024-01-01 11:00:00", False)   # closed in batch 0
+    assert rows[2] == ("2024-01-01 12:00:00", False)   # closed by batch 1
+    assert rows[4] == ("None", True)                   # new open row
+    assert rows[3] == ("None", True)                   # untouched key
+
+    merge_scd2_batch(mkdf([(1, 4, 12.0, "2024-01-01 12:00:00")]), state, 1)
+    again = {r.event_id: r.is_current for r in read_scd2(spark, state).collect()}
+    assert again == {1: False, 2: False, 3: True, 4: True}
