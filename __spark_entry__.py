@@ -8918,6 +8918,50 @@ def q_hll_sliding_dau(spark, sf):
     )
 
 
+@_q(
+    "ann_pq_recall_eval",
+    """
+    WITH exact_r AS ({exact}),
+    approx_r AS ({approx})
+    SELECT e.query_id,
+           count(a.neighbor_id) AS n_hits,
+           round(count(a.neighbor_id) / 5.0, 6) AS recall_at_5
+    FROM exact_r e LEFT JOIN approx_r a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """.format(
+        exact=_REGISTRY["ann_cosine_topk"][1],
+        approx=_REGISTRY["ann_pq_topk"][1],
+    ),
+)
+def q_ann_pq_recall_eval(spark, sf):
+    """Recall@5 of the product-quantized index against exact
+    brute-force top-5 — quantization loss measured per query, the
+    companion to ann_recall_eval's LSH row.  (PQ ranks by L2 on
+    8-codeword-compressed vectors while the exact side ranks by
+    cosine, so this measures the full production gap: compression AND
+    metric.)  The comparison joins k-row-per-query id pairs; free at
+    any corpus scale."""
+    emb = load(spark, sf, "embeddings")
+    exact = similarity.brute_force_topk(emb).select("query_id", "neighbor_id")
+    approx = similarity.pq_topk(emb).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    return (
+        exact.join(
+            approx,
+            (exact.query_id == approx.aq) & (exact.neighbor_id == approx.an),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("an").alias("n_hits"),
+            F.round(F.count("an") / 5.0, 6).alias("recall_at_5"),
+        )
+    )
+
+
+
 _KCORE_K = 80
 _KCORE_ROUNDS = 3
 
