@@ -8281,6 +8281,79 @@ def q_hll_rollup_pyramid(spark, sf):
 
 
 @_q(
+    "attribution_position",
+    """
+    WITH fp AS (
+      SELECT user_id, min(ts) AS first_purchase
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    touches AS (
+      SELECT e.user_id, e.event_type, e.ts, e.event_id,
+             row_number() OVER (PARTITION BY e.user_id
+                                ORDER BY e.ts, e.event_id) AS pos,
+             count(*) OVER (PARTITION BY e.user_id) AS n
+      FROM events e JOIN fp ON e.user_id = fp.user_id
+      WHERE e.event_type <> 'purchase' AND e.ts < fp.first_purchase),
+    credited AS (
+      SELECT event_type,
+             CASE WHEN n = 1 THEN 1000000
+                  WHEN n = 2 THEN 500000
+                  WHEN pos = 1 THEN 400000
+                  WHEN pos = n THEN 400000
+                  ELSE cast(round(200000.0 / (n - 2)) AS BIGINT) END
+               AS credit_micro
+      FROM touches)
+    SELECT event_type,
+           count(*) AS n_touches,
+           round(sum(credit_micro) / 1e6, 6) AS credited_conversions
+    FROM credited GROUP BY event_type
+    """,
+)
+def q_attribution_position(spark, sf):
+    """Position-based (U-shaped) multi-touch attribution: each
+    converting user's pre-purchase touches split the conversion credit
+    40% first / 40% last / 20% across the middle — the standard
+    complement to attribution_last_touch.  One window over each user's
+    touch sequence (single shuffle on user_id, reused by the purchase
+    anchor join); credits are integer micro-units so the per-channel
+    sums are engine-exact despite the 0.2/(n-2) rationals."""
+    ev = _events(spark, sf)
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    touches = (
+        ev.filter(F.col("event_type") != "purchase")
+        .join(fp, "user_id")
+        .filter(F.col("ts") < F.col("first_purchase"))
+        .select(
+            "event_type",
+            F.row_number().over(w).alias("pos"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1000000))
+        .when(F.col("n") == 2, F.lit(500000))
+        .when(F.col("pos") == 1, F.lit(400000))
+        .when(F.col("pos") == F.col("n"), F.lit(400000))
+        .otherwise(F.round(F.lit(200000.0) / (F.col("n") - 2)).cast("bigint"))
+    )
+    return (
+        touches.select("event_type", credit.alias("credit_micro"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(F.sum("credit_micro") / F.lit(1e6), 6).alias(
+                "credited_conversions"
+            ),
+        )
+    )
+
+
+@_q(
     "winsorized_stats",
     """
     WITH b AS (

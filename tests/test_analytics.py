@@ -1033,3 +1033,22 @@ def test_seasonal_outliers_respect_weekday_cells(spark, patch_load):
     out = entrymod.queries()["seasonal_outliers"](spark, "x").collect()
     assert [r.value for r in out] == [1000.0]
     assert out[0].weekday == 0
+
+
+def test_attribution_position_u_shape_credits(spark, patch_load):
+    """4 touches -> 0.4/0.1/0.1/0.4; post-purchase touches excluded;
+    total credit equals the number of converting users."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 10:10:00", 1, "click", 1.0, "{}"),
+        (3, "2024-01-01 10:20:00", 1, "view", 1.0, "{}"),
+        (4, "2024-01-01 10:30:00", 1, "click", 1.0, "{}"),
+        (5, "2024-01-01 11:00:00", 1, "purchase", 5.0, "{}"),
+        (6, "2024-01-01 12:00:00", 1, "view", 1.0, "{}"),   # post-purchase
+    ]
+    patch_load({"events": _events_df(spark, rows)})
+    out = {r.event_type: (r.n_touches, r.credited_conversions) for r in
+           entrymod.queries()["attribution_position"](spark, "x").collect()}
+    # view: pos1 (0.4) + pos3 (0.1); click: pos2 (0.1) + pos4-last (0.4)
+    assert out["view"] == (2, 0.5)
+    assert out["click"] == (2, 0.5)
