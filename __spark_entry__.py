@@ -1486,6 +1486,73 @@ def q_minhash_near_dups(spark, sf):
     return dedup.verified_near_dups(load(spark, sf, "documents"))
 
 
+def _oracle_containment() -> str:
+    mh_exprs = ",\n           ".join(
+        f"min(({a} * h + {b}) % {dedup.MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(dedup.AB)
+    )
+    bands = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band_idx, "
+        + " || '_' || ".join(
+            f"mh{bi * dedup.BAND_ROWS + r}::VARCHAR" for r in range(dedup.BAND_ROWS)
+        )
+        + " AS band_key FROM sig"
+        for bi in range(dedup.N_BANDS)
+    )
+    return f"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS n
+      FROM documents),
+    sh AS (
+      SELECT doc_id, substr(n, i, {dedup.SHINGLE_LEN}) AS shingle
+      FROM (SELECT doc_id, n,
+                   unnest(generate_series(1, len(n) - {dedup.SHINGLE_LEN - 1})) AS i
+            FROM norm WHERE len(n) >= {dedup.SHINGLE_LEN})),
+    hashed AS (
+      SELECT doc_id, shingle,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h60,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {dedup.HASH_MOD} AS h
+      FROM sh),
+    sig AS (
+      SELECT doc_id,
+           {mh_exprs}
+      FROM hashed GROUP BY doc_id),
+    sets AS (
+      SELECT doc_id, list(DISTINCT h60) AS hs, count(DISTINCT h60) AS n_sh
+      FROM hashed GROUP BY doc_id),
+    bands AS (
+      {bands}),
+    cand0 AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(na.hs, nb.hs)) AS n_inter,
+             least(na.n_sh, nb.n_sh) AS n_min
+      FROM cand0 c
+      JOIN sets na ON na.doc_id = c.doc_a
+      JOIN sets nb ON nb.doc_id = c.doc_b)
+    SELECT DISTINCT doc_a, doc_b,
+           round(n_inter / n_min::DOUBLE, 6) AS containment
+    FROM inter
+    WHERE round(n_inter / n_min::DOUBLE, 6) >= {dedup.CONTAINMENT_THRESHOLD}
+    """
+
+
+@_q("containment_near_dups", _oracle_containment())
+def q_containment_near_dups(spark, sf):
+    """Asymmetric containment pairs
+    (operators/dedup.py:containment_pairs): |A∩B| / min(|A|,|B|) over
+    banded-LSH candidates WITHOUT the Jaccard-estimating signature
+    prefilter — the whole-doc screen for quotes/excerpts that symmetric
+    Jaccard structurally caps out on (documented recall caveat for
+    extreme size ratios; chunk-level shared_passage_pairs is the
+    complement)."""
+    return dedup.containment_pairs(load(spark, sf, "documents"))
+
+
 _DECON_W = dedup.DECON_GRAM_WORDS
 
 

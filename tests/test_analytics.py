@@ -1052,3 +1052,29 @@ def test_attribution_position_u_shape_credits(spark, patch_load):
     # view: pos1 (0.4) + pos3 (0.1); click: pos2 (0.1) + pos4-last (0.4)
     assert out["view"] == (2, 0.5)
     assert out["click"] == (2, 0.5)
+
+
+def test_containment_catches_embedded_quote_jaccard_misses(spark):
+    """A short doc fully embedded in a 10x-larger one: containment ~1.0
+    while Jaccard ~0.1 (below the near-dup threshold) — the asymmetric
+    pair appears only in containment_pairs."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.dedup import (
+        containment_pairs,
+        verified_near_dups,
+    )
+
+    quote = ("the quick brown fox jumps over the lazy dog again and again "
+             "in the bright morning sun near the quiet river bank")
+    # ~35% filler: Jaccard drops below the 0.8 near-dup threshold while
+    # banding (which tracks Jaccard) still surfaces the candidate — the
+    # regime this operator covers; extreme size ratios are the
+    # documented chunk-blocking hand-off.
+    filler = " ".join(f"xq{i} zw{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, quote, "en", "s", 1), (2, quote + " " + filler, "en", "s", 1)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    cont = containment_pairs(docs).collect()
+    assert [(r.doc_a, r.doc_b) for r in cont] == [(1, 2)]
+    assert cont[0].containment > 0.95
+    assert verified_near_dups(docs).count() == 0

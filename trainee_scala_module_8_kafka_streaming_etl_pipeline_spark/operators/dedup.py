@@ -732,3 +732,56 @@ def keep_best_per_cluster(
             "n_members",
         )
     )
+
+
+CONTAINMENT_THRESHOLD = 0.7
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = CONTAINMENT_THRESHOLD,
+) -> DataFrame:
+    """Asymmetric near-duplicate pairs by max-containment:
+    ``|A ∩ B| / min(|A|, |B|)`` — catches a small document embedded in
+    a large one (quotes, boilerplate wrappers, excerpt pages), which
+    symmetric Jaccard structurally misses (a 10x size ratio caps
+    Jaccard at ~0.1 however perfect the inclusion).
+
+    Candidates come from the same banded-LSH join as
+    verified_near_dups, but WITHOUT the signature-agreement prefilter:
+    minhash signature agreement estimates JACCARD, so that filter would
+    kill exactly the asymmetric pairs this operator exists to find.
+    Documented recall caveat: banding probability also tracks Jaccard,
+    so recall decays for extreme size ratios — the scale remedy is
+    chunk-level blocking (shared_passage_pairs), which this whole-doc
+    screen complements.  Verification is one array_intersect over the
+    per-doc hash sets per candidate.
+    """
+    perdoc = minhash_perdoc(df, id_col, text_col).cache()
+    perdoc.count()  # bands + two set joins consume it
+    cand = lsh_candidate_pairs(perdoc, id_col, dedupe=False)
+    pa = perdoc.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    pb = perdoc.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    cont = F.round(
+        F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+        / F.least("n_a", "n_b"),
+        6,
+    )
+    return (
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+        .distinct()
+    )
