@@ -542,3 +542,106 @@ def test_streaming_transitions_match_batch_under_any_split(spark, raw, cuts):
         for r in read_transitions(spark, f"{state}/s").collect()
     }
     assert got == expected
+
+
+_edges_strategy = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(raw=_edges_strategy, k=st.integers(1, 4))
+@_SETTINGS
+def test_kcore_matches_naive_peel(spark, raw, k):
+    """Bounded-round peel equals a naive Python peel run for the same
+    number of rounds, including the convergence flag."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.graph import (
+        kcore_peel,
+    )
+
+    edges = sorted({(min(u, v), max(u, v)) for u, v in raw})
+    rounds = 3
+
+    # naive peel
+    alive = {n for e in edges for n in e}
+    counts = []
+    deg = {}
+    for _ in range(rounds):
+        deg = {}
+        for u, v in edges:
+            if u in alive and v in alive:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+        alive = {n for n, d in deg.items() if d >= k}
+        counts.append(len(alive))
+    expected = {n: deg[n] for n in alive}
+    conv = len(counts) >= 2 and counts[-1] == counts[-2]
+
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {r.node: r.core_degree for r in kcore_peel(df, k=k, rounds=rounds).collect()}
+    flags = {r.converged for r in kcore_peel(df, k=k, rounds=rounds).collect()}
+    assert got == expected
+    if expected:
+        assert flags == {conv}
+
+
+_scd_changes = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 59)),  # (user, minute)
+    min_size=1,
+    max_size=25,
+    unique=True,
+)
+
+
+@given(raw=_scd_changes, cuts=st.sets(st.integers(1, 59), max_size=3))
+@_SETTINGS
+def test_streaming_scd2_matches_batch_under_any_split(spark, raw, cuts):
+    """Folding time-sliced micro-batches through the SCD2 state equals
+    the batch lead-chain over the union, for any cut points."""
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.scd2 import (
+        merge_scd2_batch,
+        read_scd2,
+    )
+
+    rows = [
+        (u, i, float(i), f"2024-01-01 10:{m:02d}:00")
+        for i, (u, m) in enumerate(raw)
+    ]
+
+    def mkdf(rs):
+        return (
+            spark.createDataFrame(rs, ["user_id", "event_id", "value", "ts_s"])
+            .withColumn("ts", F.to_timestamp("ts_s"))
+            .select("user_id", "event_id", "value", "ts")
+        )
+
+    # naive expected: per user ordered by (minute, event_id)
+    seqs = {}
+    for i, (u, m) in enumerate(raw):
+        seqs.setdefault(u, []).append((m, i))
+    expected = {}
+    for u, s in seqs.items():
+        s.sort()
+        for j, (m, i) in enumerate(s):
+            nxt = s[j + 1][0] if j + 1 < len(s) else None
+            expected[i] = (u, nxt is None)
+
+    bounds = sorted(cuts) + [60]
+    state = tempfile.mkdtemp(prefix="scd2_prop_") + "/s"
+    bid = 0
+    lo = 0
+    for hi in bounds:
+        batch = [r for r, (_, m) in zip(rows, raw) if lo <= m < hi]
+        lo = hi
+        if not batch:
+            continue
+        merge_scd2_batch(mkdf(batch), state, bid)
+        bid += 1
+    if bid == 0:
+        return
+    got = {r.event_id: (r.user_id, r.is_current)
+           for r in read_scd2(spark, state).collect()}
+    assert got == expected
