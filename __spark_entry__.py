@@ -8348,6 +8348,113 @@ def q_hll_rollup_pyramid(spark, sf):
 
 
 @_q(
+    "quantile_sketch_eval",
+    """
+    WITH sk AS ({sketch}),
+    ex AS (
+      SELECT event_type,
+             round(quantile_cont(value::DOUBLE, 0.5), 6) AS p50_exact,
+             round(quantile_cont(value::DOUBLE, 0.9), 6) AS p90_exact
+      FROM events WHERE value IS NOT NULL GROUP BY event_type)
+    SELECT sk.event_type,
+           p50_exact, round(abs(p50_est - p50_exact), 6) AS p50_abs_err,
+           p90_exact, round(abs(p90_est - p90_exact), 6) AS p90_abs_err,
+           abs(p50_est - p50_exact) <= 5.0
+             AND abs(p90_est - p90_exact) <= 5.0 AS within_one_bin
+    FROM sk JOIN ex USING (event_type)
+    """.format(sketch=_REGISTRY["quantile_sketch"][1]),
+)
+def q_quantile_sketch_eval(spark, sf):
+    """Sketch-accuracy eval: the histogram quantile estimates against
+    exact percentiles per group, with the one-bin (width-5) error
+    guarantee asserted as a column — completing the eval family (HLL
+    and CMS carry exact audits; recall evals cover ANN).  The exact
+    side is the expensive sort-based path you run once to validate a
+    bin width before trusting the mergeable sketch at scale."""
+    sk = _REGISTRY["quantile_sketch"][0](spark, sf)
+    ev = _events(spark, sf).filter(F.col("value").isNotNull())
+    ex = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(cast(value as double), 0.5)"), 6).alias(
+            "p50_exact"
+        ),
+        F.round(F.expr("percentile(cast(value as double), 0.9)"), 6).alias(
+            "p90_exact"
+        ),
+    )
+    j = sk.join(ex, "event_type")
+    p50e = F.abs(F.col("p50_est") - F.col("p50_exact"))
+    p90e = F.abs(F.col("p90_est") - F.col("p90_exact"))
+    return j.select(
+        "event_type",
+        "p50_exact",
+        F.round(p50e, 6).alias("p50_abs_err"),
+        "p90_exact",
+        F.round(p90e, 6).alias("p90_abs_err"),
+        ((p50e <= 5.0) & (p90e <= 5.0)).alias("within_one_bin"),
+    )
+
+
+@_q(
+    "out_of_order_audit",
+    """
+    WITH r AS (
+      SELECT event_type, ts,
+             max(ts) OVER (PARTITION BY event_type ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS run_max
+      FROM events),
+    l AS (
+      SELECT event_type,
+             CASE WHEN ts < run_max
+                  THEN epoch_us(run_max) - epoch_us(ts) END AS late_us
+      FROM r)
+    SELECT event_type,
+           count(*) AS n_events,
+           count(late_us) AS n_late,
+           round(count(late_us) / count(*)::DOUBLE, 6) AS late_frac,
+           cast(max(late_us) AS BIGINT) AS max_late_us,
+           cast(coalesce(sum(late_us), 0) AS BIGINT) AS total_late_us
+    FROM l GROUP BY event_type
+    """,
+)
+def q_out_of_order_audit(spark, sf):
+    """Out-of-orderness audit: per event type, how many events arrive
+    (by offset order) with an event time EARLIER than the running
+    maximum already seen, and by how much — the empirical
+    disorder-bound measurement that picks a Structured Streaming
+    watermark delay (max_late_us IS the minimal watermark that loses
+    nothing; late_frac vs a candidate delay is the loss trade-off).
+    One window per type ordered by the arrival offset (single shuffle),
+    lateness kept in exact integer microseconds."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = _events(spark, sf).select(
+        "event_type", "ts", F.max("ts").over(w).alias("run_max")
+    )
+    late_us = F.when(
+        F.col("ts") < F.col("run_max"),
+        F.unix_micros("run_max") - F.unix_micros("ts"),
+    )
+    return (
+        r.select("event_type", late_us.alias("late_us"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("late_us").alias("n_late"),
+            F.round(F.count("late_us") / F.count(F.lit(1)).cast("double"), 6)
+            .alias("late_frac"),
+            F.max("late_us").cast("bigint").alias("max_late_us"),
+            F.coalesce(F.sum("late_us"), F.lit(0))
+            .cast("bigint")
+            .alias("total_late_us"),
+        )
+    )
+
+
+@_q(
     "attribution_position",
     """
     WITH fp AS (

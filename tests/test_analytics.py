@@ -1078,3 +1078,19 @@ def test_containment_catches_embedded_quote_jaccard_misses(spark):
     assert [(r.doc_a, r.doc_b) for r in cont] == [(1, 2)]
     assert cont[0].containment > 0.95
     assert verified_near_dups(docs).count() == 0
+
+
+def test_out_of_order_audit_counts_inversions(spark, patch_load):
+    """Events whose ts precedes the running max (by offset order) are
+    late; lateness is the gap to that max."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 10:10:00", 1, "view", 1.0, "{}"),
+        (3, "2024-01-01 10:05:00", 1, "view", 1.0, "{}"),  # 5 min late
+        (4, "2024-01-01 10:10:00", 1, "view", 1.0, "{}"),  # ties are NOT late
+    ]
+    patch_load({"events": _events_df(spark, rows)})
+    [r] = entrymod.queries()["out_of_order_audit"](spark, "x").collect()
+    assert (r.n_events, r.n_late) == (4, 1)
+    assert r.max_late_us == 5 * 60 * 1_000_000
+    assert r.late_frac == 0.25
