@@ -8454,6 +8454,30 @@ def q_out_of_order_audit(spark, sf):
     )
 
 
+@_q("streaming_out_of_order", _REGISTRY["out_of_order_audit"][1])
+def q_streaming_out_of_order(spark, sf):
+    """Continuously-maintained disorder monitor (streaming/disorder.py):
+    the state's running event-time maximum seeds each micro-batch's
+    lateness window, so cross-batch inversions are counted — per-batch
+    windows alone would miss every one of them.  Tallies sum-merge
+    under the version-per-batch commit; the batch out_of_order_audit
+    SQL is the exact oracle."""
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.disorder import (
+        read_disorder,
+        run_disorder_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_ooo_")
+    with _stream_partitions(spark):
+        run_disorder_stream(
+            _events_stream(spark, sf).select("event_type", "ts", "event_id"),
+            f"{base}/state",
+        )
+    return read_disorder(spark, f"{base}/state")
+
+
 @_q(
     "attribution_position",
     """

@@ -104,6 +104,14 @@ HEADLINE = [
     "ann_pq_topk",
     "temperature_mixture",
     "hll_rollup_pyramid",
+    "containment_near_dups",
+    "ngram_novelty",
+    "hard_negative_mining",
+    "rfm_segments",
+    "out_of_order_audit",
+    "hll_sliding_dau",
+    "streaming_funnel",
+    "streaming_scd2",
 ]
 
 

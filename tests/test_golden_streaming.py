@@ -468,3 +468,36 @@ def test_streaming_scd2_closes_open_rows_across_batches(spark, tmp_path):
     merge_scd2_batch(mkdf([(1, 4, 12.0, "2024-01-01 12:00:00")]), state, 1)
     again = {r.event_id: r.is_current for r in read_scd2(spark, state).collect()}
     assert again == {1: False, 2: False, 3: True, 4: True}
+
+
+def test_streaming_disorder_counts_cross_batch_inversion(spark, tmp_path):
+    """An event late only relative to the PREVIOUS batch's maximum is
+    still counted — the state max seeds the window."""
+    import pyspark.sql.functions as F
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.disorder import (
+        merge_disorder_batch,
+        read_disorder,
+    )
+
+    cols = ["event_type", "ts_s", "event_id"]
+
+    def mkdf(rows):
+        return spark.createDataFrame(rows, cols).withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).select("event_type", "ts", "event_id")
+
+    state = str(tmp_path / "state")
+    merge_disorder_batch(mkdf([("A", "2024-01-01 10:10:00", 1)]), state, 0)
+    # batch 1: in-batch order is fine, but both precede batch 0's max
+    merge_disorder_batch(mkdf([("A", "2024-01-01 10:00:00", 2),
+                               ("A", "2024-01-01 10:05:00", 3)]), state, 1)
+    [r] = read_disorder(spark, state).collect()
+    assert (r.n_events, r.n_late) == (3, 2)
+    assert r.max_late_us == 10 * 60 * 1_000_000
+    assert r.total_late_us == (10 + 5) * 60 * 1_000_000
+
+    merge_disorder_batch(mkdf([("A", "2024-01-01 10:00:00", 2),
+                               ("A", "2024-01-01 10:05:00", 3)]), state, 1)
+    [r2] = read_disorder(spark, state).collect()
+    assert (r2.n_events, r2.n_late) == (3, 2)  # replay is a no-op
