@@ -8395,6 +8395,108 @@ def q_quantile_sketch_eval(spark, sf):
 
 
 @_q(
+    "mode_stats",
+    """
+    WITH c AS (
+      SELECT event_type, user_id, count(*) AS cnt
+      FROM events GROUP BY event_type, user_id)
+    SELECT event_type,
+           min(CASE WHEN rn = 1 THEN user_id END) AS mode_user,
+           min(CASE WHEN rn = 1 THEN cnt END) AS mode_count,
+           count(*) AS n_distinct_users
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY cnt DESC, user_id) AS rn
+          FROM c)
+    GROUP BY event_type
+    """,
+)
+def q_mode_stats(spark, sf):
+    """Exact per-group mode (most frequent user per event type) with an
+    explicit deterministic tiebreak (lowest id wins) — engines' builtin
+    mode() aggregates have engine-specific tie behavior, so the
+    operator pins its own.  Count table first (map-side combined), then
+    the rank runs over |group x distinct-value| rows, never raw
+    events."""
+    ev = _events(spark, sf)
+    c = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("cnt"), "user_id")
+    ranked = c.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("user_id"))).alias("mode_user"),
+        F.min(F.when(F.col("rn") == 1, F.col("cnt"))).alias("mode_count"),
+        F.count(F.lit(1)).alias("n_distinct_users"),
+    )
+
+
+@_q(
+    "double_fire_audit",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type, ts,
+             epoch_us(ts) // 1800000000 AS bkt
+      FROM events),
+    pairs AS (
+      SELECT DISTINCT a.event_id AS first_id, b.event_id AS dup_id,
+             a.user_id, a.event_type,
+             epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id AND a.event_type = b.event_type
+       AND b.bkt BETWEEN a.bkt - 1 AND a.bkt + 1
+       AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 1800000000
+       AND a.event_id < b.event_id)
+    SELECT user_id, event_type, first_id, dup_id, cast(gap_us AS BIGINT) AS gap_us
+    FROM pairs
+    """,
+)
+def q_double_fire_audit(spark, sf):
+    """Rapid-repeat detection: pairs of same-(user, type) events
+    within 30 minutes — the client-retry / double-submission artifact a
+    pipeline dedupes before counting conversions.  The self-join is
+    equi-keyed on (user, type, time-bucket) with each left row probing
+    its adjacent buckets (the bucket-decomposed interval-join pattern —
+    never a time-range theta join), so matching shuffles only key-equal
+    rows at any scale."""
+    ev = _events(spark, sf)
+    tol_us = 1800 * 1000000
+    e = ev.select(
+        "event_id", "user_id", "event_type", "ts",
+        F.expr(f"unix_micros(ts) div {tol_us}").alias("bkt"),
+    )
+    a = e.select(
+        F.col("event_id").alias("first_id"),
+        "user_id", "event_type",
+        F.col("ts").alias("ts_a"),
+        F.explode(
+            F.array(F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1)
+        ).alias("probe_bkt"),
+    )
+    b = e.select(
+        F.col("event_id").alias("dup_id"),
+        F.col("user_id").alias("u2"),
+        F.col("event_type").alias("t2"),
+        F.col("ts").alias("ts_b"),
+        F.col("bkt").alias("probe_bkt"),
+    )
+    gap = F.unix_micros("ts_b") - F.unix_micros("ts_a")
+    return (
+        a.join(
+            b,
+            (a.user_id == b.u2)
+            & (a.event_type == b.t2)
+            & (a.probe_bkt == b.probe_bkt),
+        )
+        .filter(
+            (F.abs(gap) <= tol_us) & (F.col("first_id") < F.col("dup_id"))
+        )
+        .select(
+            "user_id", "event_type", "first_id", "dup_id",
+            gap.cast("bigint").alias("gap_us"),
+        )
+        .distinct()
+    )
+
+
+@_q(
     "out_of_order_audit",
     """
     WITH r AS (

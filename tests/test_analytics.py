@@ -1094,3 +1094,32 @@ def test_out_of_order_audit_counts_inversions(spark, patch_load):
     assert (r.n_events, r.n_late) == (4, 1)
     assert r.max_late_us == 5 * 60 * 1_000_000
     assert r.late_frac == 0.25
+
+
+def test_double_fire_pairs_cross_bucket_and_tolerance(spark, patch_load):
+    """A repeat 29 min later pairs up even across a bucket boundary; a
+    repeat 31 min later does not; different types never pair."""
+    rows = [
+        (1, "2024-01-01 10:14:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 10:43:00", 1, "view", 2.0, "{}"),   # +29m: pair
+        (3, "2024-01-01 11:20:00", 1, "view", 3.0, "{}"),   # +37m: no
+        (4, "2024-01-01 10:20:00", 1, "click", 1.0, "{}"),  # other type
+    ]
+    patch_load({"events": _events_df(spark, rows)})
+    out = [(r.first_id, r.dup_id, r.gap_us) for r in
+           entrymod.queries()["double_fire_audit"](spark, "x").collect()]
+    assert out == [(1, 2, 29 * 60 * 1_000_000)]
+
+
+def test_mode_stats_tiebreak_lowest_id(spark, patch_load):
+    """Two users tied at 2 events: the lower id is the mode."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "view", 1.0, "{}"),
+        (2, "2024-01-01 10:01:00", 7, "view", 1.0, "{}"),
+        (3, "2024-01-01 10:02:00", 3, "view", 1.0, "{}"),
+        (4, "2024-01-01 10:03:00", 3, "view", 1.0, "{}"),
+        (5, "2024-01-01 10:04:00", 9, "view", 1.0, "{}"),
+    ]
+    patch_load({"events": _events_df(spark, rows)})
+    [r] = entrymod.queries()["mode_stats"](spark, "x").collect()
+    assert (r.mode_user, r.mode_count, r.n_distinct_users) == (3, 2, 3)
