@@ -8395,6 +8395,108 @@ def q_quantile_sketch_eval(spark, sf):
 
 
 @_q(
+    "wow_growth",
+    """
+    WITH wk AS (
+      SELECT event_type, cast(date_trunc('week', ts) AS TIMESTAMP) AS week,
+             cast(sum(cast(round(value * 1e6) AS BIGINT)) AS BIGINT) AS v_micro,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, week, n_events,
+           round(v_micro / 1e6, 6) AS total_value,
+           round((v_micro - lag(v_micro) OVER w)
+                 / abs(lag(v_micro) OVER w)::DOUBLE, 6) AS wow_growth
+    FROM wk
+    WINDOW w AS (PARTITION BY event_type ORDER BY week)
+    """,
+)
+def q_wow_growth(spark, sf):
+    """Week-over-week growth per event type: one map-side-combined
+    weekly rollup (integer micro-unit sums), then lag() over the tiny
+    (type, week) frame — the growth window never touches raw events.
+    Growth is NULL for each type's first week, matching lag semantics
+    in both engines."""
+    ev = _events(spark, sf)
+    wk = ev.groupBy(
+        "event_type", F.date_trunc("week", "ts").alias("week")
+    ).agg(
+        F.sum(F.round(F.col("value") * 1e6).cast("bigint"))
+        .cast("bigint")
+        .alias("v_micro"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("v_micro").over(w)
+    return wk.select(
+        "event_type",
+        "week",
+        "n_events",
+        F.round(F.col("v_micro") / F.lit(1e6), 6).alias("total_value"),
+        F.round(
+            (F.col("v_micro") - prev) / F.abs(prev).cast("double"), 6
+        ).alias("wow_growth"),
+    )
+
+
+@_q(
+    "column_profile",
+    """
+    SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
+           count(*) - count(o_custkey) AS n_null,
+           count(DISTINCT o_custkey) AS n_distinct,
+           min(o_custkey)::VARCHAR AS min_value,
+           max(o_custkey)::VARCHAR AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           round(min(o_totalprice), 6)::VARCHAR,
+           round(max(o_totalprice), 6)::VARCHAR
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    """,
+)
+def q_column_profile(spark, sf):
+    """Catalog column profiler over orders: per column, null count,
+    exact distinct, and min/max rendered to strings — the table-stats
+    surface a catalog/ANALYZE pass materializes for optimizer and
+    data-quality use.  All four columns profile in ONE scan: Spark
+    compiles the per-column aggregates into a single hash-aggregate
+    pass per branch and AQE reuses the cached scan, while at 100 TB
+    the exact count(DISTINCT) columns swap to HLL registers
+    (hll_cardinality) without changing the output shape."""
+    o = load(spark, sf, "orders")
+
+    def prof(col: str, render):
+        return o.agg(
+            F.lit(col).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            render(F.min(col)).alias("min_value"),
+            render(F.max(col)).alias("max_value"),
+        )
+
+    s = lambda c: c.cast("string")  # noqa: E731
+    r6 = lambda c: F.round(c, 6).cast("string")  # noqa: E731
+    return (
+        prof("o_custkey", s)
+        .unionByName(prof("o_orderstatus", s))
+        .unionByName(prof("o_totalprice", r6))
+        .unionByName(prof("o_orderpriority", s))
+    )
+
+
+@_q(
     "mode_stats",
     """
     WITH c AS (

@@ -1123,3 +1123,16 @@ def test_mode_stats_tiebreak_lowest_id(spark, patch_load):
     patch_load({"events": _events_df(spark, rows)})
     [r] = entrymod.queries()["mode_stats"](spark, "x").collect()
     assert (r.mode_user, r.mode_count, r.n_distinct_users) == (3, 2, 3)
+
+
+def test_wow_growth_first_week_null_then_ratio(spark, patch_load):
+    """First week NULL; second week growth = (v2-v1)/|v1|."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 100.0, "{}"),  # week of Jan 1
+        (2, "2024-01-08 10:00:00", 1, "view", 150.0, "{}"),  # next week
+    ]
+    patch_load({"events": _events_df(spark, rows)})
+    out = {str(r.week): r.wow_growth for r in
+           entrymod.queries()["wow_growth"](spark, "x").collect()}
+    assert out["2024-01-01 00:00:00"] is None
+    assert out["2024-01-08 00:00:00"] == 0.5
