@@ -8395,6 +8395,107 @@ def q_quantile_sketch_eval(spark, sf):
 
 
 @_q(
+    "dup_rate_by_source",
+    """
+    WITH h AS (
+      SELECT source, md5(text) AS text_hash, doc_id FROM documents),
+    g AS (
+      SELECT source, text_hash, count(*) AS n,
+             min(doc_id) AS keep_id
+      FROM h GROUP BY source, text_hash)
+    SELECT source,
+           cast(sum(n) AS BIGINT) AS n_docs,
+           cast(sum(n) - count(*) AS BIGINT) AS n_redundant,
+           round((sum(n) - count(*)) / sum(n)::DOUBLE, 6) AS dup_rate
+    FROM g GROUP BY source
+    """,
+)
+def q_dup_rate_by_source(spark, sf):
+    """Corpus-health dashboard row: per source, the fraction of
+    documents that are byte-exact copies of an earlier one (redundant =
+    group size minus one kept per digest) — the first-order signal for
+    which crawl sources need dedup attention.  Digest groupBy within
+    source (never the text), then a source-level rollup of group
+    sizes."""
+    d = load(spark, sf, "documents")
+    g = d.select(
+        "source", F.md5("text").alias("text_hash"), "doc_id"
+    ).groupBy("source", "text_hash").agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep_id")
+    )
+    return g.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        (F.sum("n") - F.count(F.lit(1))).cast("bigint").alias("n_redundant"),
+        F.round(
+            (F.sum("n") - F.count(F.lit(1))) / F.sum("n").cast("double"), 6
+        ).alias("dup_rate"),
+    )
+
+
+@_q(
+    "embedding_norm_outliers",
+    """
+    WITH n AS (
+      SELECT vec_id, label,
+             round(sqrt((SELECT sum(v[i] * v[i])
+                         FROM generate_series(1, 64) AS g(i))), 6) AS l2
+      FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)),
+    st AS (
+      SELECT count(*) AS cnt,
+             sum(cast(round(l2 * 1e6) AS BIGINT)) AS s1,
+             sum(cast(round(l2 * 1e6) AS BIGINT)
+                 * cast(round(l2 * 1e6) AS BIGINT)) AS s2
+      FROM n)
+    SELECT vec_id, label, l2,
+           round((l2 - s1 / 1e6 / cnt)
+                 / sqrt((s2 / 1e12 - (s1 / 1e6) * (s1 / 1e6) / cnt)
+                        / (cnt - 1)), 6) AS norm_z
+    FROM n CROSS JOIN st
+    WHERE abs((l2 - s1 / 1e6 / cnt)
+              / sqrt((s2 / 1e12 - (s1 / 1e6) * (s1 / 1e6) / cnt)
+                     / (cnt - 1))) > 3
+    """,
+)
+def q_embedding_norm_outliers(spark, sf):
+    """Embedding-QA screen: vectors whose L2 norm z-scores beyond 3σ of
+    the corpus — the cheap detector for truncated/zeroed/double-scaled
+    encoder outputs before they poison similarity search.  Norms are
+    rounded to 6 dp then accumulated as integer micro-units (exact,
+    order-independent moments); the scalar moment row broadcasts back
+    over the corpus."""
+    emb = load(spark, sf, "embeddings")
+    l2 = F.round(
+        F.sqrt(
+            F.expr(
+                "aggregate(embedding, 0D,"
+                " (acc, x) -> acc + cast(x as double) * cast(x as double))"
+            )
+        ),
+        6,
+    )
+    n = emb.select("vec_id", "label", l2.alias("l2"))
+    micro = F.round(F.col("l2") * 1e6).cast("bigint")
+    st = n.select(F.col("l2"), micro.alias("m")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("m").alias("s1"),
+        F.sum(F.col("m") * F.col("m")).alias("s2"),
+    )
+    mean = F.col("s1") / 1e6 / F.col("cnt")
+    var = (
+        F.col("s2") / 1e12 - (F.col("s1") / 1e6) * (F.col("s1") / 1e6) / F.col("cnt")
+    ) / (F.col("cnt") - 1)
+    # try_divide: a fully-normalized corpus has zero norm variance —
+    # the correct answer is "no outliers" (NULL z), matching DuckDB's
+    # NULL on double x/0.
+    z = F.try_divide(F.col("l2") - mean, F.sqrt(var))
+    return (
+        n.crossJoin(F.broadcast(st))
+        .filter(F.abs(z) > 3)
+        .select("vec_id", "label", "l2", F.round(z, 6).alias("norm_z"))
+    )
+
+
+@_q(
     "wow_growth",
     """
     WITH wk AS (

@@ -1136,3 +1136,31 @@ def test_wow_growth_first_week_null_then_ratio(spark, patch_load):
            entrymod.queries()["wow_growth"](spark, "x").collect()}
     assert out["2024-01-01 00:00:00"] is None
     assert out["2024-01-08 00:00:00"] == 0.5
+
+
+def test_embedding_norm_outliers_detects_injected_anomalies(spark, patch_load):
+    """A zeroed vector and a double-scaled vector are flagged; normal
+    unit-ish vectors are not; a fully-uniform corpus yields no rows
+    (zero variance -> NULL z, not an error)."""
+    import random
+
+    rng = random.Random(3)
+
+    def unit():
+        v = [rng.gauss(0, 1) for _ in range(64)]
+        s = sum(x * x for x in v) ** 0.5
+        return [x / s * (1 + rng.uniform(-0.01, 0.01)) for x in v]
+
+    rows = [(i, unit(), 1) for i in range(40)]
+    rows.append((100, [0.0] * 64, 1))               # dead encoder output
+    rows.append((101, [2.0 * x for x in unit()], 1))  # double-scaled
+    patch_load({"embeddings": spark.createDataFrame(
+        rows, ["vec_id", "embedding", "label"])})
+    out = {r.vec_id for r in
+           entrymod.queries()["embedding_norm_outliers"](spark, "x").collect()}
+    assert out == {100, 101}
+
+    uniform = [(i, [0.125] * 64, 1) for i in range(20)]
+    patch_load({"embeddings": spark.createDataFrame(
+        uniform, ["vec_id", "embedding", "label"])})
+    assert entrymod.queries()["embedding_norm_outliers"](spark, "x").count() == 0
