@@ -6713,12 +6713,15 @@ def q_split_leakage_audit(spark, sf):
     est AS (
       SELECT event_type, n,
              min(CASE WHEN cum >= cast(ceil(0.5 * n) AS bigint)
+                       AND cum - c < cast(ceil(0.5 * n) AS bigint)
                       THEN bin * 5.0 + 5.0 * (cast(ceil(0.5 * n) AS bigint)
                            - (cum - c)) / c END) AS p50_est,
              min(CASE WHEN cum >= cast(ceil(0.9 * n) AS bigint)
+                       AND cum - c < cast(ceil(0.9 * n) AS bigint)
                       THEN bin * 5.0 + 5.0 * (cast(ceil(0.9 * n) AS bigint)
                            - (cum - c)) / c END) AS p90_est,
              min(CASE WHEN cum >= cast(ceil(0.99 * n) AS bigint)
+                       AND cum - c < cast(ceil(0.99 * n) AS bigint)
                       THEN bin * 5.0 + 5.0 * (cast(ceil(0.99 * n) AS bigint)
                            - (cum - c)) / c END) AS p99_est
       FROM cum GROUP BY event_type, n)

@@ -255,10 +255,16 @@ def hist_quantiles(
     )
 
     def _est(q: float) -> F.Column:
+        # Interpolate ONLY inside the bin that contains the k-th value:
+        # cum >= k qualifies that bin and every later one, but for later
+        # bins k - (cum - c) is negative and the interpolation falls
+        # below the bin floor (can even go negative), so the second
+        # conjunct (cum - c < k) pins the estimate to the first
+        # qualifying bin.  min() is then just "the one non-null value".
         k = F.ceil(F.lit(q) * F.col("n")).cast("bigint")
         return F.min(
             F.when(
-                F.col("cum") >= k,
+                (F.col("cum") >= k) & (F.col("cum") - F.col("c") < k),
                 F.col("bin") * width
                 + width * (k - (F.col("cum") - F.col("c"))) / F.col("c"),
             )
