@@ -1,7 +1,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output: one short JSON line per query ({"query": name, "sec": s}), then a
+FINAL compact JSON summary line {"metric": ..., "value": total_sec,
+"unit": "sec", "queries": {<§2 parity queries>: sec}, "sf": ...} sized to
+survive bounded tail capture; the full per-query payload is also written
+to BENCH_DETAIL.json beside this script.
 
 Execution is forced with the `noop` datasource write (full pipeline runs,
 nothing is collected to the driver), matching how a cluster job would
@@ -175,7 +179,44 @@ def main() -> int:
     }
     if failures:
         payload["failures"] = failures
-    print(json.dumps(payload))
+
+    # Downstream tooling captures a bounded tail of stdout and parses the
+    # last JSON line; one line per query keeps each line short, and the
+    # full payload also lands in BENCH_DETAIL.json next to this script.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+    for name, sec in timings.items():
+        print(json.dumps({"query": name, "sec": sec}))
+    for name, err in failures.items():
+        print(json.dumps({"query": name, "error": err}))
+
+    # FINAL line: the machine-readable summary, kept compact (headline
+    # total + the four SURVEY §2 parity queries) so it survives any
+    # bounded tail capture intact.
+    parity = {
+        k: timings[k]
+        for k in (
+            "flagship_shipped_orders",
+            "latest_by_offset",
+            "stream_table_enrich",
+            "interval_join_bucketed",
+        )
+        if k in timings
+    }
+    summary = {
+        "metric": "headline_queries_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": parity,
+        "n_queries": len(timings),
+        "n_failures": len(failures),
+        "detail": "BENCH_DETAIL.json",
+        "sf": sf_dir,
+    }
+    print(json.dumps(summary))
     spark.stop()
     return 0
 
