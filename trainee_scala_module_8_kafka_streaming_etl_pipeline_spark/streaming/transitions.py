@@ -68,13 +68,23 @@ def _read_version(spark: SparkSession, state_dir: str, v: int) -> DataFrame:
 
 
 def _commit(df: DataFrame, state_dir: str, version: int) -> None:
-    """Write ``v=<version>`` (idempotent overwrite) and swap the pointer."""
+    """Write ``v=<version>`` (idempotent overwrite) and swap the pointer.
+
+    After the swap, prune everything older than the newest two versions:
+    each commit is a FULL state copy, so without retention the sink's
+    disk footprint grows with batch count x state size.  ``keep=2``
+    preserves the crash-replay contract (readers resolve the greatest
+    version strictly below their batch id, which is at most one behind
+    the pointer) while bounding the footprint at 2x state size."""
+    from .upsert import vacuum_versions
+
     os.makedirs(state_dir, exist_ok=True)
     df.write.mode("overwrite").parquet(os.path.join(state_dir, f"v={version}"))
     tmp = os.path.join(state_dir, f"{_POINTER}.tmp")
     with open(tmp, "w") as fh:
         fh.write(str(version))
     os.replace(tmp, os.path.join(state_dir, _POINTER))
+    vacuum_versions(state_dir, keep=2)
 
 
 def _batch_state(batch_df: DataFrame) -> DataFrame:
