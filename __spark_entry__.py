@@ -4977,6 +4977,69 @@ def q_streaming_cdc_upsert(spark, sf):
 
 
 @_q(
+    "streaming_restart_resume",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           cast(sum(cast(value AS decimal(18,6))) AS double) AS total_value,
+           max(event_id) AS last_offset
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+    """,
+)
+def q_streaming_restart_resume(spark, sf):
+    """S7 offset-reset / resume semantics as two StreamingQuery
+    lifetimes over ONE checkpoint (the reference's
+    SET 'auto.offset.reset'='earliest' + always-on persistent queries,
+    /root/reference/README.md:346, :654-679):
+
+    pass 1 streams slice A of events from a fresh checkpoint (earliest-
+    on-fresh), stops; slice B lands in the source dir; pass 2 is a NEW
+    query on the SAME checkpoint. Correct resume means pass 2 ingests
+    ONLY slice B's file yet emits the aggregate over A union B from the
+    restored state store. Replaying A would double its counts; resetting
+    to latest would lose them — so hash-matching the batch GROUP BY over
+    all events proves both halves of the resume contract."""
+    import tempfile
+
+    full = (
+        _events(spark, sf)
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    slice_a = full.filter(F.col("event_id") % 2 == 0)
+    slice_b = full.filter(F.col("event_id") % 2 == 1)
+
+    src = tempfile.mkdtemp(prefix="restart_src_")
+    ckpt = tempfile.mkdtemp(prefix="restart_ckpt_")
+    slice_a.write.mode("append").parquet(src)
+
+    def _one_pass(name: str):
+        sdf = spark.readStream.schema(full.schema).parquet(src)
+        agg = sdf.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+            F.max("event_id").alias("last_offset"),
+        )
+        with _stream_partitions(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    _one_pass("streaming_restart_pass1")
+    slice_b.write.mode("append").parquet(src)
+    _one_pass("streaming_restart_pass2")
+    return spark.table("streaming_restart_pass2")
+
+
+@_q(
     "streaming_topn",
     """
     SELECT event_id, user_id, value, ts
@@ -7166,33 +7229,15 @@ def q_changepoint_cusum(spark, sf):
     then accumulate as doubles INSIDE the ordered window, where both
     engines perform the identical sequential IEEE additions — the one
     place double math is reproducible by construction. One daily
-    rollup (fact-sized), then O(types x days) window + argmax."""
-    ev = _events(spark, sf).filter(F.col("value").isNotNull())
-    daily = ev.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("day")
-    ).agg(
-        F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
-        F.count(F.lit(1)).alias("c"),
+    rollup (fact-sized), then O(types x days) window + argmax.
+    Implementation: operators/timeseries.py:changepoint_cusum (shared
+    with the hypothesis property test against a naive Python CUSUM)."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        timeseries,
     )
-    tot = daily.groupBy("event_type").agg(
-        F.sum("s").alias("ts_"), F.sum("c").alias("tc")
-    )
-    w = Window.partitionBy("event_type").orderBy("day")
-    cus = (
-        daily.join(tot, "event_type")
-        .select(
-            "event_type",
-            "day",
-            F.sum(
-                F.col("s").cast("double")
-                - F.col("c")
-                * (F.col("ts_").cast("double") / F.col("tc").cast("double"))
-            ).over(w).alias("cusum"),
-        )
-    )
-    return cus.groupBy("event_type").agg(
-        F.max_by("day", F.abs("cusum")).alias("change_day"),
-        F.round(F.max(F.abs("cusum")), 4).alias("max_cusum"),
+
+    return timeseries.changepoint_cusum(
+        _events(spark, sf), "event_type", "ts", "value"
     )
 
 
@@ -7858,13 +7903,16 @@ def q_join_size_sketch_eval(spark, sf):
                     FROM generate_series(1, 64) AS g(i)), 6) AS sq
       FROM c CROSS JOIN cent),
     own AS (SELECT vec_id, label, sq AS own_sq FROM d WHERE label = clabel),
+    ranked AS (
+      SELECT vec_id, clabel, sq,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY cast(round(sq * 1e6) AS bigint), clabel) AS rn,
+             min(sq) OVER (PARTITION BY vec_id) AS other_sq
+      FROM d WHERE label <> clabel),
     other AS (
-      SELECT vec_id,
-             min_by(clabel,
-                    cast(round(sq * 1e6) AS bigint) * 1000000 + clabel)
-               AS nearest_other,
-             min(sq) AS other_sq
-      FROM d WHERE label <> clabel GROUP BY vec_id)
+      SELECT vec_id, clabel AS nearest_other, other_sq
+      FROM ranked WHERE rn = 1)
     SELECT own.label, other.nearest_other,
            count(*) AS n_confused
     FROM own JOIN other ON own.vec_id = other.vec_id
@@ -7880,13 +7928,10 @@ def q_embedding_confusion(spark, sf):
     Centroids reuse the posexplode + per-dim aggregate pattern (only
     |labels| x 64 rows cross the exchange after map-side partials) and
     broadcast to a vectors x |labels| comparison; each distance is a
-    sequential JVM fold. The argmin key packs (micro-rounded distance,
-    label) into one integer so ties break identically in both engines.
-    Packing contract: labels must be non-negative and < 1e6 (the
-    stride) and micro-scaled distances < 2^63 / 1e6 (i.e. sq < ~9.2e6)
-    — both hold by construction for centroid distances over the
-    bounded embedding space; violating either would corrupt the argmin
-    order silently."""
+    sequential JVM fold. The argmin key is the lexicographic pair
+    (micro-rounded distance, label) — struct ordering in Spark, row
+    ordering in DuckDB — so ties break identically in both engines
+    with no packing-stride bound on the label domain."""
     emb = load(spark, sf, "embeddings")
     dims = emb.select(
         "label", F.posexplode(F.col("embedding").cast("array<double>"))
@@ -7922,8 +7967,10 @@ def q_embedding_confusion(spark, sf):
         .agg(
             F.min_by(
                 "clabel",
-                F.round(F.col("sq") * 1e6).cast("bigint") * 1_000_000
-                + F.col("clabel"),
+                F.struct(
+                    F.round(F.col("sq") * 1e6).cast("bigint").alias("d"),
+                    F.col("clabel").alias("l"),
+                ),
             ).alias("nearest_other"),
             F.min("sq").alias("other_sq"),
         )
@@ -8887,28 +8934,14 @@ def q_winsorized_stats(spark, sf):
     back onto the fact rows, and the clipped sum accumulates in integer
     micro-units so the mean is engine-exact.  At 100 TB swap the exact
     percentile for the mergeable histogram sketch (hist_quantiles) —
-    the clip-join shape is unchanged."""
-    ev = _events(spark, sf)
-    b = ev.groupBy("event_type").agg(
-        F.round(
-            F.expr("percentile(cast(value as double), 0.05)"), 6
-        ).alias("p05"),
-        F.round(
-            F.expr("percentile(cast(value as double), 0.95)"), 6
-        ).alias("p95"),
+    the clip-join shape is unchanged.  Implementation:
+    operators/timeseries.py:winsorized_mean (shared with the hypothesis
+    property test against a naive Python winsorizer)."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        timeseries,
     )
-    wv = F.greatest(F.least(F.col("value"), F.col("p95")), F.col("p05"))
-    micro = F.sum(F.round(wv * 1e6).cast("bigint")).cast("bigint")
-    return (
-        ev.join(F.broadcast(b), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(micro / F.lit(1e6) / F.count(F.lit(1)), 6).alias(
-                "winsorized_mean"
-            ),
-        )
-    )
+
+    return timeseries.winsorized_mean(_events(spark, sf), "event_type", "value")
 
 
 @_q(
@@ -9579,15 +9612,13 @@ def _oracle_kcore() -> str:
 @_q("kcore_peel", _oracle_kcore())
 def q_kcore_peel(spark, sf):
     """Bounded-round k-core decomposition of the co-purchase graph
-    (operators/graph.py:kcore_peel): {rounds} peel passes dropping
-    nodes of subgraph-degree < {k}, each pass two LEFT SEMI joins on
-    the shrinking survivor set plus one map-side-combinable degree
+    (operators/graph.py:kcore_peel): _KCORE_ROUNDS peel passes dropping
+    nodes of subgraph-degree < _KCORE_K, each pass two LEFT SEMI joins
+    on the shrinking survivor set plus one map-side-combinable degree
     count; the driver sees one scalar per round (survivor count, for
     the converged flag), never node rows.  Fixed rounds keep the
     operator deterministic and unrollable into the DuckDB CTE chain
-    that serves as the exact oracle.""".format(
-        rounds=_KCORE_ROUNDS, k=_KCORE_K
-    )
+    that serves as the exact oracle."""
     from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
         graph,
     )
