@@ -645,3 +645,271 @@ def test_streaming_scd2_matches_batch_under_any_split(spark, raw, cuts):
     got = {r.event_id: (r.user_id, r.is_current)
            for r in read_scd2(spark, state).collect()}
     assert got == expected
+
+
+# --- round 4: estimator operators vs naive references -----------------------
+# The mirrored-oracle blind spot (a DuckDB oracle transliterated from the
+# Spark plan cannot catch a shared math error — proven by the r3 quantile
+# bug) is closed for estimator-style operators by checking each against an
+# independently-written Python reference.
+
+_ewma_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),      # key
+        st.integers(0, 40),     # ts seconds (duplicates likely)
+        st.integers(-50, 50),   # value
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(raw=_ewma_rows)
+@_SETTINGS
+def test_ewma_matches_naive(spark, raw):
+    """Truncated 8-lag EWMA vs a sequential Python fold in the same
+    (ts, offset) order — catches wrong weights, wrong ramp-up
+    normalization, and wrong tie-breaking."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.timeseries import (
+        ewma,
+    )
+
+    alpha, lags = 0.3, 8
+    data = [(i, k, t, float(v)) for i, (k, t, v) in enumerate(raw)]
+    df = (
+        spark.createDataFrame(data, ["off", "k", "s", "v"])
+        .withColumn("ts", F.timestamp_seconds("s"))
+    )
+    got = {
+        r["off"]: r["ewma"]
+        for r in ewma(df, ["k"], "ts", "v", "off", alpha, lags).collect()
+    }
+    by_key = {}
+    for i, k, t, v in data:
+        by_key.setdefault(k, []).append((t, i, v))
+    for k, rows in by_key.items():
+        rows.sort()  # (ts, offset) — the operator's window order
+        for j, (_, off, _) in enumerate(rows):
+            num = 0.0
+            den = 0.0
+            for i in range(lags):
+                if j - i < 0:
+                    continue
+                wt = float((1.0 - alpha) ** i)
+                num += rows[j - i][2] * wt
+                den += wt
+            assert abs(got[off] - num / den) <= 1e-6, (k, off)
+
+
+_cusum_rows = st.lists(
+    st.tuples(
+        st.integers(0, 1),      # group
+        st.integers(0, 9),      # day index
+        st.integers(-20, 20),   # integer value (exact decimal sums)
+    ),
+    min_size=2,
+    max_size=30,
+)
+
+
+@given(raw=_cusum_rows)
+@_SETTINGS
+def test_changepoint_cusum_matches_naive(spark, raw):
+    """CUSUM peak vs a sequential Python fold over the daily rollup:
+    the max |cusum| must match, and the located day must match whenever
+    the argmax is unique."""
+    import datetime as dt
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.timeseries import (
+        changepoint_cusum,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    data = [
+        (g, base + dt.timedelta(days=d, hours=d % 3), float(v))
+        for g, d, v in raw
+    ]
+    df = spark.createDataFrame(data, ["g", "ts", "v"])
+    got = {
+        r["g"]: (r["change_day"], r["max_cusum"])
+        for r in changepoint_cusum(df, "g", "ts", "v").collect()
+    }
+
+    daily = {}
+    for g, ts, v in data:
+        day = ts.replace(hour=0, minute=0, second=0, microsecond=0)
+        s, c = daily.setdefault(g, {}).setdefault(day, (0.0, 0))
+        daily[g][day] = (s + v, c + 1)
+    for g, days in daily.items():
+        tot_s = sum(s for s, _ in days.values())
+        tot_c = sum(c for _, c in days.values())
+        mean = tot_s / tot_c
+        cum = 0.0
+        series = []
+        for day in sorted(days):
+            s, c = days[day]
+            cum += s - c * mean
+            series.append((day, abs(cum)))
+        want_max = max(a for _, a in series)
+        want_days = [d for d, a in series if abs(a - want_max) < 1e-9]
+        day_got, max_got = got[g]
+        assert abs(max_got - round(want_max, 4)) <= 1e-4
+        if len(want_days) == 1:
+            assert day_got == want_days[0]
+
+
+_psi_counts = st.lists(
+    st.tuples(
+        st.integers(0, 1),                      # group
+        st.sampled_from(["ref", "cur"]),        # period
+        st.integers(0, 4),                      # bin (n_bins = 5)
+        st.integers(1, 50),                     # count
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(raw=_psi_counts)
+@_SETTINGS
+def test_psi_from_counts_matches_naive(spark, raw):
+    """PSI over a mergeable count table vs a direct Python computation
+    of sum (p_cur - p_ref) * ln(p_cur / p_ref) with add-one smoothing
+    across the FULL bin spine (empty bins included)."""
+    import math
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.profiling import (
+        psi_from_counts,
+    )
+
+    n_bins = 5
+    df = spark.createDataFrame(raw, ["grp", "period", "bin", "c"])
+    got = {
+        r["g"]: (r["n_ref"], r["n_cur"], r["psi"], r["drifted"])
+        for r in psi_from_counts(df, "g", n_bins=n_bins).collect()
+    }
+    agg = {}
+    for g, period, b, c in raw:
+        key = (g, period, b)
+        agg[key] = agg.get(key, 0) + c
+    for g in {g for g, _, _, _ in raw}:
+        n_ref = sum(v for (gg, p, _), v in agg.items() if gg == g and p == "ref")
+        n_cur = sum(v for (gg, p, _), v in agg.items() if gg == g and p == "cur")
+        psi = 0.0
+        for b in range(n_bins):
+            c_ref = agg.get((g, "ref", b), 0)
+            c_cur = agg.get((g, "cur", b), 0)
+            p_ref = (c_ref + 1) / (n_ref + n_bins)
+            p_cur = (c_cur + 1) / (n_cur + n_bins)
+            psi += (p_cur - p_ref) * math.log(p_cur / p_ref)
+        gn_ref, gn_cur, gpsi, gdrift = got[g]
+        assert (gn_ref, gn_cur) == (n_ref, n_cur)
+        assert abs(gpsi - psi) <= 2e-6
+        assert gdrift == int(round(psi, 6) >= 0.1)
+
+
+_wins_rows = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(-100, 100)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(raw=_wins_rows)
+@_SETTINGS
+def test_winsorized_mean_matches_naive(spark, raw):
+    """Winsorized mean vs a Python clip-and-average using the same
+    linear-interpolation percentile definition."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.timeseries import (
+        winsorized_mean,
+    )
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in raw], ["g", "v"]
+    )
+    got = {
+        r["g"]: (r["n"], r["winsorized_mean"])
+        for r in winsorized_mean(df, "g", "v").collect()
+    }
+
+    def pct(sorted_vals, q):
+        # Spark `percentile` / numpy 'linear': rank = q * (n - 1)
+        n = len(sorted_vals)
+        rank = q * (n - 1)
+        lo = int(rank)
+        frac = rank - lo
+        if lo + 1 < n:
+            return sorted_vals[lo] + frac * (sorted_vals[lo + 1] - sorted_vals[lo])
+        return sorted_vals[lo]
+
+    groups = {}
+    for g, v in raw:
+        groups.setdefault(g, []).append(float(v))
+    for g, vals in groups.items():
+        s = sorted(vals)
+        p_lo = round(pct(s, 0.05), 6)
+        p_hi = round(pct(s, 0.95), 6)
+        clipped = [min(max(v, p_lo), p_hi) for v in vals]
+        micro = sum(int(round(v * 1e6)) for v in clipped)
+        want = micro / 1e6 / len(vals)
+        n_got, mean_got = got[g]
+        assert n_got == len(vals)
+        assert abs(mean_got - want) <= 2e-6, (g, vals)
+
+
+_hll_keys = st.lists(st.integers(0, 10_000), min_size=1, max_size=80)
+
+
+@given(keys=_hll_keys)
+@_SETTINGS
+def test_hll_estimate_matches_reference_formula(spark, keys):
+    """HLL estimate vs an independent Python implementation of the
+    Flajolet estimator E = alpha_m * m^2 / sum_j 2^-M_j, where M_j is
+    the register rank (index of the lowest set bit of the hash suffix,
+    +1; 0 for an empty register; pinned to 54 for a zero suffix).
+    Catches register-assignment, rank, and scaling errors."""
+    import hashlib
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        sketches,
+    )
+
+    m = sketches.HLL_M
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    [row] = sketches.hll_estimate(df, "k").collect()
+
+    regs = {}
+    for k in set(keys):
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+        bucket, w = h % m, h // m
+        rho = 54 if w == 0 else (w & -w).bit_length()
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    # exact-integer sum of 2^(55-rho): empty registers contribute 2^55
+    s = sum(1 << (55 - r) for r in regs.values()) + (m - len(regs)) * (1 << 55)
+    alpha = sketches.hll_alpha(m)
+    want = round(alpha * m * m * float(1 << 55) / float(s), 2)
+    assert row["buckets_used"] == len(regs)
+    assert abs(row["hll_estimate"] - want) <= 0.01
+
+
+_cms_keys = st.lists(st.integers(0, 30), min_size=1, max_size=60)
+
+
+@given(keys=_cms_keys)
+@_SETTINGS
+def test_cms_topk_overestimates_never_undercounts(spark, keys):
+    """Count-min guarantee: every key's estimate is >= its true count
+    (collisions only add mass) and <= the total row count (each row
+    lands exactly once per hash row)."""
+    from collections import Counter
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        sketches,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    truth = Counter(keys)
+    out = sketches.cms_topk(df, "k", k=len(truth)).collect()
+    assert len(out) == len(truth)
+    for r in out:
+        assert truth[r["k"]] <= r["cms_count"] <= len(keys), r

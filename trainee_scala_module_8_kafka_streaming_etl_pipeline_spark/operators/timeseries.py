@@ -202,6 +202,91 @@ def ewma(
     )
 
 
+def changepoint_cusum(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """CUSUM change-point locator per group: the day where the
+    cumulative deviation from the series mean peaks — the classic
+    mean-shift detector.
+
+    The fact-sized daily rollup accumulates as exact DECIMAL (partial-
+    order independent); the per-day deviations then accumulate as
+    doubles INSIDE the ordered window, where any engine performs the
+    identical sequential IEEE additions — the one place double math is
+    reproducible by construction.  One daily rollup (fact-sized), then
+    O(groups x days) window + argmax.
+    """
+    daily = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col, F.date_trunc("day", ts_col).alias("day"))
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+    tot = daily.groupBy(group_col).agg(
+        F.sum("s").alias("ts_"), F.sum("c").alias("tc")
+    )
+    w = Window.partitionBy(group_col).orderBy("day")
+    cus = daily.join(tot, group_col).select(
+        group_col,
+        "day",
+        F.sum(
+            F.col("s").cast("double")
+            - F.col("c")
+            * (F.col("ts_").cast("double") / F.col("tc").cast("double"))
+        ).over(w).alias("cusum"),
+    )
+    return cus.groupBy(group_col).agg(
+        F.max_by("day", F.abs("cusum")).alias("change_day"),
+        F.round(F.max(F.abs("cusum")), 4).alias("max_cusum"),
+    )
+
+
+def winsorized_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Winsorized mean per group: clip each value into its group's
+    [p_lo, p_hi] band, then average — the robust central tendency that,
+    unlike trimming or MAD filtering, keeps every row's vote.
+
+    Exact percentiles come from one ``percentile`` aggregate (linear
+    interpolation, rounded to 6 dp); the boundary table is group-
+    cardinality so it broadcasts back onto the fact rows, and the
+    clipped sum accumulates in integer micro-units so the mean is
+    engine-exact.  At 100 TB swap the exact percentile for the
+    mergeable histogram sketch (sketches.hist_quantiles) — the
+    clip-join shape is unchanged.
+    """
+    b = df.groupBy(group_col).agg(
+        F.round(
+            F.expr(f"percentile(cast({value_col} as double), {lo})"), 6
+        ).alias("p_lo"),
+        F.round(
+            F.expr(f"percentile(cast({value_col} as double), {hi})"), 6
+        ).alias("p_hi"),
+    )
+    wv = F.greatest(F.least(F.col(value_col), F.col("p_hi")), F.col("p_lo"))
+    micro = F.sum(F.round(wv * 1e6).cast("bigint")).cast("bigint")
+    return (
+        df.join(F.broadcast(b), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(micro / F.lit(1e6) / F.count(F.lit(1)), 6).alias(
+                "winsorized_mean"
+            ),
+        )
+    )
+
+
 def dow_seasonality(
     df: DataFrame,
     key_cols: Sequence[str],
