@@ -1758,6 +1758,40 @@ def q_lang_id(spark, sf):
 
 
 @_q(
+    "lang_id_eval",
+    f"""
+    WITH p AS (SELECT lang, {_pred_lang_sql()} AS pred_lang FROM documents)
+    SELECT lang, pred_lang, count(*) AS n,
+           round(count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY lang), 6)
+             AS frac_of_lang
+    FROM p GROUP BY lang, pred_lang
+    """,
+)
+def q_lang_id_eval(spark, sf):
+    """Language-ID confusion matrix: predicted language (the n-gram
+    heuristic of functions/text.py) against the labeled ``lang``
+    column, with each cell's share of its true-language row — the eval
+    that tells you which languages the heuristic collapses before you
+    trust its routing decisions (completing the eval family alongside
+    the ANN recall and sketch-accuracy entries).  One map-side-combined
+    rollup to |langs|² cells; the share window runs over that tiny
+    aggregate, never the fact table."""
+    d = load(spark, sf, "documents")
+    cells = (
+        d.select("lang", T.predicted_lang().alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "pred_lang",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("frac_of_lang"),
+    )
+
+
+@_q(
     "token_count",
     f"""
     SELECT lang,
@@ -4431,11 +4465,11 @@ def q_ann_ivf_topk(spark, sf):
     return similarity.ivf_topk(load(spark, sf, "embeddings"))
 
 
-def _oracle_lsh() -> str:
-    """Mirror of similarity.lsh_topk: identical Rademacher hyperplanes
+def _lsh_bucket_union_sql() -> str:
+    """Shared SQL fragment: every vector's (table_idx, bucket) rows with
+    the identical Rademacher hyperplanes as similarity.lsh_planes
     (inlined +-v[i] sum chains — same left-to-right double addition
-    order as Spark's aggregate fold), per-table buckets, candidate
-    union, exact-cosine ranking."""
+    order as Spark's aggregate fold)."""
     tables = similarity.lsh_planes()
 
     def bucket_sql(planes: list[list[float]]) -> str:
@@ -4447,10 +4481,16 @@ def _oracle_lsh() -> str:
             terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END)")
         return " + ".join(terms)
 
-    b_union = "\n      UNION ALL ".join(
+    return "\n      UNION ALL ".join(
         f"SELECT vec_id, v, {t} AS table_idx, {bucket_sql(tables[t])} AS bucket FROM c"
         for t in range(similarity.LSH_TABLES)
     )
+
+
+def _oracle_lsh() -> str:
+    """Mirror of similarity.lsh_topk: per-table buckets, candidate
+    union, exact-cosine ranking."""
+    b_union = _lsh_bucket_union_sql()
     return f"""
     WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     b AS (
@@ -4477,6 +4517,38 @@ def q_ann_lsh_topk(spark, sf):
     data-independent bucketing (no centroid training pass), candidates =
     union of the query's bucket across 4 tables of 8 sign bits."""
     return similarity.lsh_topk(load(spark, sf, "embeddings"))
+
+
+def _oracle_lsh_hist() -> str:
+    b_union = _lsh_bucket_union_sql()
+    return f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (
+      {b_union}),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, x.vec_id AS id_b,
+             a.v AS v_a, x.v AS v_b
+      FROM b a JOIN b x ON a.table_idx = x.table_idx AND a.bucket = x.bucket
+      WHERE a.vec_id < x.vec_id),
+    cosed AS (SELECT {_cos_sql('v_a', 'v_b')} AS cos FROM pairs),
+    binned AS (
+      SELECT least(cast(floor(cos / 0.05::DOUBLE) AS int), 19) AS bin FROM cosed)
+    SELECT bin, round(bin * 0.05::DOUBLE, 6) AS cos_lo, count(*) AS n_pairs
+    FROM binned GROUP BY bin
+    """
+
+
+@_q("embedding_similarity_histogram", _oracle_lsh_hist())
+def q_embedding_similarity_histogram(spark, sf):
+    """Threshold-tuning dashboard for embedding dedup
+    (operators/similarity.py:lsh_pair_cosine_histogram): the cosine
+    distribution of all LSH candidate pairs in 0.05 bins.  Read before
+    picking embedding_neardup's cutoff — a clean corpus shows the
+    duplicate spike separated from the collision bulk, a smeared valley
+    means the threshold would split real clusters.  Costs one dedup
+    candidate pass (GEMM sign bits, bucket self-join, pair dedup before
+    the exact cosine), reduced map-side to <= 40 histogram rows."""
+    return similarity.lsh_pair_cosine_histogram(load(spark, sf, "embeddings"))
 
 
 @_q(
@@ -8166,6 +8238,80 @@ def q_psi_drift(spark, sf):
     return profiling.psi_drift(_events(spark, sf))
 
 
+@_q(
+    "length_drift_by_source",
+    """
+    WITH b AS (
+      SELECT cast((min(doc_id) + max(doc_id)) // 2 AS bigint) AS mid
+      FROM documents),
+    binned AS (
+      SELECT source AS grp,
+             CASE WHEN doc_id < b.mid THEN 'ref' ELSE 'cur' END AS period,
+             greatest(0, least(cast(floor(n_chars / 30.0) AS int), 19)) AS bin
+      FROM documents, b WHERE n_chars IS NOT NULL),
+    counts AS (
+      SELECT grp, period, bin, count(*) AS c FROM binned GROUP BY 1, 2, 3),
+    spine AS (
+      SELECT g.grp, r.range::INT AS bin
+      FROM (SELECT DISTINCT grp FROM binned) g CROSS JOIN range(20) r),
+    full_bins AS (
+      SELECT s.grp, s.bin,
+             coalesce(cr.c, 0) AS c_ref, coalesce(cc.c, 0) AS c_cur
+      FROM spine s
+      LEFT JOIN counts cr ON cr.grp = s.grp AND cr.bin = s.bin AND cr.period = 'ref'
+      LEFT JOIN counts cc ON cc.grp = s.grp AND cc.bin = s.bin AND cc.period = 'cur'),
+    tot AS (
+      SELECT grp, sum(c_ref) AS n_ref, sum(c_cur) AS n_cur
+      FROM full_bins GROUP BY grp),
+    psi AS (
+      SELECT f.grp,
+             cast(t.n_ref AS bigint) AS n_ref,
+             cast(t.n_cur AS bigint) AS n_cur,
+             round(sum(((f.c_cur + 1) / (t.n_cur + 20.0)
+                        - (f.c_ref + 1) / (t.n_ref + 20.0))
+                       * ln(((f.c_cur + 1) / (t.n_cur + 20.0))
+                            / ((f.c_ref + 1) / (t.n_ref + 20.0)))), 6) AS psi
+      FROM full_bins f JOIN tot t USING (grp)
+      GROUP BY f.grp, t.n_ref, t.n_cur)
+    SELECT grp AS source, n_ref, n_cur, psi,
+           cast(psi >= 0.1 AS int) AS drifted
+    FROM psi
+    """,
+)
+def q_length_drift_by_source(spark, sf):
+    """PSI of the document-length distribution per source between the
+    first and second half of the ingest order (doc_id plays the ingest
+    axis documents lack a timestamp for) — the corpus-health gate that
+    catches a crawler or extractor silently changing behavior mid-run
+    (truncation bugs, boilerplate-stripper regressions).  Reuses the
+    mergeable count-table PSI core (operators/profiling.py:
+    psi_from_counts — the same state the streaming monitor maintains):
+    one scan for the id bounds, one narrow bin assignment, then
+    everything is O(sources x bins)."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.profiling import (
+        psi_from_counts,
+    )
+
+    d = load(spark, sf, "documents").filter(F.col("n_chars").isNotNull())
+    bounds = d.agg(
+        ((F.min("doc_id") + F.max("doc_id")) / 2).cast("bigint").alias("mid")
+    )
+    binned = d.crossJoin(F.broadcast(bounds)).select(
+        F.col("source").alias("grp"),
+        F.when(F.col("doc_id") < F.col("mid"), F.lit("ref"))
+        .otherwise(F.lit("cur"))
+        .alias("period"),
+        F.greatest(
+            F.lit(0),
+            F.least(F.floor(F.col("n_chars") / 30.0), F.lit(19)),
+        ).cast("int").alias("bin"),
+    )
+    counts = binned.groupBy("grp", "period", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return psi_from_counts(counts, "source", n_bins=20)
+
+
 @_q("streaming_psi_drift", _REGISTRY["psi_drift"][1])
 def q_streaming_psi_drift(spark, sf):
     """Continuously-maintained drift monitor (streaming/drift.py): the
@@ -9448,6 +9594,87 @@ def q_ann_pq_topk(spark, sf):
     argmin and ranking are order-independent integer arithmetic and the
     DuckDB replay is bit-identical."""
     return similarity.pq_topk(load(spark, sf, "embeddings"))
+
+
+def _oracle_ivf_pq() -> str:
+    S, D, NC, ST = (
+        similarity.PQ_SUBS,
+        similarity.PQ_DSUB,
+        similarity.PQ_CODES,
+        similarity.PQ_CW_STRIDE,
+    )
+    dist = (
+        "cast(round(round((SELECT sum(({a}[sc.s * {D} + i] - {b}[sc.s * {D} + i])"
+        " * ({a}[sc.s * {D} + i] - {b}[sc.s * {D} + i]))"
+        " FROM generate_series(1, {D}) AS g(i)), 6) * 1e6) AS bigint)"
+    )
+    return f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM c WHERE vec_id % 50 = 0),
+    ascore AS (
+      SELECT a.vec_id, cent.centroid_id, {_cos_sql('a.v', 'cent.cv')} AS ccos
+      FROM c a CROSS JOIN cent),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, centroid_id) AS rn
+        FROM ascore) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+    pscore AS (
+      SELECT q.query_id, cent.centroid_id, {_cos_sql('q.qv', 'cent.cv')} AS ccos
+      FROM q CROSS JOIN cent),
+    probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ccos DESC, centroid_id) AS rn
+        FROM pscore) WHERE rn <= 2),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM assigned a JOIN probes p USING (centroid_id)
+      WHERE a.vec_id <> p.query_id),
+    cw AS (SELECT (vec_id // {ST})::INT AS code, v AS w FROM c
+           WHERE vec_id % {ST} = 0 AND vec_id < {NC * ST}),
+    sc AS (SELECT unnest(range(0, {S})) AS s),
+    ad AS (
+      SELECT a.vec_id, sc.s, cw.code,
+             {dist.format(a="a.v", b="cw.w", D=D)} AS dmic
+      FROM c a CROSS JOIN sc CROSS JOIN cw),
+    codes AS (
+      SELECT vec_id, s, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY dmic, code) AS rn
+        FROM ad) WHERE rn = 1),
+    qd AS (
+      SELECT q.query_id, sc.s, cw.code,
+             {dist.format(a="q.qv", b="cw.w", D=D)} AS dmic
+      FROM q CROSS JOIN sc CROSS JOIN cw),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id, sum(qd.dmic) AS admic
+      FROM cand
+      JOIN codes ON codes.vec_id = cand.neighbor_id
+      JOIN qd ON qd.query_id = cand.query_id
+             AND qd.s = codes.s AND qd.code = codes.code
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, admic / 1e6 AS approx_d2, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY admic, neighbor_id) AS rnk
+      FROM scored) WHERE rnk <= 5
+    """
+
+
+@_q("ann_ivf_pq_topk", _oracle_ivf_pq())
+def q_ann_ivf_pq_topk(spark, sf):
+    """IVF-PQ ANN (operators/similarity.py:ivf_pq_topk): the IVF coarse
+    quantizer limits each query to its 2 probed clusters and PQ codes
+    supply the in-cluster distances — the production layout where a
+    100 TB corpus is partitioned by coarse cluster (partition pruning
+    per query) and scanned as 8-byte codes against a broadcast lookup
+    table, never as raw vectors.  Composes the two existing approximate
+    halves (ann_ivf_topk, ann_pq_topk) into the shape they exist to
+    serve; computation is fully deterministic (stride centroids and
+    codewords, fixed tie-breaks, integer micro-unit distances), so the
+    oracle replays the algorithm exactly."""
+    return similarity.ivf_pq_topk(load(spark, sf, "embeddings"))
 
 
 _DAU_WIN = 7  # trailing window in days

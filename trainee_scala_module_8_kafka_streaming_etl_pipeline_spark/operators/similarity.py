@@ -284,6 +284,56 @@ def lsh_topk(
     )
 
 
+def lsh_pair_cosine_histogram(
+    emb: DataFrame,
+    n_tables: int = LSH_TABLES,
+    bin_width: float = 0.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine-similarity histogram over the LSH candidate pairs — the
+    threshold-tuning dashboard for embedding dedup: before committing to
+    a near-dup cutoff, look at where the candidate mass actually sits
+    (a clean corpus shows a near-1.0 spike well separated from the
+    bucket-collision bulk; a smeared valley means the threshold splits
+    real duplicate clusters).
+
+    Same candidate generation as lsh_topk (one Arrow-batched GEMM for
+    all sign bits, keyed self-join per (table, bucket), pair dedup
+    BEFORE the exact cosine), then a map-side-combined rollup to at
+    most 2/bin_width rows.  Costs what one dedup candidate pass costs —
+    never O(N²)."""
+    tables = lsh_planes(n_tables)
+    buckets = _bucketize_pandas(emb, tables, id_col, vec_col)
+    a = buckets.select(
+        "table_idx", "bucket",
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
+    )
+    b = buckets.select(
+        "table_idx", "bucket",
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
+    )
+    pairs = (
+        a.join(b, ["table_idx", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(cosine_col("v_a", "v_b").alias("cos"))
+    )
+    bin_col = F.least(
+        F.floor(F.col("cos") / bin_width).cast("int"),
+        F.lit(int(1.0 / bin_width) - 1),
+    )
+    return (
+        pairs.groupBy(bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "bin",
+            F.round(F.col("bin") * bin_width, 6).alias("cos_lo"),
+            "n_pairs",
+        )
+    )
+
+
 def benchmark_screen(
     emb: DataFrame,
     bench_mod: int = 97,
@@ -628,6 +678,130 @@ def pq_topk(
     w = Window.partitionBy("query_id").orderBy("admic", "neighbor_id")
     return (
         scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("admic") / F.lit(1e6)).alias("approx_d2"),
+            "rnk",
+        )
+    )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    centroid_stride: int = 50,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the production ANN shape that combines both halves built
+    above — the IVF coarse quantizer restricts each query's search to
+    ``nprobe`` clusters (compute: nprobe/K of the corpus), and PQ codes
+    provide the in-cluster distances (memory: 8 codebook indices per
+    vector instead of 64 floats).
+
+    At 100 TB this is THE layout: the corpus is hash-partitioned by
+    coarse cluster, a query touches only its probed partitions
+    (partition pruning on the cluster id), and within them scans 8-byte
+    codes against a broadcast per-query lookup table — raw vectors are
+    never read on the query path.
+
+    Deterministic like its parents: stride centroids, fixed tie-breaks
+    (higher cosine then lower centroid id; lower code id), integer
+    micro-unit distances; ranking is integer arithmetic, so the DuckDB
+    replay is bit-identical.
+    """
+    # --- coarse quantizer (ivf_topk's assignment + probes) ---
+    cent = emb.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
+    )
+    assigned = (
+        emb.join(F.broadcast(cent))
+        .select(
+            id_col, "centroid_id", cosine_col(vec_col, "c_vec").alias("ccos")
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                "centroid_id",
+                F.struct(F.col("ccos"), (-F.col("centroid_id")).alias("nid")),
+            ).alias("centroid_id")
+        )
+    )
+    q = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("ccos"), F.asc("centroid_id")
+    )
+    probes = (
+        q.join(F.broadcast(cent))
+        .select(
+            "query_id", "centroid_id", cosine_col("q_vec", "c_vec").alias("ccos")
+        )
+        .withColumn("r", F.row_number().over(w_probe))
+        .filter(F.col("r") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+    )
+
+    # --- fine quantizer (pq_topk's codes + asymmetric distance table) ---
+    subs = F.explode(F.array(*[F.lit(s) for s in range(PQ_SUBS)])).alias("s")
+    cw = (
+        emb.filter(
+            (F.col(id_col) % PQ_CW_STRIDE == 0)
+            & (F.col(id_col) < PQ_CODES * PQ_CW_STRIDE)
+        )
+        .select(
+            (F.col(id_col) / PQ_CW_STRIDE).cast("int").alias("code"),
+            F.col(vec_col).alias("cw_vec"),
+        )
+        .select("code", "cw_vec", subs)
+    )
+    corpus = emb.select(F.col(id_col), F.col(vec_col).alias("v")).select(
+        id_col, "v", subs
+    )
+    codes = (
+        corpus.join(F.broadcast(cw), "s")
+        .select(
+            id_col,
+            "s",
+            F.struct(
+                _subdist_micro("v", "cw_vec").alias("dmic"), F.col("code")
+            ).alias("dc"),
+        )
+        .groupBy(id_col, "s")
+        .agg(F.min("dc").alias("dc"))
+        .select(id_col, "s", F.col("dc.code").alias("code"))
+    )
+    dtab = (
+        emb.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .select("query_id", "qv", subs)
+        .join(F.broadcast(cw), "s")
+        .select("query_id", "s", "code", _subdist_micro("qv", "cw_vec").alias("dmic"))
+    )
+    # score ONLY the IVF candidates: codes shuffle once on the vector id
+    # to meet the candidate list; the lookup table stays broadcast.
+    scored = (
+        cand.join(codes, cand.neighbor_id == codes[id_col])
+        .join(
+            F.broadcast(dtab),
+            ["query_id", "s", "code"],
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("dmic").alias("admic"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("admic", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
         .filter(F.col("rnk") <= k)
         .select(
             "query_id",
