@@ -116,6 +116,12 @@ HEADLINE = [
     "hll_sliding_dau",
     "streaming_funnel",
     "streaming_scd2",
+    # round 4 additions
+    "ann_ivf_pq_topk",
+    "embedding_similarity_histogram",
+    "length_drift_by_source",
+    "lang_id_eval",
+    "streaming_restart_resume",
 ]
 
 

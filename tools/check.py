@@ -53,8 +53,14 @@ def value_hash(cols, rows):
 
 
 def main():
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    out_path = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -142,6 +148,24 @@ def main():
         or v.get("type_match") is False
     }
     print(json.dumps({"n": len(results), "bad": list(bad)}, indent=0))
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(
+                {
+                    "sf": sf,
+                    "n": len(results),
+                    "bad": sorted(bad),
+                    "method": (
+                        "per query: Spark result vs DuckDB oracle_sql on the"
+                        " same parquet tables; row count + sorted-column"
+                        " schema + sha256 value hash of sorted rows"
+                        " (floats rounded 9dp) + normalized result types"
+                    ),
+                    "results": {k: results[k] for k in sorted(results)},
+                },
+                fh,
+                indent=1,
+            )
     spark.stop()
     return 1 if bad else 0
 
