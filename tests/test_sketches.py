@@ -338,3 +338,55 @@ def test_sliding_dau_window_merge_tracks_exact(spark, monkeypatch):
     # day 1 window = day 1 only; day 8 window = days 2..8 -> only day 8
     assert out["2024-01-01 00:00:00"] == 10
     assert out["2024-01-08 00:00:00"] == 5
+
+
+def test_state_commit_vacuums_but_replay_still_works(spark, tmp_path):
+    """The version-per-batch sinks prune to the newest two versions per
+    commit (disk stays O(state), not O(batches)), and a replay of the
+    LAST batch — the only one structured streaming can re-run — still
+    finds its prior version and produces identical state."""
+    import datetime as dt
+    import os
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.transitions import (
+        merge_transitions_batch,
+        read_transitions,
+    )
+
+    state = str(tmp_path / "s")
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def mkdf(rows):
+        return spark.createDataFrame(
+            [
+                (u, t, base + dt.timedelta(minutes=m), i)
+                for i, (u, t, m) in enumerate(rows)
+            ],
+            ["user_id", "event_type", "ts", "event_id"],
+        )
+
+    batches = [
+        [(1, "A", 0), (1, "B", 1), (2, "A", 2)],
+        [(1, "C", 3), (2, "B", 4)],
+        [(2, "C", 5), (1, "A", 6)],
+        [(1, "B", 7)],
+    ]
+    for i, b in enumerate(batches):
+        merge_transitions_batch(mkdf(b), state, i)
+
+    versions = sorted(
+        d for d in os.listdir(state) if d.startswith("v=")
+    )
+    assert versions == ["v=2", "v=3"], versions  # pruned to newest two
+
+    before = {
+        (r.from_type, r.to_type): (r.n, r.p)
+        for r in read_transitions(spark, state).collect()
+    }
+    # crash-replay the final batch against the vacuumed directory
+    merge_transitions_batch(mkdf(batches[-1]), state, len(batches) - 1)
+    after = {
+        (r.from_type, r.to_type): (r.n, r.p)
+        for r in read_transitions(spark, state).collect()
+    }
+    assert after == before
