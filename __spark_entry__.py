@@ -1613,6 +1613,37 @@ def q_dedup_clusters(spark, sf):
     return dedup.neardup_clusters(load(spark, sf, "documents"))
 
 
+@_q(
+    "dedup_cluster_size_histogram",
+    """
+    WITH cl AS ({clusters}),
+    sizes AS (SELECT cluster_id, count(*) AS sz FROM cl GROUP BY cluster_id)
+    SELECT sz AS cluster_size, count(*) AS n_clusters,
+           cast(sz * count(*) AS bigint) AS n_docs
+    FROM sizes GROUP BY sz
+    """.format(clusters=_REGISTRY["dedup_clusters"][1]),
+)
+def q_dedup_cluster_size_histogram(spark, sf):
+    """Dedup blast-radius dashboard: the size distribution of near-dup
+    connected components (1-doc clusters = unique docs; the tail shows
+    how much of the corpus collapses into a few heavy clusters — the
+    number that decides whether keep-one-per-cluster dedup changes the
+    corpus mix).  Two O(docs)-row rollups on top of the cluster
+    labeling; the expensive part is the shared CC fixpoint already
+    audited under dedup_clusters."""
+    cl = dedup.neardup_clusters(load(spark, sf, "documents"))
+    sizes = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("sz").alias("cluster_size"),
+            "n_clusters",
+            (F.col("sz") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+        )
+    )
+
+
 def _oracle_simhash_fp() -> str:
     # mirrors dedup.simhash_fingerprints' packed-counter aggregation:
     # 3 one-counters per word in 20-bit fields, majority = 2*ones-n > 0
@@ -6361,6 +6392,56 @@ def q_inverted_index(spark, sf):
         ).alias("sample_docs"),
     )
     return occ.join(post, "term").select("term", "n_occ", "df", "sample_docs")
+
+
+_BM25_TERMS = ("hash", "join", "vector")
+
+
+@_q(
+    "bm25_topk",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             cast(round(round(
+               round(ln(1.0::DOUBLE + (s.n_docs - df.df + 0.5::DOUBLE)
+                                      / (df.df + 0.5::DOUBLE)), 6)
+               * tf.tf * 2.2::DOUBLE
+               / (tf.tf + 1.2::DOUBLE
+                  * (0.25::DOUBLE + 0.75::DOUBLE * dl.dl / s.avgdl)), 6)
+               * 1e6) AS bigint) AS smic
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s),
+    agg AS (SELECT doc_id, cast(sum(smic) AS bigint) AS smic
+            FROM scored GROUP BY doc_id)
+    SELECT doc_id, round(smic / 1e6, 6) AS bm25, rnk FROM (
+      SELECT *, row_number() OVER (ORDER BY smic DESC, doc_id) AS rnk
+      FROM agg) WHERE rnk <= 10
+    """,
+)
+def q_bm25_topk(spark, sf):
+    """BM25 keyword retrieval (operators/retrieval.py:bm25_topk) for the
+    query bag {hash, join, vector} — the lexical half every production
+    retrieval stack pairs with the ANN family.  Term filtering lands
+    immediately after the tokenize explode so only query-term postings
+    reach the tf aggregate (at index scale these come straight from the
+    materialized inverted_index); corpus stats are a 1-row broadcast;
+    per-term scores quantize to integer micro-units after one rounded
+    ln, so the document score is an order-independent integer sum and
+    ties rank by doc_id."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        retrieval,
+    )
+
+    return retrieval.bm25_topk(load(spark, sf, "documents"), _BM25_TERMS)
 
 
 @_q(

@@ -122,6 +122,8 @@ HEADLINE = [
     "length_drift_by_source",
     "lang_id_eval",
     "streaming_restart_resume",
+    "bm25_topk",
+    "dedup_cluster_size_histogram",
 ]
 
 

@@ -913,3 +913,61 @@ def test_cms_topk_overestimates_never_undercounts(spark, keys):
     assert len(out) == len(truth)
     for r in out:
         assert truth[r["k"]] <= r["cms_count"] <= len(keys), r
+
+
+_bm25_docs = st.lists(
+    st.lists(
+        st.sampled_from(["hash", "join", "vector", "scan", "row", "agg"]),
+        min_size=1,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(doc_words=_bm25_docs)
+@_SETTINGS
+def test_bm25_matches_naive(spark, doc_words):
+    """BM25 scores and ranking vs a direct Python computation of the
+    Lucene idf / tf-saturation formula on tiny adversarial corpora
+    (single-word docs, query terms absent, all-identical docs)."""
+    import math
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    terms = ("hash", "join")
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(doc_words)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["bm25"], r["rnk"])
+        for r in bm25_topk(df, terms, k=len(docs)).collect()
+    }
+
+    n = len(docs)
+    avgdl = sum(len(ws) for ws in doc_words) / n
+    dfreq = {
+        t: sum(1 for ws in doc_words if t in ws) for t in terms
+    }
+    want = {}
+    for i, ws in enumerate(doc_words):
+        smic = 0
+        for t in terms:
+            tf = ws.count(t)
+            if tf == 0:
+                continue
+            idf = round(
+                math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5)), 6
+            )
+            s = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(ws) / avgdl))
+            smic += int(round(round(s, 6) * 1e6))
+        if smic or any(t in ws for t in terms):
+            want[i] = smic / 1e6
+    assert set(got) == set(want)
+    for i, score in want.items():
+        assert abs(got[i][0] - score) <= 2e-6, (i, doc_words)
+    # ranking: descending score, ties by doc_id
+    order = sorted(want, key=lambda i: (-want[i], i))
+    assert [i for i, _ in sorted(got.items(), key=lambda kv: kv[1][1])] == order
