@@ -5927,28 +5927,14 @@ def q_mad_outliers(spark, sf):
     a count of points beyond 3×MAD. Three passes over events, but each
     reduction is a 5-group aggregate whose result BROADCASTS back — the
     raw table is never shuffled, so the plan is three scans + map-side
-    joins, the right trade at 100 TB (percentile state stays tiny)."""
-    e = _events(spark, sf).select("event_type", "value")
-    med = e.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5D)").alias("median_value")
+    joins, the right trade at 100 TB (percentile state stays tiny).
+    Implementation: operators/profiling.py:mad_outliers (shared with
+    the hypothesis property test against a naive Python reference)."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        profiling,
     )
-    dev = e.join(F.broadcast(med), "event_type").withColumn(
-        "adev", F.abs(F.col("value") - F.col("median_value"))
-    )
-    stats = dev.groupBy("event_type").agg(
-        F.round(F.any_value("median_value"), 6).alias("median_value"),
-        F.round(F.expr("percentile(adev, 0.5D)"), 6).alias("mad"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-    return (
-        e.join(F.broadcast(stats), "event_type")
-        .groupBy("event_type", "median_value", "mad", "n_events")
-        .agg(
-            F.count(
-                F.when(F.abs(F.col("value") - F.col("median_value")) > 3 * F.col("mad"), 1)
-            ).alias("n_outliers")
-        )
-    )
+
+    return profiling.mad_outliers(_events(spark, sf), "event_type", "value")
 
 
 @_q(

@@ -971,3 +971,96 @@ def test_bm25_matches_naive(spark, doc_words):
     # ranking: descending score, ties by doc_id
     order = sorted(want, key=lambda i: (-want[i], i))
     assert [i for i, _ in sorted(got.items(), key=lambda kv: kv[1][1])] == order
+
+
+_mad_rows = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(-100, 100)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(raw=_mad_rows)
+@_SETTINGS
+def test_mad_outliers_matches_naive(spark, raw):
+    """MAD outlier screen vs a direct Python median / median-of-
+    deviations / strict 3×MAD count."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.profiling import (
+        mad_outliers,
+    )
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in raw], ["g", "v"]
+    )
+    got = {
+        r["g"]: (r["median_value"], r["mad"], r["n_events"], r["n_outliers"])
+        for r in mad_outliers(df, "g", "v").collect()
+    }
+
+    def median(vals):
+        s = sorted(vals)
+        n = len(s)
+        rank = 0.5 * (n - 1)
+        lo = int(rank)
+        frac = rank - lo
+        return s[lo] + frac * (s[lo + 1] - s[lo]) if lo + 1 < n else s[lo]
+
+    groups = {}
+    for g, v in raw:
+        groups.setdefault(g, []).append(float(v))
+    for g, vals in groups.items():
+        med = round(median(vals), 6)
+        mad = round(median([abs(v - med) for v in vals]), 6)
+        n_out = sum(1 for v in vals if abs(v - med) > 3 * mad)
+        gm, gmad, gn, gout = got[g]
+        assert abs(gm - med) <= 1e-6
+        assert abs(gmad - mad) <= 1e-6
+        assert gn == len(vals)
+        assert gout == n_out, (g, vals, med, mad)
+
+
+_gopher_tokens = st.lists(
+    st.sampled_from(
+        ["the", "and", "of", "is", "table", "hash", "##", "...", "1234",
+         "x", "reallylongtokenvalue", "a"]
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(tokens=_gopher_tokens)
+@_SETTINGS
+def test_gopher_keep_matches_naive(spark, tokens):
+    """Gopher rule conjunction vs a direct Python evaluation of each
+    rule (word-count bounds, mean word length, alpha fraction, symbol
+    ratio, stopword floor) on adversarial token soups."""
+    import re
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.functions import (
+        text as T,
+    )
+
+    text = " ".join(tokens)
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    [row] = df.select(T.gopher_keep().alias("keep")).collect()
+
+    toks = re.split(r"\s+", text.strip())  # mirrors size(split(trim()))
+    n = len(toks)
+    nonspace = len(re.sub(r"\s+", "", text))
+    avg_len = round(nonspace / max(n, 1), 6)
+    alpha = round(
+        sum(1 for w in toks if re.search("[a-zA-Z]", w)) / max(n, 1), 6
+    )
+    sym = round(len(re.findall(r"#|\.\.\.", text)) / max(n, 1), 6)
+    stops = len(
+        re.findall(r"\b(the|a|and|of|in|to|is|it)\b", text.lower())
+    )
+    want = int(
+        20 <= n <= 5000
+        and 3.0 <= avg_len <= 10.0
+        and alpha >= 0.8
+        and sym <= 0.1
+        and stops >= 2
+    )
+    assert row["keep"] == want, (text, n, avg_len, alpha, sym, stops)
