@@ -6430,6 +6430,35 @@ def q_bm25_topk(spark, sf):
     return retrieval.bm25_topk(load(spark, sf, "documents"), _BM25_TERMS)
 
 
+@_q("streaming_bm25", _REGISTRY["bm25_topk"][1])
+def q_streaming_bm25(spark, sf):
+    """Continuously-maintained BM25 index (streaming/index.py): each
+    micro-batch folds its postings (per-doc query-term tf + doc length)
+    and corpus totals into a versioned state table with additive
+    merges; the read side scores the standing query {hash, join,
+    vector} from state, never re-tokenizing the corpus.  Every BM25
+    statistic is an associative sum, so the maintained top-k equals
+    the batch operator over everything ingested — bm25_topk's SQL is
+    the exact oracle.  Exactly-once via the version-per-batch commit
+    protocol (state version == batch id; replay overwrites, never
+    double-counts)."""
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.index import (
+        read_bm25_topk,
+        run_index_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_bm25_")
+    schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    sdf = spark.readStream.schema(schema).parquet(f"{sf}/documents.parque[t]")
+    with _stream_partitions(spark):
+        run_index_stream(
+            sdf.select("doc_id", "text"), f"{base}/state", _BM25_TERMS
+        )
+    return read_bm25_topk(spark, f"{base}/state")
+
+
 @_q(
     "snapshot_diff",
     """

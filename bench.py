@@ -124,6 +124,7 @@ HEADLINE = [
     "streaming_restart_resume",
     "bm25_topk",
     "dedup_cluster_size_histogram",
+    "streaming_bm25",
 ]
 
 

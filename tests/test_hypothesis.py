@@ -1064,3 +1064,65 @@ def test_gopher_keep_matches_naive(spark, tokens):
         and stops >= 2
     )
     assert row["keep"] == want, (text, n, avg_len, alpha, sym, stops)
+
+
+@given(
+    doc_words=_bm25_docs,
+    cuts=st.sets(st.integers(1, 9), max_size=2),
+)
+@_SETTINGS
+def test_streaming_bm25_matches_batch_under_any_split(spark, doc_words, cuts):
+    """Folding doc micro-batches through the index state yields exactly
+    the batch BM25 ranking over the union, for any batch boundaries —
+    every statistic is an associative sum, and the commit protocol
+    makes a replay of the last batch a no-op."""
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.retrieval import (
+        bm25_topk,
+    )
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.index import (
+        merge_index_batch,
+        read_bm25_topk,
+    )
+
+    terms = ("hash", "join")
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(doc_words)]
+    full = spark.createDataFrame(docs, ["doc_id", "text"])
+    want = {
+        (r["doc_id"], r["bm25"], r["rnk"])
+        for r in bm25_topk(full, terms, k=len(docs)).collect()
+    }
+
+    state = tempfile.mkdtemp(prefix="bm25_prop_") + "/s"
+    bounds = sorted(c for c in cuts if c < len(docs)) + [len(docs)]
+    bid = 0
+    lo = 0
+    last = None
+    for hi in bounds:
+        batch = docs[lo:hi]
+        lo = hi
+        if not batch:
+            continue
+        last = (batch, bid)
+        merge_index_batch(
+            spark.createDataFrame(batch, ["doc_id", "text"]), state, terms, bid
+        )
+        bid += 1
+    if bid == 0:
+        return
+    got = {
+        (r["doc_id"], r["bm25"], r["rnk"])
+        for r in read_bm25_topk(spark, state, k=len(docs)).collect()
+    }
+    assert got == want
+    # crash-replay of the final batch must not change the ranking
+    batch, i = last
+    merge_index_batch(
+        spark.createDataFrame(batch, ["doc_id", "text"]), state, terms, i
+    )
+    got2 = {
+        (r["doc_id"], r["bm25"], r["rnk"])
+        for r in read_bm25_topk(spark, state, k=len(docs)).collect()
+    }
+    assert got2 == want
