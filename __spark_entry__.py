@@ -4550,6 +4550,40 @@ def q_ann_lsh_topk(spark, sf):
     return similarity.lsh_topk(load(spark, sf, "embeddings"))
 
 
+def _oracle_rrf() -> str:
+    return f"""
+    WITH ivf AS ({_REGISTRY["ann_ivf_topk"][1]}),
+    lsh AS ({_oracle_lsh()}),
+    j AS (
+      SELECT coalesce(i.query_id, l.query_id) AS query_id,
+             coalesce(i.neighbor_id, l.neighbor_id) AS neighbor_id,
+             round(coalesce(1.0::DOUBLE / (60 + i.rnk), 0.0::DOUBLE)
+                   + coalesce(1.0::DOUBLE / (60 + l.rnk), 0.0::DOUBLE), 6)
+               AS rrf_score
+      FROM ivf i FULL JOIN lsh l
+        ON i.query_id = l.query_id AND i.neighbor_id = l.neighbor_id)
+    SELECT query_id, neighbor_id, rrf_score, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, neighbor_id) AS rnk
+      FROM j) WHERE rnk <= 5
+    """
+
+
+@_q("ann_rank_fusion", _oracle_rrf())
+def q_ann_rank_fusion(spark, sf):
+    """Reciprocal-rank fusion of the IVF and LSH top-k rankings
+    (operators/similarity.py:rrf_fuse) — the standard ensemble when two
+    indexes have uncorrelated failure modes (IVF misses neighbors in
+    unprobed clusters, LSH misses across bucket boundaries): fusing
+    ranks needs no score calibration, and a neighbor surfaced by both
+    indexes outranks either alone.  The fusion itself is O(queries x k)
+    on top of the two candidate generations it reuses."""
+    emb = load(spark, sf, "embeddings")
+    return similarity.rrf_fuse(
+        similarity.ivf_topk(emb), similarity.lsh_topk(emb)
+    )
+
+
 def _oracle_lsh_hist() -> str:
     b_union = _lsh_bucket_union_sql()
     return f"""

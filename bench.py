@@ -125,6 +125,7 @@ HEADLINE = [
     "bm25_topk",
     "dedup_cluster_size_histogram",
     "streaming_bm25",
+    "ann_rank_fusion",
 ]
 
 

@@ -334,6 +334,45 @@ def lsh_pair_cosine_histogram(
     )
 
 
+def rrf_fuse(
+    rank_a: DataFrame,
+    rank_b: DataFrame,
+    k: int = 5,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two top-k rankings (Cormack et al.):
+    score = Σ_sources 1/(c + rank), the standard way to ensemble two
+    ANN indexes (or a lexical and a vector ranking) without score
+    calibration — ranks are comparable when raw scores are not.
+
+    Determinism: each (query, neighbor) contributes at most one rank
+    per source, so the score is a FIXED two-term expression over the
+    full-outer join (no float-sum association across rows); ties break
+    on neighbor id.  Inputs are already top-k-sized per query, so the
+    join and re-rank are O(queries × k) — negligible next to the
+    candidate generation they fuse."""
+    a = rank_a.select(
+        "query_id", "neighbor_id", F.col("rnk").alias("rnk_a")
+    )
+    b = rank_b.select(
+        "query_id", "neighbor_id", F.col("rnk").alias("rnk_b")
+    )
+    j = a.join(b, ["query_id", "neighbor_id"], "full_outer")
+    score = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("rnk_a")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("rnk_b")), F.lit(0.0)),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("neighbor_id")
+    )
+    return (
+        j.select("query_id", "neighbor_id", score.alias("rrf_score"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def benchmark_screen(
     emb: DataFrame,
     bench_mod: int = 97,
