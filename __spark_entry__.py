@@ -5391,6 +5391,53 @@ def q_streaming_minhash_dedup(spark, sf):
     return read_flags(spark, f"{base}/out")
 
 
+def _oracle_streaming_embdedup() -> str:
+    b_union = _lsh_bucket_union_sql()
+    return f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (
+      {b_union}),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, x.vec_id AS id_b,
+             a.v AS v_a, x.v AS v_b
+      FROM b a JOIN b x ON a.table_idx = x.table_idx AND a.bucket = x.bucket
+      WHERE a.vec_id < x.vec_id),
+    cosed AS (
+      SELECT id_a, id_b, {_cos_sql('v_a', 'v_b')} AS cos FROM pairs),
+    hits AS (SELECT * FROM cosed WHERE cos >= 0.4::DOUBLE)
+    SELECT id_b AS vec_id, id_a AS dup_of, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
+      FROM hits) WHERE rn = 1
+    """
+
+
+@_q("streaming_embedding_dedup", _oracle_streaming_embdedup())
+def q_streaming_embedding_dedup(spark, sf):
+    """Incremental embedding dedup (streaming/embdedup.py): each
+    micro-batch's vectors are LSH-bucket-checked against the bucket
+    state of everything ingested earlier, exact-cosine verified, and
+    flagged with their smallest earlier near-duplicate — the
+    vector-space twin of streaming_minhash_dedup, for the multimodal/
+    embedding half of a training corpus.  Under id-ordered ingest the
+    flagged set is batch-split invariant, so the oracle is the batch
+    LSH-candidate pair query grouped per later vector."""
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.embdedup import (
+        read_embdedup_flags,
+        run_embdedup_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_embdedup_")
+    schema = spark.read.parquet(f"{sf}/embeddings.parquet").schema
+    sdf = spark.readStream.schema(schema).parquet(f"{sf}/embeddings.parque[t]")
+    with _stream_partitions(spark):
+        run_embdedup_stream(
+            sdf.select("vec_id", "embedding"), f"{base}/state", f"{base}/out"
+        )
+    return read_embdedup_flags(spark, f"{base}/out")
+
+
 @_q(
     "streaming_hll",
     f"""

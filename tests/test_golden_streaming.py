@@ -501,3 +501,78 @@ def test_streaming_disorder_counts_cross_batch_inversion(spark, tmp_path):
                                ("A", "2024-01-01 10:05:00", 3)]), state, 1)
     [r2] = read_disorder(spark, state).collect()
     assert (r2.n_events, r2.n_late) == (3, 2)  # replay is a no-op
+
+
+def test_streaming_embdedup_batch_split_invariant(spark, tmp_path):
+    """Incremental embedding dedup: chopping the ingest into two rounds
+    (cross-batch near-dups!) produces exactly the flags of a single
+    all-at-once run, and the exact duplicate is flagged against its
+    earliest partner."""
+    import math
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.embdedup import (
+        read_embdedup_flags,
+        run_embdedup_stream,
+    )
+
+    def vec(seed: int, dim: int = 64) -> list:
+        return [math.sin(seed * 97 + i * 13) for i in range(dim)]
+
+    rows = [
+        (0, vec(1)),
+        (1, vec(2)),
+        (2, vec(1)),                                   # dup of 0, batch 1
+        (3, vec(3)),
+        (4, [x + 0.001 for x in vec(1)]),              # near-dup of 0, batch 2
+        (5, vec(2)),                                   # dup of 1, batch 2
+        (6, vec(4)),
+    ]
+    batch1, batch2 = rows[:4], rows[4:]
+    schema = "vec_id long, embedding array<double>"
+
+    def _write(dirname, rs, fname):
+        path = tmp_path / dirname
+        path.mkdir(exist_ok=True)
+        spark.createDataFrame(rs, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(path / fname))
+
+    def _flags(src_dir, tag):
+        s = spark.readStream.schema(schema).parquet(
+            str(tmp_path / src_dir) + "/*"
+        )
+        run_embdedup_stream(
+            s, str(tmp_path / f"st_{tag}"), str(tmp_path / f"out_{tag}")
+        )
+        return {
+            (r.vec_id, r.dup_of)
+            for r in read_embdedup_flags(
+                spark, str(tmp_path / f"out_{tag}")
+            ).collect()
+        }
+
+    # single-shot
+    _write("src_all", batch1, "a")
+    _write("src_all", batch2, "b")
+    flags_all = _flags("src_all", "all")
+
+    # two rounds against the same state/checkpoints
+    _write("src_split", batch1, "a")
+    s1 = spark.readStream.schema(schema).parquet(str(tmp_path / "src_split") + "/*")
+    run_embdedup_stream(
+        s1, str(tmp_path / "st_split"), str(tmp_path / "out_split")
+    )
+    _write("src_split", batch2, "b")
+    s2 = spark.readStream.schema(schema).parquet(str(tmp_path / "src_split") + "/*")
+    run_embdedup_stream(
+        s2, str(tmp_path / "st_split"), str(tmp_path / "out_split")
+    )
+    flags_split = {
+        (r.vec_id, r.dup_of)
+        for r in read_embdedup_flags(spark, str(tmp_path / "out_split")).collect()
+    }
+
+    assert flags_split == flags_all
+    assert (2, 0) in flags_all          # exact dup, same batch
+    assert (4, 0) in flags_all          # near-dup across the batch cut
+    assert (5, 1) in flags_all          # exact dup across the batch cut
