@@ -5411,6 +5411,82 @@ def _oracle_streaming_embdedup() -> str:
     """
 
 
+def _oracle_emb_lsh_recall() -> str:
+    b_union = _lsh_bucket_union_sql()
+    return f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    exact_ AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM c a JOIN c b ON a.vec_id < b.vec_id
+      WHERE {_cos_sql('a.v', 'b.v')} >= 0.4),
+    b AS (
+      {b_union}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, x.vec_id AS id_b
+      FROM b a JOIN b x ON a.table_idx = x.table_idx AND a.bucket = x.bucket
+      WHERE a.vec_id < x.vec_id),
+    hit AS (
+      SELECT e.id_a, e.id_b FROM exact_ e JOIN cand USING (id_a, id_b))
+    SELECT (SELECT count(*) FROM exact_) AS n_exact_pairs,
+           (SELECT count(*) FROM hit) AS n_found,
+           round((SELECT count(*) FROM hit)::DOUBLE
+                 / greatest((SELECT count(*) FROM exact_), 1), 6) AS recall
+    """
+
+
+@_q("embedding_lsh_recall_eval", _oracle_emb_lsh_recall())
+def q_embedding_lsh_recall_eval(spark, sf):
+    """Honest recall accounting for the LSH candidate generator that
+    embedding_similarity_histogram and streaming_embedding_dedup stand
+    on: of the TRUE near-dup pairs (exact all-pairs cosine >= 0.4, the
+    embedding_neardup ground truth), what fraction shares at least one
+    LSH bucket?  The number that decides whether 4 tables x 8 planes is
+    enough for the corpus — the eval-family twin of ann_recall_eval.
+    The exact side reuses the blocked-GEMM all-pairs path (the
+    expensive validation pass you run once per corpus to certify the
+    cheap candidate generator).  Reading the number: sign-LSH collision
+    probability is (1 - theta/pi)^planes per table, so at this demo
+    threshold (0.4 => theta ~ 66 degrees) theory predicts ~10% — the
+    measured 13.6% matches; at a real near-dup threshold (>= 0.9,
+    theta <= 26 degrees) the same geometry gives >= 75%.  The eval
+    exists precisely to expose that dial per corpus."""
+    exact = similarity.cosine_pairs_blocked(
+        load(spark, sf, "embeddings"), threshold=0.4
+    ).select("id_a", "id_b")
+    tables = similarity.lsh_planes()
+    buckets = similarity._bucketize_pandas(
+        load(spark, sf, "embeddings"), tables, "vec_id", "embedding"
+    )
+    a = buckets.select(
+        "table_idx", "bucket", F.col("vec_id").alias("id_a")
+    )
+    b = buckets.select(
+        "table_idx", "bucket", F.col("vec_id").alias("id_b")
+    )
+    cand = (
+        a.join(b, ["table_idx", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    hit = exact.join(cand, ["id_a", "id_b"])
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("n").alias("n_exact_pairs")
+    )
+    n_hit = hit.agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("n").alias("n_found")
+    )
+    return n_exact.crossJoin(n_hit).select(
+        "n_exact_pairs",
+        "n_found",
+        F.round(
+            F.col("n_found").cast("double")
+            / F.greatest(F.col("n_exact_pairs"), F.lit(1)),
+            6,
+        ).alias("recall"),
+    )
+
+
 @_q("streaming_embedding_dedup", _oracle_streaming_embdedup())
 def q_streaming_embedding_dedup(spark, sf):
     """Incremental embedding dedup (streaming/embdedup.py): each
@@ -7280,6 +7356,129 @@ def q_cohort_matrix(spark, sf):
                 F.col("n_active").cast("double") / F.col("cohort_size"), 6
             ).alias("retention"),
         )
+    )
+
+
+@_q(
+    "ship_lag_percentiles",
+    """
+    WITH lags AS (
+      SELECT o_orderpriority,
+             date_diff('day', o_orderdate, l_shipdate) AS lag_days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           round(quantile_cont(lag_days::DOUBLE, 0.5), 6) AS p50_days,
+           round(quantile_cont(lag_days::DOUBLE, 0.9), 6) AS p90_days,
+           round(quantile_cont(lag_days::DOUBLE, 0.99), 6) AS p99_days,
+           max(lag_days) AS max_days
+    FROM lags GROUP BY o_orderpriority
+    """,
+)
+def q_ship_lag_percentiles(spark, sf):
+    """Order-to-ship SLA distribution per priority class: p50/p90/p99
+    of the days between order placement and line-item shipment — the
+    fulfillment-latency complement to late_shipment_priority's Q12
+    bucket counts (counts say how many breached; percentiles say where
+    the tail lives).  One keyed fact join (lineitem x orders on the
+    order key), integer day lags, then a 5-group percentile aggregate —
+    the percentile state is per-priority and tiny, so the plan is scan
+    + join + one reduce at any scale."""
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders")
+    lags = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("lag_days"),
+    )
+    return lags.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.expr("percentile(cast(lag_days as double), 0.5)"), 6
+        ).alias("p50_days"),
+        F.round(
+            F.expr("percentile(cast(lag_days as double), 0.9)"), 6
+        ).alias("p90_days"),
+        F.round(
+            F.expr("percentile(cast(lag_days as double), 0.99)"), 6
+        ).alias("p99_days"),
+        F.max("lag_days").alias("max_days"),
+    )
+
+
+@_q(
+    "ltv_cohort_curve",
+    """
+    WITH first_ev AS (
+      SELECT user_id,
+             cast(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id),
+    size_ AS (
+      SELECT cohort_week, count(*) AS cohort_size
+      FROM first_ev GROUP BY cohort_week),
+    rev AS (
+      SELECT f.cohort_week,
+             cast(floor(date_diff('day', f.cohort_week,
+                                  cast(date_trunc('week', e.ts) AS TIMESTAMP))
+                        / 7) AS bigint) AS week_offset,
+             sum(cast(round(e.value * 1e6) AS bigint)) AS rev_micro
+      FROM events e JOIN first_ev f USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT cohort_week, week_offset,
+             sum(rev_micro) OVER (PARTITION BY cohort_week
+                                  ORDER BY week_offset) AS cum_micro
+      FROM rev)
+    SELECT c.cohort_week, c.week_offset, s.cohort_size,
+           round(cast(c.cum_micro AS bigint) / 1e6 / s.cohort_size, 6)
+             AS avg_ltv
+    FROM cum c JOIN size_ s USING (cohort_week)
+    """,
+)
+def q_ltv_cohort_curve(spark, sf):
+    """Cohort lifetime-value curve: cumulative purchase revenue per
+    cohort member by week-of-life — the companion to cohort_matrix's
+    retention triangle (retention says who comes back, LTV says what
+    they're worth), and the curve payback/CAC decisions read off.
+    Revenue accumulates in integer micro-units so the running sum is
+    order-independent; the cumulative window runs over the tiny
+    (cohort x offset) rollup, never the fact table.  Week offsets with
+    no purchases emit no row — the curve is read at purchase points."""
+    ev = _events(spark, sf)
+    first_ev = (
+        ev.select("user_id", F.date_trunc("week", "ts").alias("wk"))
+        .groupBy("user_id")
+        .agg(F.min("wk").alias("cohort_week"))
+    )
+    size_ = first_ev.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    rev = (
+        ev.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .join(first_ev, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", "ts"), F.col("cohort_week")) / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 1e6).cast("bigint")).alias("rev_micro"))
+    )
+    w = Window.partitionBy("cohort_week").orderBy("week_offset")
+    cum = rev.select(
+        "cohort_week",
+        "week_offset",
+        F.sum("rev_micro").over(w).alias("cum_micro"),
+    )
+    return cum.join(F.broadcast(size_), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "cohort_size",
+        F.round(
+            F.col("cum_micro") / F.lit(1e6) / F.col("cohort_size"), 6
+        ).alias("avg_ltv"),
     )
 
 
