@@ -1644,6 +1644,58 @@ def q_dedup_cluster_size_histogram(spark, sf):
     )
 
 
+@_q(
+    "cluster_aware_split",
+    """
+    WITH cl AS ({clusters}),
+    sp AS (
+      SELECT doc_id, cluster_id,
+             CASE WHEN ('0x' || substr(md5(cluster_id::VARCHAR), 1, 15))::BIGINT
+                       % 100 < 80 THEN 'train'
+                  WHEN ('0x' || substr(md5(cluster_id::VARCHAR), 1, 15))::BIGINT
+                       % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM cl),
+    per AS (
+      SELECT split, count(*) AS n_docs,
+             count(DISTINCT cluster_id) AS n_clusters
+      FROM sp GROUP BY split),
+    cross_ AS (
+      SELECT count(*) AS n_clusters_crossing FROM (
+        SELECT cluster_id FROM sp
+        GROUP BY cluster_id HAVING count(DISTINCT split) > 1))
+    SELECT per.split, per.n_docs, per.n_clusters, cross_.n_clusters_crossing
+    FROM per CROSS JOIN cross_
+    """.format(clusters=_REGISTRY["dedup_clusters"][1]),
+)
+def q_cluster_aware_split(spark, sf):
+    """The FIX for what split_leakage_audit measures: assign train/val/
+    test by hashing the near-dup CLUSTER id instead of the document id,
+    so a document and its near-duplicates land in the same split by
+    construction and eval contamination via near-dups is structurally
+    zero — the n_clusters_crossing column carries the invariant (always
+    0) as part of the checked result.  Composes two existing operators
+    (connected-components labeling + the deterministic hash split,
+    which is a pure function of the key, here the cluster id); the
+    split remains stable under retries and incremental appends as long
+    as cluster ids are (they are: min doc_id per component)."""
+    cl = dedup.neardup_clusters(load(spark, sf, "documents"))
+    sp = sampling.hash_split(cl, id_col="cluster_id").select(
+        "doc_id", "cluster_id", "split"
+    )
+    per = sp.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )
+    crossing = (
+        sp.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("n_clusters_crossing"))
+    )
+    return per.crossJoin(F.broadcast(crossing))
+
+
 def _oracle_simhash_fp() -> str:
     # mirrors dedup.simhash_fingerprints' packed-counter aggregation:
     # 3 one-counters per word in 20-bit fields, majority = 2*ones-n > 0
