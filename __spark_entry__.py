@@ -8585,6 +8585,83 @@ def q_gopher_quality_filter(spark, sf):
 
 
 @_q(
+    "source_quality_report",
+    f"""
+    WITH q AS (
+      SELECT source, md5(text) AS h,
+             cast(round(({_QUALITY_SQL}) * 1e6) AS bigint) AS qmic,
+             cast(({_TOK_SQL} BETWEEN {T.GOPHER_MIN_WORDS} AND {T.GOPHER_MAX_WORDS})
+                  AND ({_MWL_SQL} BETWEEN {T.GOPHER_MIN_MEAN_WORD_LEN}
+                                      AND {T.GOPHER_MAX_MEAN_WORD_LEN})
+                  AND ({_ALPHA_FRAC_SQL} >= {T.GOPHER_MIN_ALPHA_FRAC})
+                  AND ({_SYMBOL_RATIO_SQL} <= {T.GOPHER_MAX_SYMBOL_RATIO})
+                  AND ({_STOP_SQL} >= {T.GOPHER_MIN_STOP_HITS}) AS int) AS keep,
+             CASE WHEN ({_pred_lang_sql()}) = lang THEN 1 ELSE 0 END AS lang_ok
+      FROM documents),
+    g AS (SELECT source, h, count(*) AS n FROM q GROUP BY source, h),
+    dup AS (
+      SELECT source, cast(sum(n) - count(*) AS bigint) AS n_redundant
+      FROM g GROUP BY source),
+    agg AS (
+      SELECT source, count(*) AS n_docs,
+             round(sum(keep)::DOUBLE / count(*), 6) AS gopher_pass_rate,
+             round(cast(sum(qmic) AS bigint) / 1e6 / count(*), 6)
+               AS mean_quality,
+             round(sum(lang_ok)::DOUBLE / count(*), 6) AS lang_match_rate
+      FROM q GROUP BY source)
+    SELECT agg.source, agg.n_docs,
+           round(dup.n_redundant::DOUBLE / agg.n_docs, 6) AS dup_rate,
+           agg.gopher_pass_rate, agg.mean_quality, agg.lang_match_rate
+    FROM agg JOIN dup USING (source)
+    """,
+)
+def q_source_quality_report(spark, sf):
+    """Per-source corpus-health leaderboard: one row per crawl source
+    with its exact-duplicate rate, Gopher-rule pass rate, mean
+    heuristic quality (micro-unit-summed so the mean is engine-exact),
+    and language-ID/label agreement — the single table a data-curation
+    review reads to decide which sources need attention before the next
+    training run.  Composes the engine's per-doc screens in ONE scan
+    pass (all four metrics are narrow projections aggregated map-side);
+    the only second aggregate is the O(sources x distinct-digests)
+    dup-group rollup."""
+    d = load(spark, sf, "documents")
+    q = d.select(
+        "source",
+        F.md5("text").alias("h"),
+        F.round(T.quality_score() * 1e6).cast("bigint").alias("qmic"),
+        T.gopher_keep().alias("keep"),
+        (T.predicted_lang() == F.col("lang")).cast("int").alias("lang_ok"),
+    )
+    g = q.groupBy("source", "h").agg(F.count(F.lit(1)).alias("n"))
+    dup = g.groupBy("source").agg(
+        (F.sum("n") - F.count(F.lit(1))).cast("bigint").alias("n_redundant")
+    )
+    agg = q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum("keep").cast("double") / F.count(F.lit(1)), 6
+        ).alias("gopher_pass_rate"),
+        F.round(
+            F.sum("qmic").cast("bigint") / F.lit(1e6) / F.count(F.lit(1)), 6
+        ).alias("mean_quality"),
+        F.round(
+            F.sum("lang_ok").cast("double") / F.count(F.lit(1)), 6
+        ).alias("lang_match_rate"),
+    )
+    return agg.join(dup, "source").select(
+        "source",
+        "n_docs",
+        F.round(
+            F.col("n_redundant").cast("double") / F.col("n_docs"), 6
+        ).alias("dup_rate"),
+        "gopher_pass_rate",
+        "mean_quality",
+        "lang_match_rate",
+    )
+
+
+@_q(
     "semantic_decontaminate",
     f"""
     WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
