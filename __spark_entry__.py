@@ -3469,6 +3469,74 @@ def q_shard_pack(spark, sf):
 
 
 @_q(
+    "shard_balance_audit",
+    f"""
+    WITH packed AS (
+      SELECT lang, {_TOK_SQL} AS n_tok,
+             CAST(floor((sum({_TOK_SQL}) OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - {_TOK_SQL}) / {_SHARD_BUDGET}) AS BIGINT) AS shard_id
+      FROM documents),
+    per_shard AS (
+      SELECT lang, shard_id,
+             cast(sum(n_tok) AS bigint) AS shard_tokens,
+             count(*) AS n_docs
+      FROM packed GROUP BY lang, shard_id),
+    last_ AS (SELECT lang, max(shard_id) AS last_shard FROM per_shard GROUP BY lang)
+    SELECT p.lang,
+           count(*) AS n_shards,
+           cast(sum(p.shard_tokens) AS bigint) AS total_tokens,
+           max(p.shard_tokens) AS max_shard_tokens,
+           min(CASE WHEN p.shard_id < l.last_shard
+                    THEN p.shard_tokens END) AS min_full_shard_tokens,
+           round(min(CASE WHEN p.shard_id < l.last_shard
+                          THEN p.shard_tokens END)::DOUBLE
+                 / {_SHARD_BUDGET}, 6) AS min_fill_ratio
+    FROM per_shard p JOIN last_ l USING (lang)
+    GROUP BY p.lang
+    """,
+)
+def q_shard_balance_audit(spark, sf):
+    """Layout QA for the token-budget packer: per language, shard
+    count, total tokens, the heaviest shard (bounded by budget plus one
+    overflowing doc by construction), and the lightest NON-FINAL shard
+    with its fill ratio — the number that tells you whether greedy
+    prefix-sum packing is leaving capacity on the table (a low
+    min-fill means oversized docs are fragmenting shards; the fix is a
+    bigger budget or doc splitting).  The final, intentionally-partial
+    shard per group is excluded from the fill metric.  All rollups run
+    over the O(shards) frame; only the prefix-sum window touches doc
+    rows — the same single shuffle the packer itself pays."""
+    packed = sampling.pack_shards(
+        load(spark, sf, "documents"),
+        token_col=T.n_tokens(),
+        group_cols=("lang",),
+        budget=_SHARD_BUDGET,
+    )
+    per_shard = packed.groupBy("lang", "shard_id").agg(
+        F.sum("n_tok").cast("bigint").alias("shard_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    last_ = per_shard.groupBy("lang").agg(F.max("shard_id").alias("last_shard"))
+    full_tokens = F.when(
+        F.col("shard_id") < F.col("last_shard"), F.col("shard_tokens")
+    )
+    return (
+        per_shard.join(F.broadcast(last_), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_shards"),
+            F.sum("shard_tokens").cast("bigint").alias("total_tokens"),
+            F.max("shard_tokens").alias("max_shard_tokens"),
+            F.min(full_tokens).alias("min_full_shard_tokens"),
+            F.round(
+                F.min(full_tokens).cast("double") / F.lit(_SHARD_BUDGET), 6
+            ).alias("min_fill_ratio"),
+        )
+    )
+
+
+@_q(
     "corpus_clean",
     f"""
     WITH dedup AS (
