@@ -6065,6 +6065,77 @@ def q_value_trend_regression(spark, sf):
 
 
 @_q(
+    "theil_sen_trend",
+    """
+    WITH daily AS (
+      SELECT event_type, cast(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             cast(sum(cast(round(value * 1e6) AS bigint)) AS bigint) AS rev_micro
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, day),
+    idx AS (
+      SELECT event_type, day, rev_micro,
+             date_diff('day',
+                       min(day) OVER (PARTITION BY event_type), day) AS x
+      FROM daily),
+    slopes AS (
+      SELECT a.event_type,
+             (b.rev_micro - a.rev_micro) / 1e6 / (b.x - a.x) AS slope
+      FROM idx a JOIN idx b
+        ON a.event_type = b.event_type AND a.x < b.x)
+    SELECT event_type,
+           count(*) AS n_pairs,
+           round(quantile_cont(slope, 0.5), 6) AS theil_sen_slope
+    FROM slopes GROUP BY event_type
+    """,
+)
+def q_theil_sen_trend(spark, sf):
+    """Theil-Sen robust trend per event type: the MEDIAN of all
+    pairwise day-over-day slopes of daily revenue — the estimator that
+    shrugs off the outlier days that drag value_trend_regression's OLS
+    slope (up to ~29% contamination).  The scale trick is the order of
+    operations: the fact table reduces to an O(types x days) daily
+    rollup FIRST (exact integer micro-units, map-side combined), and
+    the quadratic pair join runs over that tiny frame — ~500 pairs per
+    type for a month of days — never over raw events.  Slopes are
+    identical double divisions of identical integers in both engines,
+    so the median is deterministic."""
+    ev = _events(spark, sf).filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 1e6).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_micro")
+    )
+    w = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "rev_micro",
+        F.datediff("day", F.min("day").over(w)).alias("x"),
+    )
+    a = idx.select(
+        "event_type", F.col("rev_micro").alias("ra"), F.col("x").alias("xa")
+    )
+    b = idx.select(
+        "event_type", F.col("rev_micro").alias("rb"), F.col("x").alias("xb")
+    )
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("xa") < F.col("xb"))
+        .select(
+            "event_type",
+            (
+                (F.col("rb") - F.col("ra")) / F.lit(1e6) / (F.col("xb") - F.col("xa"))
+            ).alias("slope"),
+        )
+    )
+    return slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5D)"), 6).alias("theil_sen_slope"),
+    )
+
+
+@_q(
     "dedup_keep_best",
     f"""
     WITH RECURSIVE pairs AS (
