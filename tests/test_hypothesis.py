@@ -1126,3 +1126,88 @@ def test_streaming_bm25_matches_batch_under_any_split(spark, doc_words, cuts):
         for r in read_bm25_topk(spark, state, k=len(docs)).collect()
     }
     assert got2 == want
+
+
+_ts_rows = st.lists(
+    st.tuples(
+        st.integers(0, 1),       # group
+        st.integers(0, 12),      # day index
+        st.integers(-30, 30),    # integer revenue
+    ),
+    min_size=2,
+    max_size=30,
+)
+
+
+@given(raw=_ts_rows)
+@_SETTINGS
+def test_theil_sen_matches_naive(spark, raw):
+    """Theil-Sen slope vs a direct Python median of pairwise daily
+    slopes (same linear-interpolation median definition)."""
+    import datetime as dt
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.timeseries import (  # noqa: F401
+        ewma,  # import guard: module must load
+    )
+
+    # reuse the registered plan by reconstructing it over a tiny frame
+    from pyspark.sql import Window
+
+    base = dt.datetime(2024, 5, 1)
+    data = [
+        (g, base + dt.timedelta(days=d, hours=d % 2), float(v))
+        for g, d, v in raw
+    ]
+    ev = spark.createDataFrame(data, ["event_type", "ts", "value"])
+
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 1e6).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_micro")
+    )
+    w = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type", "rev_micro",
+        F.datediff("day", F.min("day").over(w)).alias("x"),
+    )
+    a = idx.select("event_type", F.col("rev_micro").alias("ra"), F.col("x").alias("xa"))
+    b = idx.select("event_type", F.col("rev_micro").alias("rb"), F.col("x").alias("xb"))
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("xa") < F.col("xb"))
+        .select(
+            "event_type",
+            ((F.col("rb") - F.col("ra")) / F.lit(1e6) / (F.col("xb") - F.col("xa"))).alias("slope"),
+        )
+    )
+    out = slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5D)"), 6).alias("theil_sen_slope"),
+    )
+    got = {r["event_type"]: (r["n_pairs"], r["theil_sen_slope"]) for r in out.collect()}
+
+    daily_py = {}
+    for g, d, v in raw:
+        daily_py.setdefault(g, {}).setdefault(d, 0)
+        daily_py[g][d] += v
+    for g, days in daily_py.items():
+        d0 = min(days)
+        pts = sorted((d - d0, rev) for d, rev in days.items())
+        sl = sorted(
+            (rb - ra) / (xb - xa)
+            for i, (xa, ra) in enumerate(pts)
+            for xb, rb in pts[i + 1:]
+        )
+        if not sl:
+            assert g not in got
+            continue
+        n = len(sl)
+        rank = 0.5 * (n - 1)
+        lo = int(rank)
+        frac = rank - lo
+        med = sl[lo] + frac * (sl[lo + 1] - sl[lo]) if lo + 1 < n else sl[lo]
+        n_got, slope_got = got[g]
+        assert n_got == n
+        assert abs(slope_got - med) <= 1e-6, (g, pts)
