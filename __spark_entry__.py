@@ -3468,6 +3468,72 @@ def q_shard_pack(spark, sf):
     )
 
 
+_CHUNK_SIZE = 64   # tokens per chunk
+_CHUNK_STRIDE = 48  # overlap = size - stride = 16 tokens
+
+
+@_q(
+    "doc_chunk_split",
+    rf"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      FROM documents),
+    n_ AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+    ch AS (
+      SELECT doc_id, ws, n,
+             unnest(generate_series(0, cast(floor((n - 1) / {_CHUNK_STRIDE})
+                                            AS bigint))) AS chunk_idx
+      FROM n_)
+    SELECT doc_id, chunk_idx,
+           least(n - chunk_idx * {_CHUNK_STRIDE}, {_CHUNK_SIZE}) AS chunk_tokens,
+           md5(array_to_string(
+                 ws[chunk_idx * {_CHUNK_STRIDE} + 1 :
+                    chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}], ' '))
+             AS chunk_hash
+    FROM ch
+    """,
+)
+def q_doc_chunk_split(spark, sf):
+    """Context-window chunking: split each document into
+    {size}-token windows at stride {stride} (16-token overlap so no
+    span is ever cut without context on one side) — the pretraining
+    prep step between cleaning and sequence packing, and the unit the
+    passage-level dedup/retrieval entries operate on.  Pure narrow
+    JVM expressions (split once, slice per chunk, no UDF, no shuffle
+    until a downstream rollup); chunk content travels as an md5 so the
+    result stays verifiable without materializing spans.  The trailing
+    fragment shorter than the overlap is emitted, not dropped — the
+    caller's packer decides its fate."""
+    d = load(spark, sf, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    w = d.select("doc_id", toks.alias("ws")).withColumn("n", F.size("ws"))
+    ch = w.select(
+        "doc_id",
+        "ws",
+        "n",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.col("n") - 1) / _CHUNK_STRIDE).cast("bigint"),
+            )
+        ).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * _CHUNK_STRIDE
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        F.least(F.col("n") - start, F.lit(_CHUNK_SIZE)).alias("chunk_tokens"),
+        F.md5(
+            F.array_join(F.slice("ws", start + 1, F.lit(_CHUNK_SIZE)), " ")
+        ).alias("chunk_hash"),
+    )
+
+
+q_doc_chunk_split.__doc__ = q_doc_chunk_split.__doc__.format(
+    size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+)
+
+
 @_q(
     "shard_balance_audit",
     f"""
