@@ -7739,6 +7739,31 @@ def q_ltv_cohort_curve(spark, sf):
     )
 
 
+@_q("streaming_cohort_matrix", _REGISTRY["cohort_matrix"][1])
+def q_streaming_cohort_matrix(spark, sf):
+    """Continuously-maintained cohort-retention matrix
+    (streaming/cohort.py): the state is the pair of idempotent merges
+    the analytic decomposes into — per-user min first-seen week (a
+    late-arriving earlier event silently re-cohorts the user, no
+    retraction logic) and the distinct (user, week) activity set — and
+    the matrix derives at read time from that O(users)-scale state.
+    Both merges are order-insensitive, so the result is batch-split
+    invariant under ANY arrival order and the batch cohort_matrix SQL
+    is the exact oracle."""
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.cohort import (
+        read_cohort_matrix,
+        run_cohort_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_cohort_")
+    sdf = _events_stream(spark, sf).select("user_id", "ts")
+    with _stream_partitions(spark):
+        run_cohort_stream(sdf, f"{base}/state")
+    return read_cohort_matrix(spark, f"{base}/state")
+
+
 @_q(
     "skew_audit",
     """

@@ -1211,3 +1211,89 @@ def test_theil_sen_matches_naive(spark, raw):
         n_got, slope_got = got[g]
         assert n_got == n
         assert abs(slope_got - med) <= 1e-6, (g, pts)
+
+
+_cohort_rows = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 27)),  # (user, day)
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(raw=_cohort_rows, order_seed=st.integers(0, 5), n_cuts=st.integers(0, 3))
+@_SETTINGS
+def test_streaming_cohort_matches_batch_under_any_order(
+    spark, raw, order_seed, n_cuts
+):
+    """The cohort state (min first-seen + distinct activity) is
+    idempotent and order-insensitive, so ANY shuffling of events into
+    ANY micro-batch arrangement — including late-arriving earlier
+    events that retroactively re-cohort a user — yields exactly the
+    batch matrix."""
+    import datetime as dt
+    import hashlib
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.cohort import (
+        merge_cohort_batch,
+        read_cohort_matrix,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (u, base + dt.timedelta(days=d, hours=i % 5))
+        for i, (u, d) in enumerate(raw)
+    ]
+
+    def mkdf(rows):
+        return spark.createDataFrame(rows, ["user_id", "ts"])
+
+    # batch expectation via the same derivation over ALL rows at once
+    state = tempfile.mkdtemp(prefix="cohort_prop_all_") + "/s"
+    merge_cohort_batch(mkdf(data), state)
+    want = {
+        (r.cohort_week, r.week_offset): (r.n_active, r.retention)
+        for r in read_cohort_matrix(spark, state).collect()
+    }
+    # naive cross-check of the expectation itself
+    weeks = {}
+    for u, ts in data:
+        monday = (ts - dt.timedelta(days=ts.weekday())).replace(
+            hour=0, minute=0, second=0, microsecond=0
+        )
+        weeks.setdefault(u, set()).add(monday)
+    firsts = {u: min(ws) for u, ws in weeks.items()}
+    sizes = {}
+    for u, f in firsts.items():
+        sizes[f] = sizes.get(f, 0) + 1
+    cells = {}
+    for u, ws in weeks.items():
+        for w in ws:
+            off = (w - firsts[u]).days // 7
+            cells.setdefault((firsts[u], off), set()).add(u)
+    naive = {
+        k: (len(us), round(len(us) / sizes[k[0]], 6))
+        for k, us in cells.items()
+    }
+    assert want == naive
+
+    # adversarial arrival order: shuffle by md5, chop into batches
+    shuffled = sorted(
+        data,
+        key=lambda r: hashlib.md5(
+            f"{order_seed}-{r[0]}-{r[1].isoformat()}".encode()
+        ).hexdigest(),
+    )
+    cuts = sorted({(i * len(shuffled)) // (n_cuts + 1) for i in range(1, n_cuts + 1)})
+    bounds = cuts + [len(shuffled)]
+    state2 = tempfile.mkdtemp(prefix="cohort_prop_split_") + "/s"
+    lo = 0
+    for hi in bounds:
+        if hi > lo:
+            merge_cohort_batch(mkdf(shuffled[lo:hi]), state2)
+        lo = hi
+    got = {
+        (r.cohort_week, r.week_offset): (r.n_active, r.retention)
+        for r in read_cohort_matrix(spark, state2).collect()
+    }
+    assert got == want
