@@ -208,3 +208,39 @@ def test_psi_drift_single_fact_aggregate(spark):
     plan = _plan(spark, "psi_drift")
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round4_entries_no_cartesian(spark):
+    """The round-4 additions keep the no-all-pairs discipline: IVF-PQ
+    probes clusters, BM25 joins filtered postings, RRF joins two
+    top-k lists, the histogram/dedup paths ride LSH buckets, and the
+    splitter/report/chunker are narrow or keyed."""
+    for name in [
+        "ann_ivf_pq_topk",
+        "bm25_topk",
+        "ann_rank_fusion",
+        "embedding_similarity_histogram",
+        "cluster_aware_split",
+        "source_quality_report",
+        "doc_chunk_split",
+        "ltv_cohort_curve",
+        "ship_lag_percentiles",
+    ]:
+        assert "CartesianProduct" not in _plan(spark, name), name
+
+
+def test_bm25_small_sides_broadcast(spark):
+    """BM25's df table and corpus stats must broadcast onto the
+    postings — a shuffle there would move the fact-sized side for a
+    3-row dimension."""
+    plan = _plan(spark, "bm25_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats attach
+
+
+def test_ivf_pq_lookup_tables_broadcast(spark):
+    """IVF-PQ's per-query distance tables and probe lists must
+    broadcast; only the candidate-to-codes meet may shuffle."""
+    plan = _plan(spark, "ann_ivf_pq_topk")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
