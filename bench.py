@@ -126,6 +126,16 @@ HEADLINE = [
     "dedup_cluster_size_histogram",
     "streaming_bm25",
     "ann_rank_fusion",
+    "streaming_embedding_dedup",
+    "embedding_lsh_recall_eval",
+    "ltv_cohort_curve",
+    "ship_lag_percentiles",
+    "cluster_aware_split",
+    "source_quality_report",
+    "shard_balance_audit",
+    "theil_sen_trend",
+    "doc_chunk_split",
+    "streaming_cohort_matrix",
 ]
 
 
