@@ -1297,3 +1297,137 @@ def test_streaming_cohort_matches_batch_under_any_order(
         for r in read_cohort_matrix(spark, state2).collect()
     }
     assert got == want
+
+
+def _write_documents(spark, tmpdir, docs):
+    """Materialize a synthetic documents table so registry entries (which
+    read via catalog.load) can be property-tested on generated corpora."""
+    rows = [
+        (i, t, "en", f"src{s}", len(t)) for i, (s, t) in enumerate(docs)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/documents.parquet")
+    return tmpdir
+
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "alpha!", "x9", "##", "the"]
+
+_zipf_docs = st.lists(
+    st.tuples(
+        st.integers(0, 1),  # source
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=15).map(" ".join),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=_zipf_docs)
+@_SETTINGS
+def test_zipf_slope_matches_naive(spark, docs):
+    """Zipf log-log OLS per source vs a direct Python fit on the same
+    normalized term frequencies and tie-broken ranks."""
+    import math
+    import re
+    import tempfile
+
+    import __spark_entry__ as entrymod
+
+    # guarantee >= 2 distinct normalized terms per source (degenerate
+    # single-point fits divide by zero by construction)
+    sources = {s for s, _ in docs}
+    docs = list(docs) + [(s, "anchorone anchortwo") for s in sources]
+
+    sf = _write_documents(
+        spark, tempfile.mkdtemp(prefix="zipf_prop_"), docs
+    )
+    out = entrymod._REGISTRY["zipf_slope"][0](spark, sf)
+    got = {
+        r["source"]: (r["n_terms"], r["slope"], r["intercept"])
+        for r in out.collect()
+    }
+
+    tf = {}
+    for s, text in docs:
+        n = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
+        if not n:
+            continue
+        for w in n.split(" "):
+            tf.setdefault(f"src{s}", {}).setdefault(w, 0)
+            tf[f"src{s}"][w] += 1
+    for src, counts in tf.items():
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+        pts = [
+            (round(math.log(r + 1), 6), round(math.log(c), 6))
+            for r, (_, c) in enumerate(ranked)
+        ]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - round(slope, 6) * sx) / n
+        gn, gslope, gint = got[src]
+        assert gn == n
+        assert abs(gslope - slope) <= 1e-5, (src, ranked)
+        assert abs(gint - intercept) <= 1e-5
+
+
+_bigram_docs = st.lists(
+    st.tuples(
+        st.integers(0, 0),
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=10).map(" ".join),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(docs=_bigram_docs)
+@_SETTINGS
+def test_bigram_lm_score_matches_naive(spark, docs):
+    """Add-one-smoothed bigram logprob vs a direct Python LM on the
+    same normalized corpus (vocab from non-empty docs, context counts
+    over bigram starts)."""
+    import math
+    import re
+    import tempfile
+
+    import __spark_entry__ as entrymod
+
+    sf = _write_documents(
+        spark, tempfile.mkdtemp(prefix="bigram_prop_"), docs
+    )
+    out = entrymod._REGISTRY["bigram_lm_score"][0](spark, sf)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"]) for r in out.collect()
+    }
+
+    toks = {}
+    for i, (_, text) in enumerate(docs):
+        n = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
+        if n:
+            toks[i] = n.split(" ")
+    cb, ctx, vocab = {}, {}, set()
+    for ws in toks.values():
+        vocab.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            cb[(a, b)] = cb.get((a, b), 0) + 1
+            ctx[a] = ctx.get(a, 0) + 1
+    v = len(vocab)
+    want = {}
+    for i, ws in toks.items():
+        grams = list(zip(ws, ws[1:]))
+        if not grams:
+            continue
+        micro = sum(
+            int(round(round(math.log((cb[g] + 1.0) / (ctx[g[0]] + v)), 6) * 1e6))
+            for g in grams
+        )
+        want[i] = (len(grams), round(micro / len(grams)) / 1e6)
+    assert set(got) == set(want)
+    for i, (n, avg) in want.items():
+        assert got[i][0] == n
+        assert abs(got[i][1] - avg) <= 1.1e-6, (i, docs)
