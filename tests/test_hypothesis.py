@@ -1431,3 +1431,42 @@ def test_bigram_lm_score_matches_naive(spark, docs):
     for i, (n, avg) in want.items():
         assert got[i][0] == n
         assert abs(got[i][1] - avg) <= 1.1e-6, (i, docs)
+
+
+@given(docs=_bigram_docs)
+@_SETTINGS
+def test_token_entropy_matches_naive(spark, docs):
+    """Unigram Shannon entropy per doc vs a direct Python computation
+    (space-split tokens, empty tokens dropped, micro-unit term sums)."""
+    import math
+    import tempfile
+
+    import __spark_entry__ as entrymod
+
+    sf = _write_documents(
+        spark, tempfile.mkdtemp(prefix="entropy_prop_"), docs
+    )
+    out = entrymod._REGISTRY["token_entropy"][0](spark, sf)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_types"], r["token_entropy"])
+        for r in out.collect()
+    }
+    want = {}
+    for i, (_, text) in enumerate(docs):
+        toks = [t for t in text.split(" ") if t != ""]
+        if not toks:
+            continue
+        counts = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        n = len(toks)
+        micro = sum(
+            int(round(round((c / n) * math.log(c / n), 6) * 1e6))
+            for c in counts.values()
+        )
+        want[i] = (n, len(counts), -micro / 1e6)
+    assert set(got) == set(want)
+    for i, (n, k, h) in want.items():
+        gn, gk, gh = got[i]
+        assert (gn, gk) == (n, k)
+        assert abs(gh - h) <= 1.1e-6, (i, docs)
