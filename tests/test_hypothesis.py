@@ -1470,3 +1470,123 @@ def test_token_entropy_matches_naive(spark, docs):
         gn, gk, gh = got[i]
         assert (gn, gk) == (n, k)
         assert abs(gh - h) <= 1.1e-6, (i, docs)
+
+
+def _write_events(spark, tmpdir, rows):
+    """Materialize a synthetic events table for registry-entry property
+    tests (rows: (event_id, ts, user_id, event_type, value))."""
+    spark.createDataFrame(
+        [(i, ts, u, t, v, "{}") for i, ts, u, t, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/events.parquet")
+    return tmpdir
+
+
+_funnel_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),                                # user
+        st.integers(0, 30),                               # minute
+        st.sampled_from(["view", "click", "purchase", "error"]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(raw=_funnel_events)
+@_SETTINGS
+def test_event_funnel_matches_naive(spark, raw):
+    """Strict-order funnel vs a direct Python walk: first view, first
+    click strictly after it, first purchase strictly after that —
+    duplicate timestamps and out-of-order stages are the traps."""
+    import datetime as dt
+    import tempfile
+
+    import __spark_entry__ as entrymod
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=m), u, t, float(i))
+        for i, (u, m, t) in enumerate(raw)
+    ]
+    sf = _write_events(spark, tempfile.mkdtemp(prefix="funnel_prop_"), rows)
+    out = entrymod._REGISTRY["event_funnel"][0](spark, sf)
+    got = {
+        r["user_id"]: (
+            r["first_view"], r["first_click"], r["first_purchase"],
+            r["funnel_depth"],
+        )
+        for r in out.collect()
+    }
+
+    by_user = {}
+    for _i, ts, u, t, _v in rows:
+        by_user.setdefault(u, []).append((ts, t))
+    want = {}
+    for u, evs in by_user.items():
+        views = [ts for ts, t in evs if t == "view"]
+        fv = min(views) if views else None
+        fc = None
+        if fv is not None:
+            clicks = [ts for ts, t in evs if t == "click" and ts > fv]
+            fc = min(clicks) if clicks else None
+        fp = None
+        if fc is not None:
+            purchases = [ts for ts, t in evs if t == "purchase" and ts > fc]
+            fp = min(purchases) if purchases else None
+        depth = (fv is not None) + (fc is not None) + (fp is not None)
+        want[u] = (fv, fc, fp, depth)
+    assert got == want
+
+
+@given(raw=_funnel_events)
+@_SETTINGS
+def test_attribution_position_matches_naive(spark, raw):
+    """U-shaped attribution vs a direct Python credit walk (40/20/40,
+    n=1 and n=2 degenerate cases, ties broken by event id)."""
+    import datetime as dt
+    import tempfile
+
+    import __spark_entry__ as entrymod
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=m), u, t, float(i))
+        for i, (u, m, t) in enumerate(raw)
+    ]
+    sf = _write_events(spark, tempfile.mkdtemp(prefix="attr_prop_"), rows)
+    out = entrymod._REGISTRY["attribution_position"][0](spark, sf)
+    got = {
+        r["event_type"]: (r["n_touches"], r["credited_conversions"])
+        for r in out.collect()
+    }
+
+    by_user = {}
+    for i, ts, u, t, _v in rows:
+        by_user.setdefault(u, []).append((ts, i, t))
+    credits = {}
+    for u, evs in by_user.items():
+        purchases = [ts for ts, _i, t in evs if t == "purchase"]
+        if not purchases:
+            continue
+        fp = min(purchases)
+        touches = sorted(
+            (ts, i, t) for ts, i, t in evs if t != "purchase" and ts < fp
+        )
+        n = len(touches)
+        for pos, (_ts, _i, t) in enumerate(touches, start=1):
+            if n == 1:
+                c = 1_000_000
+            elif n == 2:
+                c = 500_000
+            elif pos == 1 or pos == n:
+                c = 400_000
+            else:
+                c = int(round(200000.0 / (n - 2)))
+            cnt, tot = credits.get(t, (0, 0))
+            credits[t] = (cnt + 1, tot + c)
+    want = {
+        t: (cnt, round(tot / 1e6, 6)) for t, (cnt, tot) in credits.items()
+    }
+    assert got == want
