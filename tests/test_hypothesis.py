@@ -1590,3 +1590,85 @@ def test_attribution_position_matches_naive(spark, raw):
         t: (cnt, round(tot / 1e6, 6)) for t, (cnt, tot) in credits.items()
     }
     assert got == want
+
+
+@given(raw=_funnel_events)
+@_SETTINGS
+def test_sessionize_matches_naive(spark, raw):
+    """Gap sessionization vs a direct Python walk: session boundaries
+    at gaps > 30 min, ties broken by event id, per-session stats."""
+    import datetime as dt
+    import tempfile
+
+    import __spark_entry__ as entrymod
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=m), u, t, float(i))
+        for i, (u, m, t) in enumerate(raw)
+    ]
+    sf = _write_events(spark, tempfile.mkdtemp(prefix="sess_prop_"), rows)
+    out = entrymod._REGISTRY["sessionize_stats"][0](spark, sf)
+    got = {
+        (r["user_id"], r["session_seq"]): (
+            r["n_events"], r["session_start_us"], r["session_end_us"],
+            r["duration_us"],
+        )
+        for r in out.collect()
+    }
+
+    gap_us = 30 * 60 * 1_000_000
+    by_user = {}
+    for i, ts, u, _t, _v in rows:
+        by_user.setdefault(u, []).append((ts, i))
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        seq = 0
+        sess = {}
+        prev_us = None
+        for ts, _i in evs:
+            us = int(ts.timestamp() * 1_000_000)
+            if prev_us is None or us - prev_us > gap_us:
+                seq += 1
+            sess.setdefault(seq, []).append(us)
+            prev_us = us
+        for s, uss in sess.items():
+            want[(u, s)] = (
+                len(uss), min(uss), max(uss), max(uss) - min(uss)
+            )
+    assert got == want
+
+
+@given(raw=_funnel_events)
+@_SETTINGS
+def test_user_retention_matches_naive(spark, raw):
+    """Next-day retention vs a direct Python (user, day) set walk."""
+    import datetime as dt
+    import tempfile
+
+    import __spark_entry__ as entrymod
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(days=m % 5, hours=m % 7), u, t, float(i))
+        for i, (u, m, t) in enumerate(raw)
+    ]
+    sf = _write_events(spark, tempfile.mkdtemp(prefix="ret_prop_"), rows)
+    out = entrymod._REGISTRY["user_retention"][0](spark, sf)
+    got = {
+        r["day"]: (r["n_active"], r["n_retained"], r["retention_rate"])
+        for r in out.collect()
+    }
+
+    days = {(u, ts.date()) for _i, ts, u, _t, _v in rows}
+    by_day = {}
+    for u, d in days:
+        by_day.setdefault(d, set()).add(u)
+    want = {}
+    for d, users in by_day.items():
+        nxt = by_day.get(d + dt.timedelta(days=1), set())
+        retained = len(users & nxt)
+        key = dt.datetime(d.year, d.month, d.day)
+        want[key] = (len(users), retained, round(retained / len(users), 6))
+    assert got == want
