@@ -7764,6 +7764,33 @@ def q_streaming_cohort_matrix(spark, sf):
     return read_cohort_matrix(spark, f"{base}/state")
 
 
+@_q("streaming_ltv_curve", _REGISTRY["ltv_cohort_curve"][1])
+def q_streaming_ltv_curve(spark, sf):
+    """Continuously-maintained cohort LTV curve (streaming/cohort.py):
+    the hardest state shape in the repo — ADDITIVE revenue sums under a
+    cohort assignment that can move retroactively when an earlier
+    event arrives late.  The resolution: key the additive cells by
+    (user, week), never by cohort, so cohort moves touch only the
+    idempotent min-merge half; the cohort join and cumulative window
+    run at read time over the O(users x active-weeks) state.  The
+    additive half mandates the version-per-batch exactly-once
+    protocol; the batch ltv_cohort_curve SQL is the exact oracle."""
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.cohort import (
+        read_ltv_curve,
+        run_ltv_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_ltv_")
+    sdf = _events_stream(spark, sf).select(
+        "user_id", "ts", "event_type", "value"
+    )
+    with _stream_partitions(spark):
+        run_ltv_stream(sdf, f"{base}/state")
+    return read_ltv_curve(spark, f"{base}/state")
+
+
 @_q(
     "skew_audit",
     """

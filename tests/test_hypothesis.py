@@ -1672,3 +1672,83 @@ def test_user_retention_matches_naive(spark, raw):
         key = dt.datetime(d.year, d.month, d.day)
         want[key] = (len(users), retained, round(retained / len(users), 6))
     assert got == want
+
+
+@given(
+    raw=st.lists(
+        st.tuples(
+            st.integers(0, 3),      # user
+            st.integers(0, 27),     # day
+            st.integers(0, 1),      # is purchase
+            st.integers(1, 40),     # value
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    order_seed=st.integers(0, 5),
+    n_cuts=st.integers(0, 3),
+)
+@_SETTINGS
+def test_streaming_ltv_matches_batch_under_any_order(
+    spark, raw, order_seed, n_cuts
+):
+    """Additive revenue cells + retro-movable cohorts: any arrival
+    order and any batch cuts must reproduce the batch curve, and a
+    crash-replay of the final batch must not double revenue."""
+    import datetime as dt
+    import hashlib
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.cohort import (
+        merge_ltv_batch,
+        read_ltv_curve,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (u, base + dt.timedelta(days=d, hours=i % 5),
+         "purchase" if p else "view", float(v))
+        for i, (u, d, p, v) in enumerate(raw)
+    ]
+
+    def mkdf(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string, value double"
+        )
+
+    state = tempfile.mkdtemp(prefix="ltv_prop_all_") + "/s"
+    merge_ltv_batch(mkdf(data), state, 0)
+    want = {
+        (r.cohort_week, r.week_offset): (r.cohort_size, r.avg_ltv)
+        for r in read_ltv_curve(spark, state).collect()
+    }
+
+    shuffled = sorted(
+        data,
+        key=lambda r: hashlib.md5(
+            f"{order_seed}-{r[0]}-{r[1].isoformat()}-{r[3]}".encode()
+        ).hexdigest(),
+    )
+    cuts = sorted({(i * len(shuffled)) // (n_cuts + 1) for i in range(1, n_cuts + 1)})
+    bounds = cuts + [len(shuffled)]
+    state2 = tempfile.mkdtemp(prefix="ltv_prop_split_") + "/s"
+    lo, bid, last = 0, 0, None
+    for hi in bounds:
+        if hi > lo:
+            merge_ltv_batch(mkdf(shuffled[lo:hi]), state2, bid)
+            last = (shuffled[lo:hi], bid)
+            bid += 1
+        lo = hi
+    got = {
+        (r.cohort_week, r.week_offset): (r.cohort_size, r.avg_ltv)
+        for r in read_ltv_curve(spark, state2).collect()
+    }
+    assert got == want
+    # replay of the final batch: additive state must NOT double-count
+    batch, i = last
+    merge_ltv_batch(mkdf(batch), state2, i)
+    got2 = {
+        (r.cohort_week, r.week_offset): (r.cohort_size, r.avg_ltv)
+        for r in read_ltv_curve(spark, state2).collect()
+    }
+    assert got2 == want
