@@ -1752,3 +1752,82 @@ def test_streaming_ltv_matches_batch_under_any_order(
         for r in read_ltv_curve(spark, state2).collect()
     }
     assert got2 == want
+
+
+def _ntile_ref(keys, k=5):
+    """SQL ntile: first (n mod k) buckets get ceil(n/k) rows, the rest
+    floor(n/k), over the given sort order."""
+    n = len(keys)
+    big, rem = divmod(n, k)
+    out = {}
+    i = 0
+    for b in range(1, k + 1):
+        size = big + (1 if b <= rem else 0)
+        for key in keys[i : i + size]:
+            out[key] = b
+        i += size
+    return out
+
+
+@given(
+    orders=st.lists(
+        st.tuples(
+            st.integers(0, 7),      # customer
+            st.integers(0, 20),     # day
+            st.integers(1, 500),    # total price (x0.25 -> decimals)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_SETTINGS
+def test_rfm_quintiles_match_sql_ntile_reference(spark, orders):
+    """RFM quintile assignment vs the SQL ntile definition computed in
+    Python over the same (metric, customer_id) sort order — bucket
+    boundary off-by-ones are the trap when n % 5 != 0."""
+    import datetime as dt
+    import tempfile
+
+    import __spark_entry__ as entrymod
+
+    base = dt.datetime(2024, 2, 1)
+    rows = [
+        (cust, base + dt.timedelta(days=d), float(p) * 0.25)
+        for cust, d, p in orders
+    ]
+    tmp = tempfile.mkdtemp(prefix="rfm_prop_")
+    spark.createDataFrame(
+        [
+            (i, c, "O", p, ts, "1-URGENT")
+            for i, (c, ts, p) in enumerate(rows)
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+    out = entrymod._REGISTRY["rfm_segments"][0](spark, tmp)
+    got = {
+        (r.r_score, r.f_score, r.m_score): (r.n_customers, r.avg_monetary)
+        for r in out.collect()
+    }
+
+    per_cust = {}
+    for c, ts, p in rows:
+        last, freq, mon = per_cust.get(c, (None, 0, 0.0))
+        per_cust[c] = (
+            ts if last is None or ts > last else last,
+            freq + 1,
+            mon + p,
+        )
+    custs = list(per_cust)
+    r = _ntile_ref(sorted(custs, key=lambda c: (per_cust[c][0], c)))
+    f = _ntile_ref(sorted(custs, key=lambda c: (per_cust[c][1], c)))
+    m = _ntile_ref(sorted(custs, key=lambda c: (per_cust[c][2], c)))
+    segs = {}
+    for c in custs:
+        key = (r[c], f[c], m[c])
+        cnt, cents = segs.get(key, (0, 0))
+        segs[key] = (cnt + 1, cents + int(round(per_cust[c][2] * 100)))
+    want = {
+        k: (cnt, round(cents / 100.0 / cnt, 6)) for k, (cnt, cents) in segs.items()
+    }
+    assert got == want
