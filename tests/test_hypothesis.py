@@ -1831,3 +1831,43 @@ def test_rfm_quintiles_match_sql_ntile_reference(spark, orders):
         k: (cnt, round(cents / 100.0 / cnt, 6)) for k, (cnt, cents) in segs.items()
     }
     assert got == want
+
+
+@given(raw=_funnel_events)
+@_SETTINGS
+def test_double_fire_audit_matches_naive(spark, raw):
+    """Bucket-decomposed rapid-repeat pairs vs a direct all-pairs scan
+    — timestamps are biased onto 30-min bucket edges elsewhere in the
+    generator, so boundary pairs (gap exactly == tolerance, pairs
+    straddling a bucket edge) are exercised."""
+    import datetime as dt
+    import tempfile
+
+    import __spark_entry__ as entrymod
+
+    base = dt.datetime(2024, 1, 1)
+    # minute*17 % 97 spreads events across ~3 buckets incl. edges
+    rows = [
+        (i, base + dt.timedelta(minutes=(m * 17) % 97), u, t, float(i))
+        for i, (u, m, t) in enumerate(raw)
+    ]
+    sf = _write_events(spark, tempfile.mkdtemp(prefix="dfire_prop_"), rows)
+    out = entrymod._REGISTRY["double_fire_audit"][0](spark, sf)
+    got = {
+        (r.first_id, r.dup_id): (r.user_id, r.event_type, r.gap_us)
+        for r in out.collect()
+    }
+    tol = 1800 * 1_000_000
+    want = {}
+    for i, ts_i, u_i, t_i, _ in rows:
+        for j, ts_j, u_j, t_j, _ in rows:
+            if (
+                i < j
+                and u_i == u_j
+                and t_i == t_j
+                and abs(int((ts_j - ts_i).total_seconds() * 1e6)) <= tol
+            ):
+                want[(i, j)] = (
+                    u_i, t_i, int((ts_j - ts_i).total_seconds() * 1e6)
+                )
+    assert got == want
