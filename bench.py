@@ -136,6 +136,7 @@ HEADLINE = [
     "theil_sen_trend",
     "doc_chunk_split",
     "streaming_cohort_matrix",
+    "streaming_ltv_curve",
 ]
 
 
