@@ -1871,3 +1871,105 @@ def test_double_fire_audit_matches_naive(spark, raw):
                     u_i, t_i, int((ts_j - ts_i).total_seconds() * 1e6)
                 )
     assert got == want
+
+
+@given(
+    raw=st.lists(
+        st.tuples(
+            st.integers(0, 1),       # event_type index
+            st.integers(0, 27),      # day
+            st.integers(-40, 40),    # value
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@_SETTINGS
+def test_wow_growth_matches_naive(spark, raw):
+    """Week-over-week growth vs a direct Python weekly walk (micro-unit
+    sums, lag over EXISTING weeks only — missing weeks are not
+    zero-filled — NULL growth on each type's first week, negative
+    denominators through abs())."""
+    import datetime as dt
+    import tempfile
+
+    import __spark_entry__ as entrymod
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(days=d, hours=i % 4), i % 3,
+         ["view", "purchase"][t], float(v) * 0.5)
+        for i, (t, d, v) in enumerate(raw)
+    ]
+    sf = _write_events(spark, tempfile.mkdtemp(prefix="wow_prop_"), rows)
+    out = entrymod._REGISTRY["wow_growth"][0](spark, sf)
+    got = {
+        (r.event_type, r.week): (r.n_events, r.total_value, r.wow_growth)
+        for r in out.collect()
+    }
+
+    wk = {}
+    for _i, ts, _u, t, v in rows:
+        monday = (ts - dt.timedelta(days=ts.weekday())).replace(
+            hour=0, minute=0, second=0, microsecond=0
+        )
+        micro, n = wk.get((t, monday), (0, 0))
+        wk[(t, monday)] = (micro + int(round(v * 1e6)), n + 1)
+    want = {}
+    by_type = {}
+    for (t, w), (micro, n) in wk.items():
+        by_type.setdefault(t, []).append((w, micro, n))
+    for t, seq in by_type.items():
+        seq.sort()
+        prev = None
+        for w, micro, n in seq:
+            growth = (
+                None if prev is None
+                else round((micro - prev) / abs(prev), 6)
+            )
+            want[(t, w)] = (n, round(micro / 1e6, 6), growth)
+            prev = micro
+    assert set(got) == set(want)
+    for k, (n, tv, g) in want.items():
+        gn, gtv, gg = got[k]
+        assert (gn, gtv) == (n, tv), k
+        if g is None:
+            assert gg is None, k
+        else:
+            assert abs(gg - g) <= 1e-6, k
+
+
+@given(raw=_funnel_events)
+@_SETTINGS
+def test_scd2_history_matches_naive(spark, raw):
+    """Changelog-to-SCD2 rewrite vs a direct Python lead-chain:
+    valid_to = next purchase's ts per user (ties by event id),
+    is_current on the last row only."""
+    import datetime as dt
+    import tempfile
+
+    import __spark_entry__ as entrymod
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=m), u, t, float(i))
+        for i, (u, m, t) in enumerate(raw)
+    ]
+    sf = _write_events(spark, tempfile.mkdtemp(prefix="scd2h_prop_"), rows)
+    out = entrymod._REGISTRY["scd2_history"][0](spark, sf)
+    got = {
+        r.event_id: (r.user_id, r.valid_from, r.valid_to, r.is_current)
+        for r in out.collect()
+    }
+
+    by_user = {}
+    for i, ts, u, t, _v in rows:
+        if t == "purchase":
+            by_user.setdefault(u, []).append((ts, i))
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        for j, (ts, i) in enumerate(evs):
+            nxt = evs[j + 1][0] if j + 1 < len(evs) else None
+            want[i] = (u, ts, nxt, nxt is None)
+    assert got == want
