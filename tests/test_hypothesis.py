@@ -1973,3 +1973,75 @@ def test_scd2_history_matches_naive(spark, raw):
             nxt = evs[j + 1][0] if j + 1 < len(evs) else None
             want[i] = (u, ts, nxt, nxt is None)
     assert got == want
+
+
+@given(raw=_funnel_events)
+@_SETTINGS
+def test_adjacent_pattern_counts_matches_naive(spark, raw):
+    """Adjacent-pattern detection vs a direct Python lead walk —
+    click->purchase within 1h and error->error within 10 min, with
+    ties in ts broken by event id."""
+    import datetime as dt
+    import tempfile
+
+    import __spark_entry__ as entrymod
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=m), u, t, float(i))
+        for i, (u, m, t) in enumerate(raw)
+    ]
+    sf = _write_events(spark, tempfile.mkdtemp(prefix="adj_prop_"), rows)
+    out = entrymod._REGISTRY["adjacent_pattern_counts"][0](spark, sf)
+    got = {
+        r.user_id: (r.n_click_then_purchase, r.n_error_bursts, r.n_events)
+        for r in out.collect()
+    }
+
+    by_user = {}
+    for i, ts, u, t, _v in rows:
+        by_user.setdefault(u, []).append((ts, i, t))
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        cp = eb = 0
+        for (ts, _i, t), (nts, _ni, nt) in zip(evs, evs[1:]):
+            gap = (nts - ts).total_seconds()
+            if t == "click" and nt == "purchase" and gap <= 3600:
+                cp += 1
+            if t == "error" and nt == "error" and gap <= 600:
+                eb += 1
+        want[u] = (cp, eb, len(evs))
+    assert got == want
+
+
+@given(raw=_funnel_events)
+@_SETTINGS
+def test_mode_stats_matches_naive(spark, raw):
+    """Exact per-group mode with the pinned lowest-id tiebreak."""
+    import datetime as dt
+    import tempfile
+
+    import __spark_entry__ as entrymod
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=m), u, t, float(i))
+        for i, (u, m, t) in enumerate(raw)
+    ]
+    sf = _write_events(spark, tempfile.mkdtemp(prefix="mode_prop_"), rows)
+    out = entrymod._REGISTRY["mode_stats"][0](spark, sf)
+    got = {
+        r.event_type: (r.mode_user, r.mode_count, r.n_distinct_users)
+        for r in out.collect()
+    }
+
+    counts = {}
+    for _i, _ts, u, t, _v in rows:
+        counts.setdefault(t, {}).setdefault(u, 0)
+        counts[t][u] += 1
+    want = {}
+    for t, per_user in counts.items():
+        mode_user = min(per_user, key=lambda u: (-per_user[u], u))
+        want[t] = (mode_user, per_user[mode_user], len(per_user))
+    assert got == want
