@@ -2045,3 +2045,95 @@ def test_mode_stats_matches_naive(spark, raw):
         mode_user = min(per_user, key=lambda u: (-per_user[u], u))
         want[t] = (mode_user, per_user[mode_user], len(per_user))
     assert got == want
+
+
+@given(raw=_funnel_events)
+@_SETTINGS
+def test_conversion_lag_matches_naive(spark, raw):
+    """First-view -> first-purchase lag percentiles vs a direct Python
+    walk (converters only, purchase-before-view excluded, empty
+    converter set yields count 0 with NULL stats)."""
+    import datetime as dt
+    import tempfile
+
+    import __spark_entry__ as entrymod
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=m), u, t, float(i))
+        for i, (u, m, t) in enumerate(raw)
+    ]
+    sf = _write_events(spark, tempfile.mkdtemp(prefix="clag_prop_"), rows)
+    out = entrymod._REGISTRY["conversion_lag_stats"][0](spark, sf)
+    [r] = out.collect()
+
+    firsts = {}
+    for _i, ts, u, t, _v in rows:
+        fv, fp = firsts.get(u, (None, None))
+        if t == "view" and (fv is None or ts < fv):
+            fv = ts
+        if t == "purchase" and (fp is None or ts < fp):
+            fp = ts
+        firsts[u] = (fv, fp)
+    lags = sorted(
+        (fp - fv).total_seconds()
+        for fv, fp in firsts.values()
+        if fv is not None and fp is not None and fp >= fv
+    )
+
+    def pct(q):
+        n = len(lags)
+        rank = q * (n - 1)
+        lo = int(rank)
+        frac = rank - lo
+        if lo + 1 < n:
+            return lags[lo] + frac * (lags[lo + 1] - lags[lo])
+        return lags[lo]
+
+    assert r.n_converters == len(lags)
+    if not lags:
+        assert r.p50_sec is None and r.min_sec is None
+    else:
+        assert abs(r.p50_sec - round(pct(0.5), 6)) <= 1e-6
+        assert abs(r.p90_sec - round(pct(0.9), 6)) <= 1e-6
+        assert r.min_sec == round(lags[0], 6)
+        assert r.max_sec == round(lags[-1], 6)
+
+
+@given(raw=_funnel_events)
+@_SETTINGS
+def test_interarrival_stats_matches_naive(spark, raw):
+    """Per-user gap stats vs a direct Python lag walk (single-event
+    users emit a row with zero gaps and NULL min/max/total)."""
+    import datetime as dt
+    import tempfile
+
+    import __spark_entry__ as entrymod
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=m), u, t, float(i))
+        for i, (u, m, t) in enumerate(raw)
+    ]
+    sf = _write_events(spark, tempfile.mkdtemp(prefix="iarr_prop_"), rows)
+    out = entrymod._REGISTRY["interarrival_stats"][0](spark, sf)
+    got = {
+        r.user_id: (r.n_gaps, r.min_gap_us, r.max_gap_us, r.total_gap_us)
+        for r in out.collect()
+    }
+
+    by_user = {}
+    for i, ts, u, _t, _v in rows:
+        by_user.setdefault(u, []).append((ts, i))
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        gaps = [
+            int((b[0] - a[0]).total_seconds() * 1_000_000)
+            for a, b in zip(evs, evs[1:])
+        ]
+        if gaps:
+            want[u] = (len(gaps), min(gaps), max(gaps), sum(gaps))
+        else:
+            want[u] = (0, None, None, None)
+    assert got == want
