@@ -2137,3 +2137,88 @@ def test_interarrival_stats_matches_naive(spark, raw):
         else:
             want[u] = (0, None, None, None)
     assert got == want
+
+
+@given(raw=_funnel_events)
+@_SETTINGS
+def test_rolling_dau_matches_naive(spark, raw):
+    """Trailing 7-row DAU window vs a direct Python walk over the
+    sorted ACTIVE days (calendar gaps are not zero-filled — the window
+    is row-based over days that exist, as documented)."""
+    import datetime as dt
+    import tempfile
+
+    import __spark_entry__ as entrymod
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(days=m % 11, hours=m % 6), u, t, float(i))
+        for i, (u, m, t) in enumerate(raw)
+    ]
+    sf = _write_events(spark, tempfile.mkdtemp(prefix="dau_prop_"), rows)
+    out = entrymod._REGISTRY["rolling_dau"][0](spark, sf)
+    got = {
+        r.day: (r.dau, r.dau_7d_sum, r.dau_7d_avg) for r in out.collect()
+    }
+
+    per_day = {}
+    for _i, ts, u, _t, _v in rows:
+        per_day.setdefault(ts.date(), set()).add(u)
+    days = sorted(per_day)
+    want = {}
+    for idx, d in enumerate(days):
+        window = days[max(0, idx - 6) : idx + 1]
+        daus = [len(per_day[x]) for x in window]
+        want[d] = (
+            len(per_day[d]), sum(daus), round(sum(daus) / len(daus), 6)
+        )
+    assert set(got) == set(want)
+    for d, (dau, s, avg) in want.items():
+        gd, gs, gavg = got[d]
+        assert (gd, gs) == (dau, s), d
+        assert abs(gavg - avg) <= 1e-6, d
+
+
+@given(
+    vals=st.lists(st.integers(-50, 550), min_size=1, max_size=40)
+)
+@_SETTINGS
+def test_value_histogram_matches_naive(spark, vals):
+    """Fixed-bin histogram + CDF vs direct Python binning — negative
+    values clamp to bin 0, overflow clamps to the last bin, cumulative
+    shares sum over ascending bins."""
+    import datetime as dt
+    import tempfile
+
+    import __spark_entry__ as entrymod
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), i % 3, "view", float(v) * 0.5)
+        for i, v in enumerate(vals)
+    ]
+    sf = _write_events(spark, tempfile.mkdtemp(prefix="hist_prop_"), rows)
+    out = entrymod._REGISTRY["value_histogram"][0](spark, sf)
+    got = {
+        r.bin: (r.bin_lo, r.n_events, r.cum_events, r.cum_share)
+        for r in out.collect()
+    }
+
+    import math
+
+    w, nb = 25.0, 20
+    counts = {}
+    for v in vals:
+        b = int(min(max(math.floor((v * 0.5) / w), 0), nb - 1))
+        counts[b] = counts.get(b, 0) + 1
+    total = sum(counts.values())
+    cum = 0
+    want = {}
+    for b in sorted(counts):
+        cum += counts[b]
+        want[b] = (b * w, counts[b], cum, round(cum / total, 6))
+    assert set(got) == set(want)
+    for b, (lo, n, c, share) in want.items():
+        glo, gn, gc, gshare = got[b]
+        assert (glo, gn, gc) == (lo, n, c), b
+        assert abs(gshare - share) <= 1e-6, b
