@@ -2222,3 +2222,89 @@ def test_value_histogram_matches_naive(spark, vals):
         glo, gn, gc, gshare = got[b]
         assert (glo, gn, gc) == (lo, n, c), b
         assert abs(gshare - share) <= 1e-6, b
+
+
+@given(raw=_funnel_events)
+@_SETTINGS
+def test_path_ngrams_matches_naive(spark, raw):
+    """Journey trigram mining vs a direct Python path walk (paths
+    ordered by (ts, event_id), users shorter than 3 events excluded,
+    deterministic top-25)."""
+    import datetime as dt
+    import tempfile
+
+    import __spark_entry__ as entrymod
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=m), u, t, float(i))
+        for i, (u, m, t) in enumerate(raw)
+    ]
+    sf = _write_events(spark, tempfile.mkdtemp(prefix="path_prop_"), rows)
+    out = entrymod._REGISTRY["path_ngrams"][0](spark, sf)
+    got = [(r.trigram, r.n, r.n_users) for r in out.collect()]
+
+    by_user = {}
+    for i, ts, u, t, _v in rows:
+        by_user.setdefault(u, []).append((ts, i, t))
+    counts, users = {}, {}
+    for u, evs in by_user.items():
+        evs.sort()
+        p = [t for _ts, _i, t in evs]
+        for j in range(len(p) - 2):
+            tri = ">".join(p[j : j + 3])
+            counts[tri] = counts.get(tri, 0) + 1
+            users.setdefault(tri, set()).add(u)
+    want = sorted(
+        ((t, n, len(users[t])) for t, n in counts.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:25]
+    assert got == want
+
+
+@given(raw=_funnel_events)
+@_SETTINGS
+def test_out_of_order_audit_matches_naive(spark, raw):
+    """Disorder audit vs a direct Python running-max walk in offset
+    order (strictly-earlier-than-running-max counts as late; equal
+    timestamps do not)."""
+    import datetime as dt
+    import tempfile
+
+    import __spark_entry__ as entrymod
+
+    base = dt.datetime(2024, 1, 1)
+    # ts decoupled from event_id so disorder actually occurs
+    rows = [
+        (i, base + dt.timedelta(minutes=(m * 13) % 31), u, t, float(i))
+        for i, (u, m, t) in enumerate(raw)
+    ]
+    sf = _write_events(spark, tempfile.mkdtemp(prefix="ooo_prop_"), rows)
+    out = entrymod._REGISTRY["out_of_order_audit"][0](spark, sf)
+    got = {
+        r.event_type: (
+            r.n_events, r.n_late, r.late_frac, r.max_late_us, r.total_late_us
+        )
+        for r in out.collect()
+    }
+
+    by_type = {}
+    for i, ts, _u, t, _v in rows:
+        by_type.setdefault(t, []).append((i, ts))
+    want = {}
+    for t, evs in by_type.items():
+        evs.sort()  # offset order
+        run_max = None
+        lates = []
+        for _i, ts in evs:
+            if run_max is not None and ts < run_max:
+                lates.append(int((run_max - ts).total_seconds() * 1_000_000))
+            run_max = ts if run_max is None or ts > run_max else run_max
+        want[t] = (
+            len(evs),
+            len(lates),
+            round(len(lates) / len(evs), 6),
+            max(lates) if lates else None,
+            sum(lates),
+        )
+    assert got == want
