@@ -2308,3 +2308,61 @@ def test_out_of_order_audit_matches_naive(spark, raw):
             sum(lates),
         )
     assert got == want
+
+
+_asof_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 12), st.integers(0, 9)),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(left=_asof_rows, right=_asof_rows)
+@_SETTINGS
+def test_asof_join_both_directions_match_naive(spark, left, right):
+    """Backward and forward as-of joins vs direct Python scans,
+    including the pinned tiebreaks: equal-ts right rows resolve to the
+    struct-MAX payload backward and struct-MIN payload forward;
+    left rows at exactly a right ts match in both directions."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.joins import (
+        asof_join,
+        asof_join_forward,
+    )
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t, _) in enumerate(left)], ["l_id", "k", "lts"]
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, v) for k, t, v in right], ["k", "rts", "v"]
+    )
+
+    back = {
+        r["l_id"]: (r["matched_v"], r["matched_rts"])
+        for r in asof_join(
+            ldf, rdf, key="k", left_ts="lts", right_ts="rts", right_cols=["v"]
+        ).collect()
+    }
+    fwd = {
+        r["l_id"]: (r["next_v"], r["next_rts"])
+        for r in asof_join_forward(
+            ldf, rdf, key="k", left_ts="lts", right_ts="rts", right_cols=["v"]
+        ).collect()
+    }
+
+    for i, (k, lt, _) in enumerate(left):
+        prior = [(rt, v) for rk, rt, v in right if rk == k and rt <= lt]
+        if prior:
+            mts = max(rt for rt, _ in prior)
+            want_v = max(v for rt, v in prior if rt == mts)
+            assert back[i] == (want_v, mts), ("back", i)
+        else:
+            assert back[i] == (None, None), ("back", i)
+        future = [(rt, v) for rk, rt, v in right if rk == k and rt >= lt]
+        if future:
+            mts = min(rt for rt, _ in future)
+            want_v = min(v for rt, v in future if rt == mts)
+            assert fwd[i] == (want_v, mts), ("fwd", i)
+        else:
+            assert fwd[i] == (None, None), ("fwd", i)
