@@ -2366,3 +2366,69 @@ def test_asof_join_both_directions_match_naive(spark, left, right):
             assert fwd[i] == (want_v, mts), ("fwd", i)
         else:
             assert fwd[i] == (None, None), ("fwd", i)
+
+
+_join_rows = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(-20, 20)),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(fact=_join_rows, dim=_join_rows, parts=st.integers(1, 6))
+@_SETTINGS
+def test_salted_join_equals_plain_join(spark, fact, dim, parts):
+    """The skew-salted join must produce EXACTLY the plain join's
+    multiset — one output row per matching fact x dim pair, under
+    duplicate keys on both sides and any salt width."""
+    from collections import Counter
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.skew import (
+        salted_join,
+    )
+
+    if not fact or not dim:
+        return
+    f = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(fact)], ["f_id", "fk", "fv"]
+    )
+    d = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(dim)], ["d_id", "dk", "dv"]
+    )
+    got = Counter(
+        (r["f_id"], r["d_id"])
+        for r in salted_join(
+            f, d, on=[("fk", "dk")], salt_partitions=parts
+        ).collect()
+    )
+    want = Counter(
+        (fi, di)
+        for fi, (fk, _) in enumerate(fact)
+        for di, (dk, _) in enumerate(dim)
+        if fk == dk
+    )
+    assert got == want
+
+
+@given(fact=_join_rows, dim=_join_rows)
+@_SETTINGS
+def test_bloom_semi_join_equals_exact_semi(spark, fact, dim):
+    """Bloom pre-pruning must never change the semi-join result —
+    false positives are removed by the exact join, and a false
+    NEGATIVE (the impossible case this guards) would drop rows."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.bloom import (
+        bloom_semi_join,
+    )
+
+    if not fact or not dim:
+        return
+    f = spark.createDataFrame(
+        [(i, k) for i, (k, _) in enumerate(fact)], ["f_id", "fk"]
+    )
+    d = spark.createDataFrame(
+        [(i, k) for i, (k, _) in enumerate(dim)], ["d_id", "dk"]
+    )
+    got = {r["f_id"] for r in bloom_semi_join(f, d, "fk", "dk").collect()}
+    dkeys = {k for k, _ in dim}
+    want = {i for i, (k, _) in enumerate(fact) if k in dkeys}
+    assert got == want
