@@ -2432,3 +2432,56 @@ def test_bloom_semi_join_equals_exact_semi(spark, fact, dim):
     dkeys = {k for k, _ in dim}
     want = {i for i, (k, _) in enumerate(fact) if k in dkeys}
     assert got == want
+
+
+_spans = st.lists(
+    st.tuples(st.integers(0, 60), st.integers(0, 30)),  # (start, length)
+    min_size=0,
+    max_size=15,
+)
+
+
+@given(left=_spans, right=_spans, bucket=st.integers(1, 40))
+@_SETTINGS
+def test_interval_overlap_join_matches_all_pairs(spark, left, right, bucket):
+    """Bucket-decomposed span-overlap join vs a direct all-pairs scan
+    for ANY bucket width — touching endpoints overlap, spans covering
+    many buckets dedupe to one pair, bucket edges are the trap."""
+    import datetime as dt
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    if not left or not right:
+        return
+    base = dt.datetime(2024, 1, 1)
+
+    def mk(rows, pre):
+        return spark.createDataFrame(
+            [
+                (
+                    i,
+                    base + dt.timedelta(seconds=s),
+                    base + dt.timedelta(seconds=s + ln),
+                )
+                for i, (s, ln) in enumerate(rows)
+            ],
+            [f"{pre}_id", f"{pre}_start", f"{pre}_end"],
+        )
+
+    out = interval_overlap_join(
+        mk(left, "l"),
+        mk(right, "r"),
+        left_span=("l_start", "l_end"),
+        right_span=("r_start", "r_end"),
+        bucket_seconds=bucket,
+    )
+    got = {(r["l_id"], r["r_id"]) for r in out.collect()}
+    want = {
+        (li, ri)
+        for li, (ls, ll) in enumerate(left)
+        for ri, (rs, rl) in enumerate(right)
+        if ls <= rs + rl and rs <= ls + ll
+    }
+    assert got == want
