@@ -2485,3 +2485,41 @@ def test_interval_overlap_join_matches_all_pairs(spark, left, right, bucket):
         if ls <= rs + rl and rs <= ls + ll
     }
     assert got == want
+
+
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(0, 4),          # key
+            st.integers(-50, 50),       # value
+            st.booleans(),              # is delete
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_SETTINGS
+def test_apply_changelog_matches_naive_replay(spark, ops):
+    """Changelog compaction with delete propagation (reference S9/E2)
+    vs a direct Python replay in offset order: latest record per key
+    wins, keys whose latest record is a tombstone disappear, and a
+    re-insert after a delete resurrects the key."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.compaction import (
+        apply_changelog,
+    )
+
+    rows = [
+        (k, v, d, off) for off, (k, v, d) in enumerate(ops)
+    ]
+    df = spark.createDataFrame(rows, ["k", "v", "__deleted", "off"])
+    got = {
+        r["k"]: r["v"]
+        for r in apply_changelog(df, keys=["k"], offset_col="off").collect()
+    }
+    state = {}
+    for k, v, d, _off in rows:  # offset == arrival order here
+        if d:
+            state.pop(k, None)
+        else:
+            state[k] = v
+    assert got == state
