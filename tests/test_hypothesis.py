@@ -2523,3 +2523,68 @@ def test_apply_changelog_matches_naive_replay(spark, ops):
         else:
             state[k] = v
     assert got == state
+
+
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(0, 3),          # key
+            st.integers(-30, 30),       # value
+            st.booleans(),              # is delete
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    cuts=st.sets(st.integers(1, 24), max_size=3),
+)
+@_SETTINGS
+def test_upsert_sink_split_invariant_with_tombstones(spark, ops, cuts):
+    """The keyed-upsert MERGE sink (reference S9/E2) folded batch by
+    batch — with tombstones and resurrections — must equal the
+    one-shot changelog replay, and a re-delivery of the LAST batch
+    (the only re-delivery checkpointed foreachBatch can produce) must
+    be a no-op.  Re-delivering an OLDER batch after a tombstone is NOT
+    covered by the sink's contract: an applied tombstone is dropped,
+    so the key would resurrect — the Kafka delete.retention.ms
+    boundary, documented in streaming/upsert.py."""
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.compaction import (
+        apply_changelog,
+    )
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.upsert import (
+        read_state,
+        upsert_batch,
+    )
+
+    rows = [(k, v, d, off) for off, (k, v, d) in enumerate(ops)]
+    cols = ["k", "v", "__deleted", "off"]
+    df_all = spark.createDataFrame(rows, cols)
+    want = {
+        (r["k"], r["v"])
+        for r in apply_changelog(df_all, keys=["k"], offset_col="off").collect()
+    }
+
+    state = tempfile.mkdtemp(prefix="upsert_prop_")
+    bounds = sorted(c for c in cuts if c < len(rows)) + [len(rows)]
+    lo = 0
+    last_batch = None
+    for hi in bounds:
+        batch = rows[lo:hi]
+        lo = hi
+        if not batch:
+            continue
+        last_batch = batch
+        upsert_batch(
+            spark.createDataFrame(batch, cols), state,
+            keys=["k"], offset_col="off",
+        )
+    # crash re-delivery of the LAST batch must be a no-op
+    upsert_batch(
+        spark.createDataFrame(last_batch, cols), state,
+        keys=["k"], offset_col="off",
+    )
+    got = {
+        (r["k"], r["v"]) for r in read_state(spark, state).select("k", "v").collect()
+    }
+    assert got == want

@@ -68,7 +68,18 @@ def upsert_batch(
     removed from the state (tombstone propagation).  Prior-state rows
     re-enter the merge with ``__deleted=false`` and their stored offset,
     so a stale re-delivery (offset lower than the state's) never
-    regresses a key.
+    regresses a key THAT IS STILL IN STATE.
+
+    Delivery-model boundary (found by the hypothesis suite): an applied
+    tombstone is physically dropped, so the state keeps no memory of
+    the deleted key's offset — re-delivering a batch OLDER than the
+    delete would resurrect the key.  That is exactly Kafka's
+    ``delete.retention.ms`` contract (tombstones must outlive consumer
+    lag) and the reference ES sink's exposure too.  It cannot occur
+    under checkpointed ``foreachBatch``, which only ever re-runs the
+    LAST batch; feeding this sink from a transport that can re-deliver
+    arbitrary old batches requires retaining tombstone rows for the
+    re-delivery window instead of dropping them at apply time.
 
     ``allow_schema_evolution=True`` handles the CDC widen case — an
     upstream ``ALTER TABLE ADD COLUMN`` makes Debezium envelopes grow a
