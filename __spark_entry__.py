@@ -8387,6 +8387,24 @@ def q_decile_lift(spark, sf):
     )
 
 
+# Content-defined chunk boundaries over a normalized string column `n`:
+# a boundary falls where the md5-derived hash of the 8-char window is
+# 0 mod 64 (expected ~64-char chunks).  Shared by the entry below and
+# the shift-invariance property test.
+_CDC_BOUNDS_SQL = (
+    "concat(array(1), "
+    "filter(sequence(2, length(n) - 7), "
+    "  i -> pmod(cast(conv(substr(md5(substr(n, i, 8)), 1, 15), 16, 10) "
+    "            as bigint), 64) = 0), "
+    "array(length(n) + 1))"
+)
+_CDC_CHUNKS_SQL = (
+    "transform(sequence(1, size(bf) - 1), "
+    "k -> substr(n, element_at(bf, k), "
+    "     element_at(bf, k + 1) - element_at(bf, k)))"
+)
+
+
 @_q(
     "content_chunk_dedup",
     """
@@ -8434,22 +8452,9 @@ def q_content_chunk_dedup(spark, sf):
     base = d.select(
         "doc_id", dedup.normalize_text("text").alias("n")
     ).filter(F.length("n") >= 16)
-    bf = F.expr(
-        "concat(array(1), "
-        "filter(sequence(2, length(n) - 7), "
-        "  i -> pmod(cast(conv(substr(md5(substr(n, i, 8)), 1, 15), 16, 10) "
-        "            as bigint), 64) = 0), "
-        "array(length(n) + 1))"
-    )
-    ch = base.withColumn("bf", bf).select(
+    ch = base.withColumn("bf", F.expr(_CDC_BOUNDS_SQL)).select(
         "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(bf) - 1), "
-                "k -> substr(n, element_at(bf, k), "
-                "     element_at(bf, k + 1) - element_at(bf, k)))"
-            )
-        ).alias("chunk"),
+        F.explode(F.expr(_CDC_CHUNKS_SQL)).alias("chunk"),
     )
     agg = ch.groupBy(F.md5("chunk").alias("fp")).agg(
         F.count(F.lit(1)).alias("occ"),

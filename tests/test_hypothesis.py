@@ -2588,3 +2588,44 @@ def test_upsert_sink_split_invariant_with_tombstones(spark, ops, cuts):
         (r["k"], r["v"]) for r in read_state(spark, state).select("k", "v").collect()
     }
     assert got == want
+
+
+@given(
+    body=st.text(alphabet=st.sampled_from(list("ab c")), min_size=20, max_size=120),
+    prefix=st.text(alphabet=st.sampled_from(list("xy z")), min_size=1, max_size=40),
+)
+@_SETTINGS
+def test_cdc_chunking_is_shift_invariant(spark, body, prefix):
+    """The property content-defined chunking exists for: prepending
+    arbitrary content must leave the body's INTERIOR chunks (all but
+    the positional first and last) byte-identical — fixed-size
+    chunking fails this for every non-multiple shift."""
+    import __spark_entry__ as entrymod
+    import pyspark.sql.functions as F
+
+    body = " ".join(body.split())  # pre-normalized (single spaces)
+    prefix = " ".join(prefix.split())
+    if len(body) < 16 or not prefix:
+        return
+    shifted = prefix + " " + body
+
+    def chunks(s):
+        df = spark.createDataFrame([(s,)], ["n"])
+        rows = (
+            df.withColumn("bf", F.expr(entrymod._CDC_BOUNDS_SQL))
+            .select(F.explode(F.expr(entrymod._CDC_CHUNKS_SQL)).alias("c"))
+            .collect()
+        )
+        return [r["c"] for r in rows]
+
+    base = chunks(body)
+    big = chunks(shifted)
+    interior = base[1:-1]
+    if not interior:
+        return
+    # every interior chunk of the body appears contiguously in the
+    # shifted text's chunking (multiset containment)
+    from collections import Counter
+
+    missing = Counter(interior) - Counter(big)
+    assert not missing, (body, prefix, base, big)
