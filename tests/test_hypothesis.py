@@ -2629,3 +2629,48 @@ def test_cdc_chunking_is_shift_invariant(spark, body, prefix):
 
     missing = Counter(interior) - Counter(big)
     assert not missing, (body, prefix, base, big)
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(
+                ["the quick fox", "lazy dog sleeps", "spark shuffles data",
+                 "hash join plan", "broadcast the dim", "sort merge spill"]
+            ),
+            min_size=3,
+            max_size=8,
+        ).map(" . ".join),
+        min_size=2,
+        max_size=10,
+    )
+)
+@_SETTINGS
+def test_simhash_blocking_finds_every_close_pair(spark, texts):
+    """Pigeonhole-blocking completeness: the blocked simhash pair set
+    must contain EVERY pair whose fingerprints are within the hamming
+    bound — computed by brute force over the same fingerprints (a
+    blocked join may never lose recall against its own guarantee)."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.dedup import (
+        SIMHASH_MAX_HAMMING,
+        simhash_fingerprints,
+        simhash_near_dups,
+    )
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_fingerprints(df).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_dups(df).collect()
+    }
+    want = {
+        (a, b)
+        for a in fps
+        for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= SIMHASH_MAX_HAMMING
+    }
+    assert got == want
