@@ -7032,13 +7032,13 @@ def q_dq_audit(spark, sf):
       FROM lineitem)
     SELECT cast(n AS bigint) AS n,
            round((n * sqp - sq * sp)
-                 / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 6)
+                 / nullif(sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 0), 6)
              AS corr_qty_price,
            round((n * sqd - sq * sd)
-                 / sqrt((n * sqq - sq * sq) * (n * sdd - sd * sd)), 6)
+                 / nullif(sqrt((n * sqq - sq * sq) * (n * sdd - sd * sd)), 0), 6)
              AS corr_qty_disc,
            round((n * spd - sp * sd)
-                 / sqrt((n * spp - sp * sp) * (n * sdd - sd * sd)), 6)
+                 / nullif(sqrt((n * spp - sp * sp) * (n * sdd - sd * sd)), 0), 6)
              AS corr_price_disc
     FROM s
     """,
@@ -7074,9 +7074,12 @@ def q_corr_matrix(spark, sf):
     n, sq, sp, sd = F.col("n"), F.col("sq"), F.col("sp"), F.col("sd")
 
     def _corr(sxy, sx, sy, sxx, syy):
+        # nullif guards the constant-column case (zero variance):
+        # correlation is undefined there and must yield NULL, not an
+        # ANSI divide-by-zero (found by the hypothesis suite).
+        den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
         return F.round(
-            (n * sxy - sx * sy)
-            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            (n * sxy - sx * sy) / F.nullif(den, F.lit(0.0)),
             6,
         )
 

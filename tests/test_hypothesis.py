@@ -2674,3 +2674,59 @@ def test_simhash_blocking_finds_every_close_pair(spark, texts):
         if a < b and bin(fps[a] ^ fps[b]).count("1") <= SIMHASH_MAX_HAMMING
     }
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 200),   # quantity (x0.25)
+            st.integers(1, 900),   # price    (x0.25)
+            st.integers(0, 40),    # discount (x0.01)
+        ),
+        min_size=3,
+        max_size=30,
+    )
+)
+@_SETTINGS
+def test_corr_matrix_matches_numpy(spark, rows):
+    """One-pass exact-moment Pearson correlations vs numpy.corrcoef on
+    the same columns (decimal-quantized inputs, constant columns give
+    NaN in both)."""
+    import datetime as dt
+    import tempfile
+
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, 1, 1, 1, round(q * 0.25, 2), round(p * 0.25, 2),
+         round(d * 0.01, 2), 0.0, "N", "O", base)
+        for i, (q, p, d) in enumerate(rows)
+    ]
+    tmp = tempfile.mkdtemp(prefix="corr_prop_")
+    spark.createDataFrame(
+        data,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
+    [r] = entrymod._REGISTRY["corr_matrix"][0](spark, tmp).collect()
+
+    q = np.array([round(x * 0.25, 2) for x, _, _ in rows])
+    p = np.array([round(x * 0.25, 2) for _, x, _ in rows])
+    d = np.array([round(x * 0.01, 2) for _, _, x in rows])
+    assert r.n == len(rows)
+
+    def check(got, a, b):
+        if np.std(a) == 0 or np.std(b) == 0:
+            assert got is None or np.isnan(got)
+            return
+        want = float(np.corrcoef(a, b)[0, 1])
+        assert abs(got - want) <= 1e-4, (got, want)
+
+    check(r.corr_qty_price, q, p)
+    check(r.corr_qty_disc, q, d)
+    check(r.corr_price_disc, p, d)
