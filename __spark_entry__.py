@@ -1277,10 +1277,12 @@ _VAL_DEC = "decimal(18,4)"
       FROM events GROUP BY 1)
     SELECT event_id, e.event_type, value,
            round((value - s1 / n)
-                 / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS z
+                 / nullif(sqrt((s2 - s1 * s1 / n)
+                               / nullif(n - 1, 0)), 0), 6) AS z
     FROM events e JOIN st ON e.event_type = st.event_type
     WHERE abs((value - s1 / n)
-              / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 3
+              / nullif(sqrt((s2 - s1 * s1 / n)
+                            / nullif(n - 1, 0)), 0)) > 3
     """,
 )
 def q_value_outliers(spark, sf):
@@ -1298,9 +1300,12 @@ def q_value_outliers(spark, sf):
         F.sum(dec).cast("double").alias("s1"),
         F.sum(dec * dec).cast("double").alias("s2"),
     )
-    z = (F.col("value") - F.col("s1") / F.col("n")) / F.sqrt(
-        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
-        / (F.col("n") - 1)
+    z = (F.col("value") - F.col("s1") / F.col("n")) / F.nullif(
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / F.nullif((F.col("n") - 1).cast("double"), F.lit(0.0))
+        ),
+        F.lit(0.0),
     )
     return (
         ev.join(F.broadcast(st), "event_type")
@@ -9472,7 +9477,8 @@ def q_embedding_norm_outliers(spark, sf):
     SELECT event_type, week, n_events,
            round(v_micro / 1e6, 6) AS total_value,
            round((v_micro - lag(v_micro) OVER w)
-                 / abs(lag(v_micro) OVER w)::DOUBLE, 6) AS wow_growth
+                 / nullif(abs(lag(v_micro) OVER w), 0)::DOUBLE, 6)
+             AS wow_growth
     FROM wk
     WINDOW w AS (PARTITION BY event_type ORDER BY week)
     """,
@@ -9500,7 +9506,9 @@ def q_wow_growth(spark, sf):
         "n_events",
         F.round(F.col("v_micro") / F.lit(1e6), 6).alias("total_value"),
         F.round(
-            (F.col("v_micro") - prev) / F.abs(prev).cast("double"), 6
+            (F.col("v_micro") - prev)
+            / F.nullif(F.abs(prev).cast("double"), F.lit(0.0)),
+            6,
         ).alias("wow_growth"),
     )
 
@@ -9872,7 +9880,8 @@ def q_winsorized_stats(spark, sf):
     z AS (
       SELECT e.event_id, e.event_type, isodow(e.ts) - 1 AS weekday, e.value,
              (e.value - s1::DOUBLE / n)
-             / sqrt((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n) / (n - 1)) AS zs
+             / nullif(sqrt((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n)
+                           / (n - 1)), 0) AS zs
       FROM events e JOIN st ON e.event_type = st.event_type
                            AND isodow(e.ts) - 1 = st.weekday
       WHERE n > 1)
@@ -9896,12 +9905,15 @@ def q_seasonal_outliers(spark, sf):
         F.sum(y).alias("s1"),
         F.sum(y * y).alias("s2"),
     ).filter(F.col("n") > 1)
-    zs = (F.col("value") - F.col("s1").cast("double") / F.col("n")) / F.sqrt(
-        (
-            F.col("s2").cast("double")
-            - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
-        )
-        / (F.col("n") - 1)
+    zs = (F.col("value") - F.col("s1").cast("double") / F.col("n")) / F.nullif(
+        F.sqrt(
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ),
+        F.lit(0.0),
     )
     return (
         ev.select("event_id", "event_type", F.weekday("ts").alias("weekday"), "value")

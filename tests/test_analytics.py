@@ -1164,3 +1164,45 @@ def test_embedding_norm_outliers_detects_injected_anomalies(spark, patch_load):
     patch_load({"embeddings": spark.createDataFrame(
         uniform, ["vec_id", "embedding", "label"])})
     assert entrymod.queries()["embedding_norm_outliers"](spark, "x").count() == 0
+
+
+def test_division_heavy_entries_survive_degenerate_events(spark):
+    """Zero-variance groups, single-event groups, identical timestamps,
+    and zero-sum weeks must yield NULL statistics, never an ANSI
+    divide-by-zero (regression for the nullif guards in wow_growth,
+    value_outliers, seasonal_outliers, corr_matrix)."""
+    import datetime as dt
+    import tempfile
+
+    import __spark_entry__ as entrymod
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, base, 1, "view", 5.0, "{}"),
+        (1, base, 2, "view", 5.0, "{}"),                      # zero variance
+        (2, base + dt.timedelta(days=7), 1, "click", 3.0, "{}"),
+        (3, base + dt.timedelta(days=7), 2, "click", -3.0, "{}"),  # week sums 0
+        (4, base + dt.timedelta(days=14), 1, "click", 1.0, "{}"),
+        (5, base, 3, "error", 2.0, "{}"),                     # n = 1 group
+    ]
+    tmp = tempfile.mkdtemp(prefix="degenerate_events_")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+
+    for name in [
+        "wow_growth", "value_outliers", "seasonal_outliers",
+        "value_trend_regression", "changepoint_cusum", "mad_outliers",
+        "skew_audit", "time_weighted_avg", "dow_seasonality", "ewma_smooth",
+    ]:
+        entrymod._REGISTRY[name][0](spark, tmp).collect()  # must not raise
+
+    wow = {
+        (r.event_type, r.week): r.wow_growth
+        for r in entrymod._REGISTRY["wow_growth"][0](spark, tmp).collect()
+    }
+    # the week after the zero-sum click week has NULL growth (|prev| = 0)
+    click_weeks = sorted(w for t, w in wow if t == "click")
+    assert wow[("click", click_weeks[-1])] is None
