@@ -4640,10 +4640,11 @@ def q_ann_cosine_topk(spark, sf):
 
 
 def _cos_sql(x: str, y: str) -> str:
+    # nullif mirrors similarity.COS_SQL's zero-norm guard
     return (
         f"round((SELECT sum({x}[i] * {y}[i]) FROM generate_series(1, 64) AS g(i))"
-        f" / (sqrt((SELECT sum({x}[i] * {x}[i]) FROM generate_series(1, 64) AS g(i)))"
-        f" * sqrt((SELECT sum({y}[i] * {y}[i]) FROM generate_series(1, 64) AS g(i)))), 6)"
+        f" / nullif(sqrt((SELECT sum({x}[i] * {x}[i]) FROM generate_series(1, 64) AS g(i)))"
+        f" * sqrt((SELECT sum({y}[i] * {y}[i]) FROM generate_series(1, 64) AS g(i))), 0), 6)"
     )
 
 

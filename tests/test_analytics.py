@@ -1206,3 +1206,37 @@ def test_division_heavy_entries_survive_degenerate_events(spark):
     # the week after the zero-sum click week has NULL growth (|prev| = 0)
     click_weeks = sorted(w for t, w in wow if t == "click")
     assert wow[("click", click_weeks[-1])] is None
+
+
+def test_embedding_entries_survive_zero_norm_vectors(spark):
+    """A zero (or denormal) embedding must yield NULL cosines that fall
+    out of every ranking — never an ANSI divide-by-zero (regression
+    for the nullif guard in similarity.COS_SQL)."""
+    import tempfile
+
+    import __spark_entry__ as entrymod
+
+    vecs = []
+    for i in range(30):
+        if i == 3:
+            v = [0.0] * 64
+        elif i == 4:
+            v = [1e-30] * 64
+        else:
+            v = [float(((i * 31 + j * 7) % 13) - 6) for j in range(64)]
+        vecs.append((i, v, i % 3))
+    tmp = tempfile.mkdtemp(prefix="zero_norm_emb_")
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+
+    for name in [
+        "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_pq_topk",
+        "ann_rank_fusion", "semantic_decontaminate",
+        "hard_negative_mining", "kmeans_embeddings",
+    ]:
+        entrymod._REGISTRY[name][0](spark, tmp).collect()  # must not raise
+
+    # the zero vector never appears as a neighbor (NULL cosine ranks out)
+    topk = entrymod._REGISTRY["ann_cosine_topk"][0](spark, tmp).collect()
+    assert all(r["neighbor_id"] != 3 for r in topk)

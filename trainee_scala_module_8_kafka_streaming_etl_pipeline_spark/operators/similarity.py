@@ -28,16 +28,19 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# nullif guards the zero-norm vector (cosine undefined -> NULL, which
+# sorts/filters out of every ranking, instead of an ANSI /0 error).
 COS_SQL = (
     "round(aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
     "0D, (acc, v) -> acc + v) "
-    "/ (sqrt(aggregate({a}, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))) "
-    "* sqrt(aggregate({b}, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))), 6)"
+    "/ nullif(sqrt(aggregate({a}, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))) "
+    "* sqrt(aggregate({b}, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))), 0D), 6)"
 )
 
 
 def cosine_col(a: str, b: str) -> F.Column:
-    """Cosine similarity between two array<float> columns, JVM-side."""
+    """Cosine similarity between two array<float> columns, JVM-side.
+    NULL (not an error) when either vector has zero norm."""
     return F.expr(COS_SQL.format(a=a, b=b))
 
 
