@@ -2080,7 +2080,8 @@ _DISC_SQL = f"cast(l_extendedprice AS {_DEC}) * cast(1 - l_discount AS {_DEC})"
            cast(sum({_DISC_SQL}) AS double) AS total_revenue,
            round(cast(coalesce(sum(CASE WHEN p_type = 'PROMO' THEN {_DISC_SQL} END), 0)
                       AS double)
-                 / cast(sum({_DISC_SQL}) AS double), 6) AS promo_share
+                 / nullif(cast(sum({_DISC_SQL}) AS double), 0), 6)
+             AS promo_share
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY 1
     """,
@@ -2109,7 +2110,9 @@ def q_promo_revenue_share(spark, sf):
             "ship_month",
             promo.alias("promo_revenue"),
             F.col("_tot").cast("double").alias("total_revenue"),
-            F.round(promo / F.col("_tot").cast("double"), 6).alias("promo_share"),
+            F.round(
+                promo / F.nullif(F.col("_tot").cast("double"), F.lit(0.0)), 6
+            ).alias("promo_share"),
         )
     )
 
@@ -2631,7 +2634,8 @@ def q_small_qty_part_revenue(spark, sf):
     shares AS (
       SELECT l_suppkey,
              cast(supp_qty AS double)
-               / cast(sum(supp_qty) OVER (PARTITION BY l_partkey) AS double)
+               / nullif(cast(sum(supp_qty) OVER (PARTITION BY l_partkey)
+                             AS double), 0)
                AS share
       FROM per_ps)
     SELECT s_suppkey, s_name,
@@ -2657,7 +2661,7 @@ def q_dominant_part_supplier(spark, sf):
         "l_suppkey",
         (
             F.col("supp_qty").cast("double")
-            / F.sum("supp_qty").over(w).cast("double")
+            / F.nullif(F.sum("supp_qty").over(w).cast("double"), F.lit(0.0))
         ).alias("share"),
     )
     s = load(spark, sf, "supplier")

@@ -1240,3 +1240,37 @@ def test_embedding_entries_survive_zero_norm_vectors(spark):
     # the zero vector never appears as a neighbor (NULL cosine ranks out)
     topk = entrymod._REGISTRY["ann_cosine_topk"][0](spark, tmp).collect()
     assert all(r["neighbor_id"] != 3 for r in topk)
+
+
+def test_tpch_share_entries_survive_zero_revenue(spark):
+    """Zero-revenue months and zero-quantity parts must give NULL
+    shares, not ANSI divide-by-zero (regression for promo_revenue_share
+    and dominant_part_supplier guards)."""
+    import datetime as dt
+    import tempfile
+
+    import __spark_entry__ as entrymod
+
+    tmp = tempfile.mkdtemp(prefix="degen_tpch_")
+    base = dt.datetime(1995, 1, 1)
+    spark.createDataFrame(
+        [(1, "p1", "B", "T1", 0.0, 1)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_retailprice double, p_size int",
+    ).coalesce(1).write.parquet(f"{tmp}/part.parquet")
+    spark.createDataFrame(
+        [(1, "s1", 1, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    ).coalesce(1).write.parquet(f"{tmp}/supplier.parquet")
+    spark.createDataFrame(
+        [(1, 1, 1, 1, 0.0, 0.0, 0.0, 0.0, "N", "O", base)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).coalesce(1).write.parquet(f"{tmp}/lineitem.parquet")
+
+    [row] = entrymod._REGISTRY["promo_revenue_share"][0](spark, tmp).collect()
+    assert row.total_revenue == 0.0 and row.promo_share is None
+    out = entrymod._REGISTRY["dominant_part_supplier"][0](spark, tmp).collect()
+    assert out == []  # NULL share never passes the > 0.5 dominance filter
