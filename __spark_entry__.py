@@ -8345,8 +8345,8 @@ def q_conversion_lag_stats(spark, sf):
       FROM scored)
     SELECT decile, count(*) AS n_users,
            cast(sum(converted) AS bigint) AS n_converted,
-           round(cast(sum(converted) AS DOUBLE) / count(*) / base.base_rate,
-                 6) AS lift
+           round(cast(sum(converted) AS DOUBLE) / count(*)
+                 / nullif(base.base_rate, 0), 6) AS lift
     FROM scored, base GROUP BY decile, base.base_rate
     """,
 )
@@ -8393,7 +8393,7 @@ def q_decile_lift(spark, sf):
             F.round(
                 F.col("n_converted").cast("double")
                 / F.col("n_users")
-                / F.col("base_rate"),
+                / F.nullif(F.col("base_rate"), F.lit(0.0)),
                 6,
             ).alias("lift"),
         )
@@ -10095,7 +10095,8 @@ _FUNNEL_WINDOW = "INTERVAL 12 HOUR"
     SELECT count(first_view)        AS n_view,
            count(first_click)       AS n_click_12h,
            count(first_purchase)    AS n_purchase_12h,
-           round(count(first_click) / count(first_view)::DOUBLE, 6)
+           round(count(first_click)
+                 / nullif(count(first_view), 0)::DOUBLE, 6)
              AS view_to_click,
            round(count(first_purchase)
                  / greatest(count(first_click), 1)::DOUBLE, 6)
@@ -10146,7 +10147,9 @@ def q_funnel_windowed(spark, sf):
         n_view.alias("n_view"),
         n_click.alias("n_click_12h"),
         n_purch.alias("n_purchase_12h"),
-        F.round(n_click / n_view.cast("double"), 6).alias("view_to_click"),
+        F.round(
+            n_click / F.nullif(n_view, F.lit(0)).cast("double"), 6
+        ).alias("view_to_click"),
         F.round(
             n_purch / F.greatest(n_click, F.lit(1)).cast("double"), 6
         ).alias("click_to_purchase"),

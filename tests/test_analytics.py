@@ -1274,3 +1274,29 @@ def test_tpch_share_entries_survive_zero_revenue(spark):
     assert row.total_revenue == 0.0 and row.promo_share is None
     out = entrymod._REGISTRY["dominant_part_supplier"][0](spark, tmp).collect()
     assert out == []  # NULL share never passes the > 0.5 dominance filter
+
+
+def test_lift_and_funnel_survive_no_conversions(spark):
+    """A corpus with zero converters / zero views must give NULL rates
+    (regression for the decile_lift and funnel_windowed guards)."""
+    import datetime as dt
+    import tempfile
+
+    import __spark_entry__ as entrymod
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), i % 3, "click", float(i + 1), "{}")
+        for i in range(6)
+    ]
+    tmp = tempfile.mkdtemp(prefix="no_conv_")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+
+    lifts = entrymod._REGISTRY["decile_lift"][0](spark, tmp).collect()
+    assert lifts and all(r.lift is None for r in lifts)
+    [fw] = entrymod._REGISTRY["funnel_windowed"][0](spark, tmp).collect()
+    assert fw.n_view == 0 and fw.view_to_click is None
