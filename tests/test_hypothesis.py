@@ -1924,7 +1924,7 @@ def test_wow_growth_matches_naive(spark, raw):
         prev = None
         for w, micro, n in seq:
             growth = (
-                None if prev is None
+                None if prev is None or prev == 0  # zero-sum prior week
                 else round((micro - prev) / abs(prev), 6)
             )
             want[(t, w)] = (n, round(micro / 1e6, 6), growth)
