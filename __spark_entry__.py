@@ -9842,11 +9842,12 @@ def q_attribution_position(spark, sf):
       SELECT event_type,
              round(quantile_cont(value::DOUBLE, 0.05), 6) AS p05,
              round(quantile_cont(value::DOUBLE, 0.95), 6) AS p95
-      FROM events GROUP BY event_type),
+      FROM events WHERE value IS NOT NULL GROUP BY event_type),
     w AS (
       SELECT e.event_type,
              greatest(least(e.value, p95), p05) AS wv
-      FROM events e JOIN b USING (event_type))
+      FROM events e JOIN b USING (event_type)
+      WHERE e.value IS NOT NULL)
     SELECT event_type, count(*) AS n,
            round(cast(sum(cast(round(wv * 1e6) AS BIGINT)) AS BIGINT)
                  / 1e6 / count(*), 6) AS winsorized_mean

@@ -809,7 +809,10 @@ def test_psi_from_counts_matches_naive(spark, raw):
 
 
 _wins_rows = st.lists(
-    st.tuples(st.integers(0, 1), st.integers(-100, 100)),
+    st.tuples(
+        st.integers(0, 1),
+        st.one_of(st.none(), st.integers(-100, 100)),
+    ),
     min_size=1,
     max_size=40,
 )
@@ -819,13 +822,27 @@ _wins_rows = st.lists(
 @_SETTINGS
 def test_winsorized_mean_matches_naive(spark, raw):
     """Winsorized mean vs a Python clip-and-average using the same
-    linear-interpolation percentile definition."""
+    linear-interpolation percentile definition.  NULL measurements must
+    be dropped entirely (not clipped to p_hi) — a group that is all
+    NULL yields no output row."""
     from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.timeseries import (
         winsorized_mean,
     )
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
 
+    schema = StructType(
+        [
+            StructField("g", IntegerType(), False),
+            StructField("v", DoubleType(), True),
+        ]
+    )
     df = spark.createDataFrame(
-        [(g, float(v)) for g, v in raw], ["g", "v"]
+        [(g, None if v is None else float(v)) for g, v in raw], schema
     )
     got = {
         r["g"]: (r["n"], r["winsorized_mean"])
@@ -844,8 +861,13 @@ def test_winsorized_mean_matches_naive(spark, raw):
 
     groups = {}
     for g, v in raw:
-        groups.setdefault(g, []).append(float(v))
+        groups.setdefault(g, [])
+        if v is not None:
+            groups[g].append(float(v))
     for g, vals in groups.items():
+        if not vals:
+            assert g not in got, (g, "all-NULL group must emit no row")
+            continue
         s = sorted(vals)
         p_lo = round(pct(s, 0.05), 6)
         p_hi = round(pct(s, 0.95), 6)

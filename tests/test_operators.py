@@ -236,10 +236,10 @@ def test_vacuum_keeps_reader_visible_version(spark, tmp_path):
     )
 
     state = str(tmp_path / "state")
-    upsert.write_version(spark.range(3), state)  # v=0
-    upsert.write_version(spark.range(4), state)  # v=1
+    upsert.write_version(spark.range(3), state, retain=None)  # v=0
+    upsert.write_version(spark.range(4), state, retain=None)  # v=1
     reader = read_state(spark, state)  # resolves pointer -> v=1
-    upsert.write_version(spark.range(5), state)  # v=2 becomes current
+    upsert.write_version(spark.range(5), state, retain=None)  # v=2 current
     dropped = upsert.vacuum_versions(state, keep=2)
     assert dropped == [0]
     # in-flight reader on v=1 still works after vacuum
@@ -454,7 +454,7 @@ def test_vacuum_versions_keeps_pointer_and_newest(spark, tmp_path):
 
     state = str(tmp_path / "state")
     for i in range(5):
-        upsert.write_version(spark.range(i + 1), state)
+        upsert.write_version(spark.range(i + 1), state, retain=None)
     dropped = upsert.vacuum_versions(state, keep=2)
     assert dropped == [0, 1, 2]
     # current pointer still readable with full contents

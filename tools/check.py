@@ -57,6 +57,13 @@ def main():
     out_path = None
     if "--out" in args:
         i = args.index("--out")
+        if i + 1 >= len(args) or args[i + 1].startswith("--"):
+            print(
+                "usage: python tools/check.py [--out report.json]"
+                " [sf_dir] [query ...]",
+                file=sys.stderr,
+            )
+            return 2
         out_path = args[i + 1]
         args = args[:i] + args[i + 2:]
     sf = args[0] if args else "/root/testdata/sf0.01"

@@ -49,6 +49,8 @@ def bm25_topk(
     with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))  (the Lucene form —
     non-negative for any df).
     """
+    if not query_terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
     tok = docs.select(
         id_col, F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term")
     )

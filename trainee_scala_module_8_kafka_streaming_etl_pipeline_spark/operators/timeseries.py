@@ -264,7 +264,14 @@ def winsorized_mean(
     engine-exact.  At 100 TB swap the exact percentile for the
     mergeable histogram sketch (sketches.hist_quantiles) — the
     clip-join shape is unchanged.
+
+    NULL measurements are dropped up front: without the filter,
+    ``greatest(least(NULL, p_hi), p_lo)`` collapses a missing value to
+    p_hi (least/greatest skip NULLs) while ``count(*)`` still counts
+    the row — inflating the mean as if every gap were a 95th-percentile
+    observation.
     """
+    df = df.filter(F.col(value_col).isNotNull())
     b = df.groupBy(group_col).agg(
         F.round(
             F.expr(f"percentile(cast({value_col} as double), {lo})"), 6

@@ -43,6 +43,8 @@ _COLS = ["doc_id", "term", "tf", "dl", "n_docs", "sum_dl"]
 
 
 def _batch_state(batch_df: DataFrame, query_terms: Sequence[str]) -> DataFrame:
+    if not query_terms:
+        raise ValueError("streaming bm25 index: query_terms must be non-empty")
     tok = batch_df.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
     )

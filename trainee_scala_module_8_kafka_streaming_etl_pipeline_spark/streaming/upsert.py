@@ -114,10 +114,19 @@ def upsert_batch(
     write_version(compacted, state_dir)
 
 
-def write_version(df: DataFrame, state_dir: str) -> None:
+def write_version(
+    df: DataFrame, state_dir: str, retain: int | None = 2
+) -> None:
     """Commit ``df`` as the next state version with an atomic pointer
     swap — the shared primitive under every state table (upsert MERGE,
-    sketch register merges)."""
+    sketch register merges).
+
+    After a successful swap, versions older than the newest ``retain``
+    are vacuumed (pass ``retain=None`` to keep everything, e.g. for a
+    time-travel fixture).  Without retention every micro-batch leaves a
+    full state copy behind, so the sink's disk footprint grows with
+    batch COUNT × state size rather than state size.
+    """
     prev = _state_version(state_dir)
     next_v = 0 if prev is None else prev + 1
     os.makedirs(state_dir, exist_ok=True)
@@ -126,6 +135,8 @@ def write_version(df: DataFrame, state_dir: str) -> None:
     with open(tmp, "w") as fh:
         fh.write(str(next_v))
     os.replace(tmp, os.path.join(state_dir, _POINTER))
+    if retain is not None:
+        vacuum_versions(state_dir, keep=retain)
 
 
 def vacuum_versions(state_dir: str, keep: int = 2) -> list[int]:
