@@ -695,6 +695,7 @@ def keep_best_per_cluster(
     quality_col,
     id_col: str = "doc_id",
     text_col: str = "text",
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Canonical-document selection: for each near-duplicate cluster,
     keep the member with the highest quality score (lowest id on ties).
@@ -709,10 +710,20 @@ def keep_best_per_cluster(
     the id, the scoring itself is a narrow projection — then ONE window
     ranks members inside each cluster. The window's sort sees only
     (cluster_id, quality, id) triples, never document text.
+
+    ``clusters`` (a precomputed ``(id_col, cluster_id)`` frame) lets
+    callers share ONE connected-components fixpoint across every
+    consumer of the labeling — at 100 TB the CC labels are a
+    materialized table computed once per corpus snapshot, and
+    clustering, canonical selection, blast-radius rollups, and the
+    cluster-aware split all read it rather than re-running the
+    LSH + fixpoint pipeline (the single most expensive dedup stage).
     """
+    if clusters is None:
+        clusters = neardup_clusters(df, id_col=id_col, text_col=text_col)
     scored = df.select(
         F.col(id_col), quality_col.alias("quality")
-    ).join(neardup_clusters(df, id_col=id_col, text_col=text_col), id_col)
+    ).join(clusters, id_col)
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("quality"), F.col(id_col)
     )

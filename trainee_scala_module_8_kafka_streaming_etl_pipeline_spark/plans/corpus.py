@@ -34,14 +34,21 @@ def build_corpus(
     docs: DataFrame,
     quality_min: float = QUALITY_MIN,
     pack_budget: int = PACK_BUDGET,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Shard manifest of the cleaned, deduped, split, packed corpus.
 
     Returns one row per (split, source, bin): doc count, packed token
     total, and the doc-id range of the bin — the manifest a shard
     writer would consume.
+
+    ``clusters`` optionally injects precomputed near-dup labels so the
+    CC fixpoint (the pipeline's most expensive stage) is shared with
+    the standalone dedup entries instead of recomputed here.
     """
-    keep = dedup.keep_best_per_cluster(docs, quality_col=T.quality_score())
+    keep = dedup.keep_best_per_cluster(
+        docs, quality_col=T.quality_score(), clusters=clusters
+    )
     kept = docs.join(
         keep.select(F.col("keep_doc_id").alias("doc_id"), "keep_quality"),
         "doc_id",
