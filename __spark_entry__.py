@@ -1081,6 +1081,8 @@ def q_chi_square_independence(spark, sf):
         .cache()
     )
     obs.count()
+    # None on an empty events table — propagate NULL (matching the
+    # oracle's sum-over-empty) instead of crashing on int(None)
     n = obs.agg(F.sum("o").cast("double")).collect()[0][0]
     r = obs.groupBy("event_type").agg(F.sum("o").cast("double").alias("rt"))
     c = obs.groupBy("dow").agg(F.sum("o").cast("double").alias("ct"))
@@ -1105,7 +1107,7 @@ def q_chi_square_independence(spark, sf):
     return terms.agg(
         F.sum("term").cast("double").alias("chi2"),
         F.lit(dof_row["dof"]).cast("bigint").alias("dof"),
-        F.lit(int(n)).cast("bigint").alias("n"),
+        F.lit(None if n is None else int(n)).cast("bigint").alias("n"),
     )
 
 
@@ -9502,9 +9504,14 @@ def q_embedding_norm_outliers(spark, sf):
         F.sum(F.col("m") * F.col("m")).alias("s2"),
     )
     mean = F.col("s1") / 1e6 / F.col("cnt")
-    var = (
-        F.col("s2") / 1e12 - (F.col("s1") / 1e6) * (F.col("s1") / 1e6) / F.col("cnt")
-    ) / (F.col("cnt") - 1)
+    # try_divide on the Bessel denominator too: a one-vector corpus has
+    # cnt - 1 = 0, and the correct answer is "no outliers" (NULL var),
+    # matching DuckDB's NULL on x/0.
+    var = F.try_divide(
+        F.col("s2") / 1e12
+        - (F.col("s1") / 1e6) * (F.col("s1") / 1e6) / F.col("cnt"),
+        F.col("cnt") - 1,
+    )
     # try_divide: a fully-normalized corpus has zero norm variance —
     # the correct answer is "no outliers" (NULL z), matching DuckDB's
     # NULL on double x/0.

@@ -2752,3 +2752,130 @@ def test_corr_matrix_matches_numpy(spark, rows):
     check(r.corr_qty_price, q, p)
     check(r.corr_qty_disc, q, d)
     check(r.corr_price_disc, p, d)
+
+
+# --- graph family vs naive Python references -------------------------------
+# The mirrored-oracle blind spot applies doubly to the graph operators:
+# their DuckDB oracles are unrolled transliterations of the same
+# iteration, so a shared formula bug would hash green.  These properties
+# check them against structurally different naive implementations
+# (triple enumeration, dense dict PageRank, repeated-peel k-core).
+
+from pyspark.sql.types import LongType, StructField, StructType
+
+_GRAPH_SCHEMA = StructType(
+    [StructField("u", LongType(), False), StructField("v", LongType(), False)]
+)
+
+# undirected simple graphs on nodes 0..7, stored u < v, no duplicates
+_undirected = st.sets(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)).map(
+        lambda p: (min(p), max(p))
+    ).filter(lambda p: p[0] != p[1]),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(edges=_undirected)
+@_SETTINGS
+def test_triangle_count_matches_triple_enumeration(spark, edges):
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.graph import (
+        triangle_count,
+    )
+
+    df = spark.createDataFrame(sorted(edges), _GRAPH_SCHEMA)
+    [r] = triangle_count(df).collect()
+
+    es = set(edges)
+    nodes = sorted({n for e in es for n in e})
+    tris = 0
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) not in es:
+                continue
+            for c in nodes:
+                if c > b and (a, c) in es and (b, c) in es:
+                    tris += 1
+    assert r.n_triangles == tris, (sorted(es), tris, r.n_triangles)
+    assert r.n_edges == len(es)
+    assert r.n_nodes == len(nodes)
+
+
+# directed simple graphs on nodes 0..7, no self-loops, no duplicates
+_directed = st.sets(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(
+        lambda p: p[0] != p[1]
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(edges=_directed, iters=st.integers(1, 4))
+@_SETTINGS
+def test_pagerank_fixed_matches_dense_reference(spark, edges, iters):
+    """pagerank_fixed is exact integer arithmetic, so the naive dense
+    replay must agree BIT-FOR-BIT, not within tolerance."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.graph import (
+        pagerank_fixed,
+    )
+
+    df = spark.createDataFrame(
+        sorted(edges),
+        StructType(
+            [
+                StructField("src", LongType(), False),
+                StructField("dst", LongType(), False),
+            ]
+        ),
+    )
+    out = pagerank_fixed(df, iterations=iters)
+    got = {r["node"]: r["rank"] for r in out.collect()}
+    out.unpersist()
+
+    scale, damping = 1_000_000_000, 85
+    base = (scale * (100 - damping)) // 100
+    nodes = sorted({n for e in edges for n in e})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {n: scale for n in nodes}
+    for _ in range(iters):
+        inflow = {n: 0 for n in nodes}
+        for s, d in edges:
+            inflow[d] += rank[s] // outdeg[s]
+        rank = {n: base + (damping * inflow[n]) // 100 for n in nodes}
+    assert got == rank
+
+
+@given(edges=_undirected, k=st.integers(1, 3), rounds=st.integers(1, 4))
+@_SETTINGS
+def test_kcore_peel_matches_repeated_peel(spark, edges, k, rounds):
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.graph import (
+        kcore_peel,
+    )
+
+    df = spark.createDataFrame(sorted(edges), _GRAPH_SCHEMA)
+    out = kcore_peel(df, k=k, rounds=rounds)
+    got = {r["node"]: r["core_degree"] for r in out.collect()}
+    flags = {r["converged"] for r in out.collect()}
+    out.unpersist()
+
+    es = set(edges)
+    alive = {n for e in es for n in e}
+    counts = []
+    deg: dict = {}
+    for _ in range(rounds):
+        deg = {n: 0 for n in alive}
+        for a, b in es:
+            if a in alive and b in alive:
+                deg[a] += 1
+                deg[b] += 1
+        alive = {n for n in alive if deg[n] >= k}
+        counts.append(len(alive))
+    want = {n: deg[n] for n in alive}
+    assert got == want, (sorted(es), k, rounds, got, want)
+    want_converged = len(counts) >= 2 and counts[-1] == counts[-2]
+    if got:  # flag rides on survivor rows; empty survivors = empty frame
+        assert flags == {want_converged}

@@ -205,7 +205,12 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             ).alias("t")
         )
     )
-    tri = per_edge.agg(F.sum("t").cast("bigint").alias("n_triangles"))
+    # coalesce: an edgeless graph has ZERO triangles, not NULL — the
+    # DuckDB oracle's count(*) form already says 0, and the hypothesis
+    # triple-enumeration reference caught the sum-over-empty NULL here
+    tri = per_edge.agg(
+        F.coalesce(F.sum("t"), F.lit(0)).cast("bigint").alias("n_triangles")
+    )
     # node/edge counts come from the CACHED oriented edges (same edge
     # set, possibly swapped endpoints) — recomputing them from `edges`
     # would re-run the whole upstream edge-construction pipeline twice.
