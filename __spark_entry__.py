@@ -63,6 +63,17 @@ _PURCHASES_SQL = "SELECT * FROM events WHERE event_type = 'purchase'"
 _CLICKS_SQL = "SELECT * FROM events WHERE event_type = 'click'"
 
 
+def _embeddings(spark, sf):
+    """The embeddings table with NULL vectors dropped — the uniform
+    contract of every vector operator here: a row without a vector
+    cannot participate in similarity search, clustering, or norm
+    statistics, so it is excluded rather than crashing the Arrow GEMM
+    batches or poisoning JVM aggregates (found by the degenerate-input
+    sweep's all-NULL-embedding variant).  Oracles get the same filter
+    spliced in by the registry post-pass below."""
+    return load(spark, sf, "embeddings").filter(F.col("embedding").isNotNull())
+
+
 # shared near-dup cluster labels -------------------------------------------
 _CLUSTER_CACHE: dict[tuple[str, str], str] = {}
 
@@ -1198,20 +1209,23 @@ def q_asof_join(spark, sf):
     "json_extract",
     """
     SELECT event_type,
-           cast(sum(cast(regexp_extract(props, '"k": ([0-9]+)', 1) AS bigint))
+           cast(sum(cast(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '')
+                         AS bigint))
                 AS bigint) AS sum_k,
            count(*) AS n
     FROM events GROUP BY event_type
     """,
 )
 def q_json_extract(spark, sf):
+    # nullif: regexp_extract yields '' on a non-matching props payload
+    # (both engines), and ''::BIGINT is an error under ANSI — a row
+    # without the key contributes NULL (ignored by sum), not a crash
+    k = F.nullif(F.regexp_extract("props", '"k": ([0-9]+)', 1), F.lit(""))
     return (
         _events(spark, sf)
         .groupBy("event_type")
         .agg(
-            F.sum(F.regexp_extract("props", '"k": ([0-9]+)', 1).cast("bigint")).alias(
-                "sum_k"
-            ),
+            F.sum(k.cast("bigint")).alias("sum_k"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -3304,7 +3318,7 @@ def q_label_centroid_scatter(spark, sf):
     arrays and broadcast back; per-vector squared distance is a
     sequential JVM fold (zip_with/aggregate), and the per-label mean
     uses the integer-micro exact-sum trick so it's order-independent."""
-    emb = load(spark, sf, "embeddings")
+    emb = _embeddings(spark, sf)
     dims = emb.select(
         "label", F.posexplode(F.col("embedding").cast("array<double>"))
     )
@@ -4487,7 +4501,7 @@ def q_embedding_dim_stats(spark, sf):
     keeps the dim index JVM-side; the groupBy on 64 keys is fully
     map-side combined, so the shuffle carries 64 rows per task no
     matter the corpus size."""
-    e = load(spark, sf, "embeddings")
+    e = _embeddings(spark, sf)
     return (
         e.select(
             F.posexplode(F.col("embedding").cast("array<double>")).alias(
@@ -4528,7 +4542,7 @@ def q_embedding_quantize(spark, sf):
     per-row array expressions, zero shuffles; floor(x*scale + 0.5) is
     used instead of round() so the half-way rule is the same arithmetic
     in every engine."""
-    e = load(spark, sf, "embeddings")
+    e = _embeddings(spark, sf)
     emb = F.col("embedding").cast("array<double>")
     scale = F.lit(127.0) / F.greatest(
         F.array_max(F.transform(emb, lambda x: F.abs(x))), F.lit(1e-12)
@@ -4681,7 +4695,7 @@ _COS_PAIR_SQL = (
     """,
 )
 def q_ann_cosine_topk(spark, sf):
-    return similarity.brute_force_topk(load(spark, sf, "embeddings"))
+    return similarity.brute_force_topk(_embeddings(spark, sf))
 
 
 def _cos_sql(x: str, y: str) -> str:
@@ -4730,7 +4744,7 @@ def _cos_sql(x: str, y: str) -> str:
     """,
 )
 def q_ann_ivf_topk(spark, sf):
-    return similarity.ivf_topk(load(spark, sf, "embeddings"))
+    return similarity.ivf_topk(_embeddings(spark, sf))
 
 
 def _lsh_bucket_union_sql() -> str:
@@ -4784,7 +4798,7 @@ def q_ann_lsh_topk(spark, sf):
     """Multi-table random-hyperplane LSH ANN (operators/similarity.py):
     data-independent bucketing (no centroid training pass), candidates =
     union of the query's bucket across 4 tables of 8 sign bits."""
-    return similarity.lsh_topk(load(spark, sf, "embeddings"))
+    return similarity.lsh_topk(_embeddings(spark, sf))
 
 
 def _oracle_rrf() -> str:
@@ -4815,7 +4829,7 @@ def q_ann_rank_fusion(spark, sf):
     ranks needs no score calibration, and a neighbor surfaced by both
     indexes outranks either alone.  The fusion itself is O(queries x k)
     on top of the two candidate generations it reuses."""
-    emb = load(spark, sf, "embeddings")
+    emb = _embeddings(spark, sf)
     return similarity.rrf_fuse(
         similarity.ivf_topk(emb), similarity.lsh_topk(emb)
     )
@@ -4850,7 +4864,7 @@ def q_embedding_similarity_histogram(spark, sf):
     means the threshold would split real clusters.  Costs one dedup
     candidate pass (GEMM sign bits, bucket self-join, pair dedup before
     the exact cosine), reduced map-side to <= 40 histogram rows."""
-    return similarity.lsh_pair_cosine_histogram(load(spark, sf, "embeddings"))
+    return similarity.lsh_pair_cosine_histogram(_embeddings(spark, sf))
 
 
 @_q(
@@ -4865,7 +4879,7 @@ def q_embedding_similarity_histogram(spark, sf):
 def q_embedding_neardup(spark, sf):
     # moderate threshold (this corpus has no cos>0.7 pairs) -> metric
     # blocking cannot prune; use the exact blocked-GEMM all-pairs path
-    return similarity.cosine_pairs_blocked(load(spark, sf, "embeddings"), threshold=0.4)
+    return similarity.cosine_pairs_blocked(_embeddings(spark, sf), threshold=0.4)
 
 
 # k-means: like ann_ivf_topk, the clustering is approximate as a
@@ -4910,7 +4924,7 @@ def _km_iter_sql(cent: str, a: str, m: str, out: str) -> str:
 )
 def q_kmeans_embeddings(spark, sf):
     assigned, cent = similarity.kmeans_fixed(
-        load(spark, sf, "embeddings"), n_iters=2, centroid_stride=_KM_STRIDE
+        _embeddings(spark, sf), n_iters=2, centroid_stride=_KM_STRIDE
     )
     sizes = assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
     sums = cent.select(
@@ -4967,7 +4981,7 @@ def q_pca_top_component(spark, sf):
     shuffle volume O(partitions * 64^2), independent of corpus size;
     the 64x64 power iteration runs on the collected reduction result
     (same shape as k-means centroid updates)."""
-    return linalg.top_component(load(spark, sf, "embeddings"))
+    return linalg.top_component(_embeddings(spark, sf))
 
 
 @_q(
@@ -4991,7 +5005,7 @@ def q_ann_recall_eval(spark, sf):
     brute-force top-5, per query.  Both sides are existing pipelines;
     the comparison joins only (query_id, neighbor_id) pairs — k rows
     per query — so the eval itself is free at any corpus scale."""
-    emb = load(spark, sf, "embeddings")
+    emb = _embeddings(spark, sf)
     exact = similarity.brute_force_topk(emb).select("query_id", "neighbor_id")
     approx = similarity.lsh_topk(emb).select(
         F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
@@ -5688,11 +5702,11 @@ def q_embedding_lsh_recall_eval(spark, sf):
     theta <= 26 degrees) the same geometry gives >= 75%.  The eval
     exists precisely to expose that dial per corpus."""
     exact = similarity.cosine_pairs_blocked(
-        load(spark, sf, "embeddings"), threshold=0.4
+        _embeddings(spark, sf), threshold=0.4
     ).select("id_a", "id_b")
     tables = similarity.lsh_planes()
     buckets = similarity._bucketize_pandas(
-        load(spark, sf, "embeddings"), tables, "vec_id", "embedding"
+        _embeddings(spark, sf), tables, "vec_id", "embedding"
     )
     a = buckets.select(
         "table_idx", "bucket", F.col("vec_id").alias("id_a")
@@ -8754,7 +8768,7 @@ def q_embedding_confusion(spark, sf):
     (micro-rounded distance, label) — struct ordering in Spark, row
     ordering in DuckDB — so ties break identically in both engines
     with no packing-stride bound on the label domain."""
-    emb = load(spark, sf, "embeddings")
+    emb = _embeddings(spark, sf)
     dims = emb.select(
         "label", F.posexplode(F.col("embedding").cast("array<double>"))
     )
@@ -9008,7 +9022,7 @@ def q_semantic_decontaminate(spark, sf):
     embedding space.  Scale plan: benchmark side broadcast (eval suites
     are tiny vs the corpus), one map-side-combined max_by aggregate, no
     corpus shuffle (operators/similarity.py:benchmark_screen)."""
-    return similarity.benchmark_screen(load(spark, sf, "embeddings"))
+    return similarity.benchmark_screen(_embeddings(spark, sf))
 
 
 @_q(
@@ -9486,7 +9500,7 @@ def q_embedding_norm_outliers(spark, sf):
     rounded to 6 dp then accumulated as integer micro-units (exact,
     order-independent moments); the scalar moment row broadcasts back
     over the corpus."""
-    emb = load(spark, sf, "embeddings")
+    emb = _embeddings(spark, sf)
     l2 = F.round(
         F.sqrt(
             F.expr(
@@ -10011,7 +10025,7 @@ def q_hard_negative_mining(spark, sf):
     contrastive gradient).  One corpus pass, broadcast anchors, one
     window partitioned by (anchor, label_match); swaps onto the
     IVF/LSH/PQ candidate generators unchanged at scale."""
-    return similarity.hard_negatives(load(spark, sf, "embeddings"))
+    return similarity.hard_negatives(_embeddings(spark, sf))
 
 
 @_q(
@@ -10436,7 +10450,7 @@ def q_ann_pq_topk(spark, sf):
     quantized to integer micro-units before comparison or summation, so
     argmin and ranking are order-independent integer arithmetic and the
     DuckDB replay is bit-identical."""
-    return similarity.pq_topk(load(spark, sf, "embeddings"))
+    return similarity.pq_topk(_embeddings(spark, sf))
 
 
 def _oracle_ivf_pq() -> str:
@@ -10517,7 +10531,7 @@ def q_ann_ivf_pq_topk(spark, sf):
     serve; computation is fully deterministic (stride centroids and
     codewords, fixed tie-breaks, integer micro-unit distances), so the
     oracle replays the algorithm exactly."""
-    return similarity.ivf_pq_topk(load(spark, sf, "embeddings"))
+    return similarity.ivf_pq_topk(_embeddings(spark, sf))
 
 
 _DAU_WIN = 7  # trailing window in days
@@ -10624,7 +10638,7 @@ def q_ann_pq_recall_eval(spark, sf):
     cosine, so this measures the full production gap: compression AND
     metric.)  The comparison joins k-row-per-query id pairs; free at
     any corpus scale."""
-    emb = load(spark, sf, "embeddings")
+    emb = _embeddings(spark, sf)
     exact = similarity.brute_force_topk(emb).select("query_id", "neighbor_id")
     approx = similarity.pq_topk(emb).select(
         F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
@@ -10830,6 +10844,17 @@ def q_dow_seasonality(spark, sf):
 # ===========================================================================
 # driver contract
 # ===========================================================================
+
+# Mirror the _embeddings NULL-vector filter into every oracle: each bare
+# `FROM embeddings` table reference becomes a NULL-filtered derived table,
+# so both engines agree that vectorless rows don't participate in vector
+# operators.  A plain-text rewrite is safe because every oracle references
+# the table bare (no alias directly after it — verified by grep) and the
+# derived table keeps the name `embeddings` for downstream references.
+_EMB_FILTERED = "(SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings"
+for _name, (_fn, _sql) in list(_REGISTRY.items()):
+    if _sql is not None and "FROM embeddings" in _sql:
+        _REGISTRY[_name] = (_fn, _sql.replace("FROM embeddings", f"FROM {_EMB_FILTERED}"))
 
 
 def entry(spark: SparkSession) -> DataFrame:

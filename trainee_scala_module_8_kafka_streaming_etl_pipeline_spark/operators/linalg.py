@@ -54,6 +54,8 @@ def gram_cells(
     import numpy as np
     import pandas as pd
 
+    emb = emb.filter(F.col(vec_col).isNotNull())  # vectorless rows cannot participate
+
     idx = np.arange(1, dim + 1, dtype=np.int32)
     ii = np.repeat(idx, dim)
     jj = np.tile(idx, dim)

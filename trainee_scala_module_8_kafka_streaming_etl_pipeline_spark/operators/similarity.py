@@ -58,6 +58,7 @@ def brute_force_topk(
     corpus). Ranking shuffles only (query_id, cos, vec_id) tuples —
     never the vectors themselves.
     """
+    emb = emb.filter(F.col(vec_col).isNotNull())  # vectorless rows cannot participate
     q = emb.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -96,6 +97,7 @@ def ivf_topk(
     Results are approximate when the true neighbor lives in an
     unprobed cluster — that's the accuracy/cost dial.
     """
+    emb = emb.filter(F.col(vec_col).isNotNull())  # vectorless rows cannot participate
     cent = emb.filter(F.col(id_col) % centroid_stride == 0).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
     )
@@ -208,6 +210,9 @@ def _bucketize_pandas(
 
     def _batches(iterator):
         for pdf in iterator:
+            # drop vectorless rows: np.stack over None degrades to a
+            # ragged object array and the GEMM dies with a shape error
+            pdf = pdf[pdf[vec_col].notna()]
             if len(pdf) == 0:
                 continue
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -255,6 +260,7 @@ def lsh_topk(
     buckets.  Candidates found in several tables are deduped BEFORE the
     exact cosine (the expensive stage), then ranked per query.
     """
+    emb = emb.filter(F.col(vec_col).isNotNull())  # vectorless rows cannot participate
     tables = lsh_planes(n_tables)
     buckets = _bucketize_pandas(emb, tables, id_col, vec_col)
     # cache + materialize: the corpus side and the query side both read
@@ -306,6 +312,7 @@ def lsh_pair_cosine_histogram(
     BEFORE the exact cosine), then a map-side-combined rollup to at
     most 2/bin_width rows.  Costs what one dedup candidate pass costs —
     never O(N²)."""
+    emb = emb.filter(F.col(vec_col).isNotNull())  # vectorless rows cannot participate
     tables = lsh_planes(n_tables)
     buckets = _bucketize_pandas(emb, tables, id_col, vec_col)
     a = buckets.select(
@@ -399,6 +406,7 @@ def benchmark_screen(
     (id % mod == rem) keeps the oracle replayable; production passes a
     real benchmark frame in the same shape.
     """
+    emb = emb.filter(F.col(vec_col).isNotNull())  # vectorless rows cannot participate
     is_bench = F.pmod(F.col(id_col), F.lit(bench_mod)) == bench_rem
     bench = emb.filter(is_bench).select(
         F.col(id_col).alias("bench_id"), F.col(vec_col).alias("b_vec")
@@ -443,6 +451,7 @@ def cosine_pairs_blocked(
     fits comfortably in a task.  Results round cosines to 6 dp, matching
     the DuckDB oracle's double-precision formula.
     """
+    emb = emb.filter(F.col(vec_col).isNotNull())  # vectorless rows cannot participate
     import numpy as np
     import pandas as pd
 
@@ -526,6 +535,7 @@ def neardup_pairs(
     co-located partitions.  At tight thresholds (0.99 -> r = 0.14) the
     multi-assignment expansion stays near 1.
     """
+    emb = emb.filter(F.col(vec_col).isNotNull())  # vectorless rows cannot participate
     r = math.sqrt(max(0.0, 2.0 - 2.0 * threshold))
     # small slack absorbs the 6-dp rounding of cosine_col used for dists
     radius_slack = 2.0 * r + 1e-4
@@ -589,6 +599,7 @@ def kmeans_fixed(
     Returns (assignments, centroids) from the final round:
     assignments = (id, cluster_id), centroids = (cluster_id, c_vec).
     """
+    emb = emb.filter(F.col(vec_col).isNotNull())  # vectorless rows cannot participate
     cent = emb.filter(F.col(id_col) % centroid_stride == 0).select(
         F.col(id_col).alias("cluster_id"), F.col(vec_col).alias("c_vec")
     )
@@ -676,6 +687,7 @@ def pq_topk(
     row per (query, vector) BEFORE the exchange; ranking shuffles only
     (query, neighbor, dist) triples.
     """
+    emb = emb.filter(F.col(vec_col).isNotNull())  # vectorless rows cannot participate
     subs = F.explode(F.array(*[F.lit(s) for s in range(PQ_SUBS)])).alias("s")
     cw = (
         emb.filter(
@@ -756,6 +768,7 @@ def ivf_pq_topk(
     micro-unit distances; ranking is integer arithmetic, so the DuckDB
     replay is bit-identical.
     """
+    emb = emb.filter(F.col(vec_col).isNotNull())  # vectorless rows cannot participate
     # --- coarse quantizer (ivf_topk's assignment + probes) ---
     cent = emb.filter(F.col(id_col) % centroid_stride == 0).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
@@ -875,6 +888,7 @@ def hard_negatives(
     pass swaps to the IVF/LSH/PQ bucketed paths unchanged — mining is a
     ranking policy over any neighbor generator.
     """
+    emb = emb.filter(F.col(vec_col).isNotNull())  # vectorless rows cannot participate
     q = emb.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),

@@ -198,7 +198,10 @@ def ewma(
         F.col(offset_col),
         F.col(ts_col),
         F.col(value_col),
-        F.round(num / den, 6).alias("ewma"),
+        # try_divide: if the value and all lags in the window are NULL
+        # the weight sum is 0 and the EWMA is undefined — NULL, matching
+        # DuckDB's x/0 (found by the all-NULL-measure degenerate sweep)
+        F.round(F.try_divide(num, den), 6).alias("ewma"),
     )
 
 

@@ -58,6 +58,9 @@ def embdedup_batch(
     bucket rows into ``state_dir``."""
     spark = batch_df.sparkSession
     tables = S.lsh_planes()
+    # vectorless rows cannot be bucketized or deduplicated — same
+    # contract as the batch similarity operators
+    batch_df = batch_df.filter(F.col(vec_col).isNotNull())
     buckets = S._bucketize_pandas(batch_df, tables, id_col, vec_col).cache()
     buckets.count()
 

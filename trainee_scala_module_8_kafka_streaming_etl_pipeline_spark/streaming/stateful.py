@@ -56,13 +56,17 @@ def _update_counter(
         n += len(pdf)
         # exact integer cents: float partial sums would make the result
         # depend on batch split; per-row round-to-cent then int-sum is
-        # associative, so any micro-batching folds to the batch answer
-        total += int((pdf["value"] * 100).round().astype("int64").sum())
+        # associative, so any micro-batching folds to the batch answer.
+        # NULL values contribute nothing (SQL sum semantics) instead of
+        # poisoning the int cast with NaN.
+        cents = (pdf["value"] * 100).round().dropna()
+        total += int(cents.astype("int64").sum())
         i = int(pdf["event_id"].idxmax())
         if int(pdf["event_id"].loc[i]) > loff:
             loff = int(pdf["event_id"].loc[i])
             ltype = str(pdf["event_type"].loc[i])
-            lval = float(pdf["value"].loc[i])
+            v = pdf["value"].loc[i]
+            lval = None if pd.isna(v) else float(v)
     state.update((n, total, ltype, lval, loff))
     yield pd.DataFrame(
         {
