@@ -5088,6 +5088,54 @@ def q_multimodal_decode(spark, sf):
     return multimodal.decode_media(media)
 
 
+@_q(
+    "multimodal_decode_raw",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             cast(4 + doc_id % 8 AS INT) AS w,
+             cast(3 + doc_id % 5 AS INT) AS h
+      FROM documents),
+    px AS (
+      SELECT doc_id, w, h,
+             substr(repeat(md5(doc_id::VARCHAR), 3), 1, w * h) AS pix
+      FROM p)
+    SELECT doc_id, true AS valid, w AS width, h AS height,
+           cast(1 AS INT) AS channels, cast(w * h AS INT) AS n_pixels,
+           cast(list_sum(list_transform(string_split(pix, ''),
+                                        x -> ascii(x))) AS BIGINT)
+             AS pixel_sum
+    FROM px
+    """,
+)
+def q_multimodal_decode_raw(spark, sf):
+    """END-TO-END media decode on real bytes — no codec libraries
+    needed.  Each document gets a RAW1 payload (magic + big-endian
+    width/height/channels header + pixel plane) built JVM-side from
+    deterministic md5-derived pixels (operators/multimodal.py:
+    encode_raw_col); the mapInPandas stage then genuinely PARSES the
+    binary — magic/length validation, header extraction, numpy
+    pixel-plane sum (raw_decode).  The DuckDB oracle never sees the
+    payload: it recomputes dimensions and the pixel checksum from the
+    generating definition, so a decoder that misreads the header or
+    mis-slices the plane hash-mismatches.  This upgrades the multimodal
+    family's decode stage from stubbed plumbing to an executed path;
+    the PIL/soundfile codec remains an injectable decoder for real
+    image formats."""
+    d = load(spark, sf, "documents")
+    w = (F.lit(4) + F.col("doc_id") % 8).cast("int")
+    h = (F.lit(3) + F.col("doc_id") % 5).cast("int")
+    pix = F.expr(
+        "substring(repeat(md5(cast(cast(doc_id as string) as binary)), 3),"
+        " 1, ((4 + doc_id % 8) * (3 + doc_id % 5)))"
+    )
+    media = d.select(
+        "doc_id",
+        multimodal.encode_raw_col(w, h, F.lit(1), pix).alias("media_bytes"),
+    )
+    return multimodal.decode_media_raw(media)
+
+
 # ===========================================================================
 # Structured Streaming execution (S5/S6/S7/S8/A3/E1/J2-streaming)
 # ===========================================================================

@@ -689,3 +689,53 @@ def test_backfill_partitions_rewrites_only_target_days(spark, tmp_path):
     # rerun the same backfill: state converges (idempotent)
     backfill_partitions(fix, path, "day")
     assert spark.read.parquet(path).count() == 8
+
+
+def test_raw_decode_parses_and_rejects(spark):
+    """RAW1 decode extracts header dims + pixel sum from well-formed
+    payloads and flags (not raises) wrong-magic / truncated / empty
+    payloads — corrupt media is data, not an exception."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        multimodal,
+    )
+
+    good = multimodal.RAW_MAGIC + bytes([0, 2, 0, 3, 1]) + bytes(
+        [10, 20, 30, 40, 50, 60]
+    )
+    assert multimodal.raw_decode(good) == (True, 2, 3, 1, 6, 210)
+    assert multimodal.raw_decode(b"JUNK" + good[4:])[0] is False
+    assert multimodal.raw_decode(good[:-1])[0] is False  # truncated plane
+    assert multimodal.raw_decode(b"")[0] is False
+    assert multimodal.raw_decode(None)[0] is False
+
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"JUNK"))],
+        "doc_id long, media_bytes binary",
+    )
+    got = {
+        r.doc_id: (r.valid, r.width, r.height, r.pixel_sum)
+        for r in multimodal.decode_media_raw(df).collect()
+    }
+    assert got == {1: (True, 2, 3, 210), 2: (False, 0, 0, 0)}
+
+
+def test_encode_raw_col_roundtrips_through_decoder(spark):
+    """JVM-side RAW1 encoding feeds the numpy decoder losslessly."""
+    import pyspark.sql.functions as SF
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        multimodal,
+    )
+
+    df = spark.createDataFrame([(7, "abcdef")], ["doc_id", "pix"])
+    media = df.select(
+        "doc_id",
+        multimodal.encode_raw_col(
+            SF.lit(3), SF.lit(2), SF.lit(1), SF.col("pix")
+        ).alias("media_bytes"),
+    )
+    [r] = multimodal.decode_media_raw(media).collect()
+    assert (r.valid, r.width, r.height, r.channels, r.n_pixels) == (
+        True, 3, 2, 1, 6,
+    )
+    assert r.pixel_sum == sum(b"abcdef")

@@ -111,6 +111,94 @@ def pil_image_decoder():
     return _decode
 
 
+# --- RAW1: a self-describing uncompressed media format ---------------------
+#
+# Layout (big-endian):  b"RAW1" | width u16 | height u16 | channels u8 |
+#                       width*height*channels pixel bytes
+#
+# The container ships no image/audio codecs, so the PIL/soundfile decode
+# path stays an injectable stub — but RAW1 needs only numpy, which means
+# the mapInPandas decode stage can exercise REAL byte parsing end-to-end:
+# header validation, dimension extraction, pixel-plane statistics.  This
+# is exactly the shape of a production raw-tensor sidecar format (NPY,
+# raw RGB planes, PCM audio): header + typed payload, decoded in a
+# vectorized batch loop.
+
+RAW_MAGIC = b"RAW1"
+RAW_HEADER_LEN = 9
+
+RAW_DECODE_SCHEMA = (
+    "doc_id long, valid boolean, width int, height int, channels int,"
+    " n_pixels int, pixel_sum bigint"
+)
+
+
+def encode_raw_col(width, height, channels, pixels) -> F.Column:
+    """JVM-side RAW1 payload construction: concat of the magic, the
+    big-endian u16/u8 header fields (via hex/lpad/unhex — no UDF), and
+    the pixel bytes.  ``width``/``height``/``channels`` are int columns,
+    ``pixels`` a string/binary column whose length must be
+    width*height*channels."""
+
+    def be(col, hex_digits):
+        return F.unhex(F.lpad(F.hex(col), hex_digits, "0"))
+
+    return F.concat(
+        F.lit(RAW_MAGIC),
+        be(width, 4),
+        be(height, 4),
+        be(channels, 2),
+        pixels.cast("binary"),
+    )
+
+
+def raw_decode(buf: bytes) -> tuple[bool, int, int, int, int, int]:
+    """Decode one RAW1 payload: (valid, width, height, channels,
+    n_pixels, pixel_sum).  Malformed payloads (wrong magic, short
+    header, truncated pixel plane) return valid=False with zeroed
+    fields — corrupt media is data, not an exception."""
+    import numpy as np
+
+    if buf is None or len(buf) < RAW_HEADER_LEN or buf[:4] != RAW_MAGIC:
+        return False, 0, 0, 0, 0, 0
+    w = (buf[4] << 8) | buf[5]
+    h = (buf[6] << 8) | buf[7]
+    c = buf[8]
+    npix = w * h * c
+    if len(buf) != RAW_HEADER_LEN + npix:
+        return False, 0, 0, 0, 0, 0
+    plane = np.frombuffer(buf, dtype=np.uint8, offset=RAW_HEADER_LEN)
+    return True, w, h, c, npix, int(plane.sum(dtype=np.int64))
+
+
+def decode_media_raw(
+    media: DataFrame, id_col: str = "doc_id", bytes_col: str = "media_bytes"
+) -> DataFrame:
+    """RAW1 decode via ``mapInPandas`` — the same Arrow-batched plumbing
+    as :func:`decode_media`, but the decoder genuinely parses bytes
+    (header validation + numpy pixel-plane statistics), so the decode
+    stage is exercised end-to-end without external codec libraries."""
+
+    def _batches(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            rows = [raw_decode(b) for b in pdf[bytes_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "valid": [r[0] for r in rows],
+                    "width": [r[1] for r in rows],
+                    "height": [r[2] for r in rows],
+                    "channels": [r[3] for r in rows],
+                    "n_pixels": [r[4] for r in rows],
+                    "pixel_sum": [r[5] for r in rows],
+                }
+            )
+
+    return media.mapInPandas(_batches, schema=RAW_DECODE_SCHEMA)
+
+
 def decode_media(
     media: DataFrame,
     id_col: str = "doc_id",
