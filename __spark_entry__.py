@@ -5412,6 +5412,73 @@ def q_streaming_cdc_upsert(spark, sf):
     return read_state(spark, state_dir)
 
 
+_PULL_KEYS = [3, 17, 42, 88, 131]
+
+
+@_q(
+    "streaming_pull_query",
+    f"""
+    WITH ch AS (
+      SELECT user_id, value, event_id AS _offset,
+             (event_type = 'error') AS __deleted
+      FROM events),
+    state AS (
+      SELECT user_id,
+             max_by(value, _offset) AS value,
+             max(_offset) AS _offset
+      FROM ch GROUP BY user_id
+      HAVING NOT max_by(__deleted, _offset))
+    SELECT user_id, value, _offset FROM state
+    WHERE user_id IN ({", ".join(str(k) for k in _PULL_KEYS)})
+    """,
+)
+def q_streaming_pull_query(spark, sf):
+    """ksqlDB-style PULL QUERY: a request-time point lookup against the
+    state a persistent query materialized — the serving half of the
+    reference's push/pull split (ksqlDB 0.28 offers pull queries on any
+    CTAS table; the reference serves lookups through Elasticsearch
+    instead, /root/reference/README.md:561-599 — same contract: current
+    row by key, no log re-scan).  Execution: the same CDC->upsert
+    persistent query as streaming_cdc_upsert maintains a keyed state
+    table; the pull query then reads ONLY that O(keys) state with an
+    IN-list key predicate — the lookup plan never touches the event
+    log, which is what makes request-time serving viable when the log
+    is 100 TB but the state is key-cardinality.  At scale the state is
+    a keyed Delta/ES/RocksDB table and this plan is an index get; the
+    oracle replays compaction + the same key predicate."""
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.cdc import (
+        unwrap_rewrite,
+    )
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.upsert import (
+        keyed_upsert_sink,
+        read_state,
+    )
+
+    envelopes = _events_stream(spark, sf).select(
+        F.struct("user_id", "value").alias("after"),
+        F.when(F.col("event_type") == "error", F.lit("d")).otherwise(F.lit("u")).alias("op"),
+        F.col("event_id").alias("_offset"),
+    )
+    flat = unwrap_rewrite(envelopes, keep=("_offset",))
+    state_dir = tempfile.mkdtemp(prefix="pull_query_state_")
+    with _stream_partitions(spark):
+        q = (
+            flat.writeStream.outputMode("append")
+            .foreachBatch(
+                keyed_upsert_sink(state_dir, keys=["user_id"], offset_col="_offset")
+            )
+            .option("checkpointLocation", f"{state_dir}/_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return read_state(spark, state_dir).filter(
+        F.col("user_id").isin(_PULL_KEYS)
+    )
+
+
 @_q(
     "streaming_restart_resume",
     """
