@@ -1231,6 +1231,60 @@ def q_json_extract(spark, sf):
     )
 
 
+@_q(
+    "avro_roundtrip",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           cast(sum(cast(round(value * 1e6) AS BIGINT)) AS BIGINT)
+             AS sum_value_micro
+    FROM events GROUP BY event_type
+    """,
+)
+def q_avro_roundtrip(spark, sf):
+    """The reference's value format EXECUTED: every event row is
+    serialized to Avro *binary* (the reference's topics carry
+    Avro-with-Schema-Registry values, /root/reference/README.md:389-427)
+    and parsed back before aggregation — by the pure-Python wire-format
+    codec (sources/avro_codec.py: zigzag varints, union branch indexes,
+    IEEE little-endian doubles), since the spark-avro jar is not in this
+    container.  The byte layout is pinned against hand-computed spec
+    fixtures in tests/test_avro_codec.py, and this entry's oracle runs
+    on the ORIGINAL rows — so a codec that drops precision, mis-indexes
+    a union, or mangles NULLs hash-mismatches here.  On a cluster the
+    same plan swaps the Python codec for from_avro/to_avro with zero
+    shape change (both are value-column-only, Arrow-batched)."""
+    import json as _json
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.sources.avro_codec import (
+        from_avro_py,
+        to_avro_py,
+    )
+
+    sch = _json.dumps(
+        {
+            "type": "record",
+            "name": "value",
+            "fields": [
+                {"name": "user_id", "type": "long"},
+                {"name": "event_type", "type": "string"},
+                {"name": "value", "type": ["null", "double"]},
+            ],
+        }
+    )
+    ev = _events(spark, sf).select("user_id", "event_type", "value")
+    enc = to_avro_py(ev, ["user_id", "event_type", "value"], sch)
+    dec = from_avro_py(
+        enc, "value", sch, "user_id long, event_type string, value double"
+    )
+    return dec.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 1e6).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_value_micro"),
+    )
+
+
 # event-shape analytics: pivot, histogram, outliers -------------------------
 
 _ETYPES = ["click", "error", "purchase", "signup", "view"]

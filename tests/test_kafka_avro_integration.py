@@ -77,3 +77,32 @@ def test_avro_roundtrip_or_clean_skip(spark):
         avro.decode_value(spark, "value", schema_json).alias("v")
     ).select("v.*")
     assert sorted(tuple(r) for r in decoded.collect()) == sorted(rows)
+
+
+def test_avro_roundtrip_pure_python_always_runs(spark):
+    """The jar-free half: the SAME Schema-Registry-shaped schema from
+    avro_schema_for drives the pure-Python wire-format codec
+    (sources/avro_codec.py), so the Avro value path EXECUTES in this
+    container — only the spark-avro-jar variant above may skip."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.sources.avro_codec import (
+        from_avro_py,
+        to_avro_py,
+    )
+
+    value_schema = T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("age", T.IntegerType(), True),
+        ]
+    )
+    schema_json = avro.avro_schema_for(value_schema, name="customer")
+    rows = [("1", "sue", 25), ("2", "victor", 23), ("3", None, None)]
+    df = spark.createDataFrame(rows, value_schema)
+    enc = to_avro_py(df, ["id", "name", "age"], schema_json)
+    dec = from_avro_py(
+        enc, "value", schema_json, "id string, name string, age int"
+    )
+    assert sorted(
+        (r.id, r.name, r.age) for r in dec.collect()
+    ) == sorted(rows)
