@@ -2879,3 +2879,216 @@ def test_kcore_peel_matches_repeated_peel(spark, edges, k, rounds):
     want_converged = len(counts) >= 2 and counts[-1] == counts[-2]
     if got:  # flag rides on survivor rows; empty survivors = empty frame
         assert flags == {want_converged}
+
+
+# --- kmeans_fixed vs a naive numpy Lloyd replay -----------------------------
+
+_km_vecs = st.lists(
+    st.tuples(
+        st.integers(-3, 3), st.integers(-3, 3),
+        st.integers(-3, 3), st.integers(-3, 3),
+    ).filter(lambda v: any(v)),  # zero-norm cosine is NULL; tested elsewhere
+    min_size=4,
+    max_size=24,
+)
+
+
+def _r6(x: float) -> float:
+    """Spark round(_, 6): HALF_UP on the double's shortest decimal repr
+    (BigDecimal.valueOf semantics)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+
+@given(vs=_km_vecs, stride=st.integers(3, 8), iters=st.integers(1, 2))
+@_SETTINGS
+def test_kmeans_fixed_matches_naive_lloyd(spark, vs, stride, iters):
+    """Stride-init fixed-iteration Lloyd vs an independent Python
+    replay: same init rule, cosine argmax with lowest-id tie-break,
+    6dp-rounded means.  Assignments must agree except where the naive
+    margin is within float noise of a 6dp rounding boundary."""
+    import math
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.similarity import (
+        kmeans_fixed,
+    )
+
+    rows = [(i, [float(c) for c in v]) for i, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned, _cent = kmeans_fixed(df, n_iters=iters, centroid_stride=stride)
+    got = {r.vec_id: r.cluster_id for r in assigned.collect()}
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if na * nb == 0:
+            return None
+        return _r6(sum(x * y for x, y in zip(a, b)) / (na * nb))
+
+    cents = {i: list(v) for i, v in rows if i % stride == 0}
+    assign: dict[int, int] = {}
+    margins: dict[int, float] = {}
+    for _ in range(iters):
+        assign, margins = {}, {}
+        for i, v in rows:
+            scored = sorted(
+                ((c, cos(v, cv)) for c, cv in cents.items()
+                 if cos(v, cv) is not None),
+                key=lambda t: (-t[1], t[0]),
+            )
+            assign[i] = scored[0][0]
+            margins[i] = (
+                scored[0][1] - scored[1][1] if len(scored) > 1 else 1.0
+            )
+        new_cents: dict[int, list[float]] = {}
+        for c in set(assign.values()):
+            members = [v for i, v in rows if assign[i] == c]
+            new_cents[c] = [
+                _r6(sum(col) / len(members)) for col in zip(*members)
+            ]
+        cents = new_cents
+
+    for i, want in assign.items():
+        if margins[i] > 2e-6:  # skip float-noise-level near-ties
+            assert got[i] == want, (i, got[i], want, vs)
+
+
+# --- pq_topk vs a naive integer-exact PQ replay -----------------------------
+
+_pq_vecs = st.lists(
+    st.lists(st.integers(-4, 4), min_size=64, max_size=64),
+    min_size=30,
+    max_size=60,
+)
+
+
+@given(vs=_pq_vecs, k=st.integers(1, 4))
+@_SETTINGS
+def test_pq_topk_matches_naive_integer_replay(spark, vs, k):
+    """Product quantization is all integer micro-unit arithmetic, so an
+    independent Python replay (codeword stride init, per-subspace
+    argmin with low-code tie-break, summed table lookups, rank by
+    (distance, id)) must agree BIT-FOR-BIT."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.similarity import (
+        PQ_CODES,
+        PQ_CW_STRIDE,
+        PQ_DSUB,
+        PQ_SUBS,
+        pq_topk,
+    )
+
+    n_queries = 3
+    rows = [(i, [float(c) for c in v]) for i, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.approx_d2)
+        for r in pq_topk(df, n_queries=n_queries, k=k).collect()
+    }
+
+    def subdist_micro(a, b, s):
+        lo = s * PQ_DSUB
+        d2 = sum(
+            (x - y) ** 2 for x, y in zip(a[lo:lo + PQ_DSUB], b[lo:lo + PQ_DSUB])
+        )
+        return int(round(_r6(d2) * 1e6))
+
+    cws = {
+        i // PQ_CW_STRIDE: v
+        for i, v in rows
+        if i % PQ_CW_STRIDE == 0 and i < PQ_CODES * PQ_CW_STRIDE
+    }
+    codes = {
+        i: [
+            min(cws, key=lambda c: (subdist_micro(v, cws[c], s), c))
+            for s in range(PQ_SUBS)
+        ]
+        for i, v in rows
+    }
+    want = {}
+    for qid, qv in rows[:n_queries]:
+        dtab = {
+            (s, c): subdist_micro(qv, cws[c], s)
+            for c in cws
+            for s in range(PQ_SUBS)
+        }
+        scored = sorted(
+            (
+                sum(dtab[(s, codes[i][s])] for s in range(PQ_SUBS)),
+                i,
+            )
+            for i, _ in rows
+            if i != qid
+        )
+        for rnk, (admic, nid) in enumerate(scored[:k], 1):
+            want[(qid, rnk)] = (nid, admic / 1e6)
+    assert got == want
+
+
+# --- time_weighted_avg vs a naive Decimal LOCF replay -----------------------
+
+_twa_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),                       # key
+        st.integers(0, 120),                     # second offset (ties likely)
+        st.one_of(st.none(), st.integers(-50, 50)),  # value (NULLs too)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(raw=_twa_rows)
+@_SETTINGS
+def test_time_weighted_avg_matches_naive_locf(spark, raw):
+    """LOCF time-weighted average vs an exact-Decimal Python replay:
+    half-open spans, zero-width spans for tied timestamps, NULL values
+    carrying their holding time out of the numerator only, NULL average
+    on a zero total span, and single-sample keys absent entirely."""
+    from decimal import Decimal
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    rows = [
+        (k, f"2024-01-01 10:{s // 60:02d}:{s % 60:02d}", None if v is None else float(v), i)
+        for i, (k, s, v) in enumerate(raw)
+    ]
+    df = (
+        spark.createDataFrame(rows, "k long, ts_s string, value double, off long")
+        .select("k", F.to_timestamp("ts_s").alias("ts"), "value", "off")
+    )
+    got = {
+        r.k: (r.twa_value, r.span_us, r.n_spans)
+        for r in time_weighted_avg(df, ["k"], "ts", "value", "off").collect()
+    }
+
+    per_key: dict = {}
+    for i, (k, s, v) in enumerate(raw):
+        per_key.setdefault(k, []).append((s, i, v))
+    for k, samples in per_key.items():
+        samples.sort(key=lambda t: (t[0], t[1]))
+        wv = Decimal(0)
+        span = 0
+        n = 0
+        any_obs = False  # SQL sum over all-NULL is NULL, not 0
+        for (s0, _, v0), (s1, _, _) in zip(samples, samples[1:]):
+            dt = (s1 - s0) * 1_000_000
+            span += dt
+            n += 1
+            if v0 is not None:
+                wv += Decimal(f"{v0:.6f}") * dt
+                any_obs = True
+        if n == 0:
+            assert k not in got, (k, "single-sample key must emit no row")
+            continue
+        want = (
+            None if span == 0 or not any_obs else float(wv) / float(span)
+        )
+        g_twa, g_span, g_n = got[k]
+        assert (g_span, g_n) == (span, n)
+        if want is None:
+            assert g_twa is None
+        else:
+            assert g_twa is not None and abs(g_twa - want) <= 1e-12, (k, g_twa, want)
