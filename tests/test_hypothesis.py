@@ -3092,3 +3092,48 @@ def test_time_weighted_avg_matches_naive_locf(spark, raw):
             assert g_twa is None
         else:
             assert g_twa is not None and abs(g_twa - want) <= 1e-12, (k, g_twa, want)
+
+
+# --- pareto_frontier vs brute-force dominance -------------------------------
+
+_pareto_pts = st.lists(
+    st.tuples(st.integers(1, 6), st.integers(1, 6)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(pts=_pareto_pts)
+@_SETTINGS
+def test_pareto_frontier_matches_bruteforce(spark, pts, tmp_path_factory):
+    """The running-max sweep keeps EXACTLY the non-dominated (price asc,
+    size desc) signatures — checked against an O(n^2) dominance scan,
+    including counts per surviving signature."""
+    import __spark_entry__ as entrymod
+
+    tmp = str(tmp_path_factory.mktemp("pareto"))
+    rows = [
+        (i, f"p{i}", "b", "t", s, q * 0.25)
+        for i, (q, s) in enumerate(pts)
+    ]
+    spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/part.parquet")
+    got = {
+        (r.price, r.psize): r.n_parts
+        for r in entrymod._REGISTRY["pareto_frontier"][0](spark, tmp).collect()
+    }
+
+    sigs: dict[tuple[float, int], int] = {}
+    for q, s in pts:
+        sigs[(q * 0.25, s)] = sigs.get((q * 0.25, s), 0) + 1
+    want = {
+        (p, s): n
+        for (p, s), n in sigs.items()
+        if not any(
+            p2 <= p and s2 >= s and (p2 < p or s2 > s) for (p2, s2) in sigs
+        )
+    }
+    assert got == want, (pts, got, want)
