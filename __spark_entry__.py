@@ -5466,6 +5466,67 @@ def q_streaming_cdc_upsert(spark, sf):
     return read_state(spark, state_dir)
 
 
+@_q(
+    "streaming_avro_topic",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           cast(sum(cast(round(value * 1e6) AS BIGINT)) AS BIGINT)
+             AS sum_value_micro
+    FROM events GROUP BY event_type
+    """,
+)
+def q_streaming_avro_topic(spark, sf):
+    """The reference's transport shape END-TO-END under streaming
+    execution: a topic whose values are Avro binary
+    (/root/reference/README.md:396-427 — every stream is
+    value_format='avro').  A batch stage materializes the events as
+    single-binary-value records (to_avro_py — the topic), a streaming
+    query readStreams them and decodes each micro-batch's values
+    IN-FLIGHT with the pure-Python wire-format codec (from_avro_py's
+    mapInPandas stage runs unchanged inside Structured Streaming), and
+    the decoded columns feed a streaming aggregate.  The oracle runs on
+    the ORIGINAL rows, so in-flight decode corruption hash-mismatches.
+    On a jar-equipped cluster the decode swaps to from_avro over a
+    Kafka source with zero plan-shape change."""
+    import json as _json
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.sources.avro_codec import (
+        from_avro_py,
+        to_avro_py,
+    )
+
+    sch = _json.dumps(
+        {
+            "type": "record",
+            "name": "value",
+            "fields": [
+                {"name": "user_id", "type": "long"},
+                {"name": "event_type", "type": "string"},
+                {"name": "value", "type": ["null", "double"]},
+            ],
+        }
+    )
+    topic = tempfile.mkdtemp(prefix="avro_topic_")
+    ev = _events(spark, sf).select("user_id", "event_type", "value")
+    to_avro_py(ev, ["user_id", "event_type", "value"], sch).write.mode(
+        "overwrite"
+    ).parquet(topic)
+    stream = spark.readStream.schema("value binary").parquet(topic)
+    dec = from_avro_py(
+        stream, "value", sch, "user_id long, event_type string, value double"
+    )
+    agg = dec.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 1e6).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_value_micro"),
+    )
+    _run_to_memory(agg, "streaming_avro_topic", "complete")
+    return spark.table("streaming_avro_topic")
+
+
 _PULL_KEYS = [3, 17, 42, 88, 131]
 
 
