@@ -3137,3 +3137,60 @@ def test_pareto_frontier_matches_bruteforce(spark, pts, tmp_path_factory):
         )
     }
     assert got == want, (pts, got, want)
+
+
+# --- fuzzy_name_match vs a naive DP Levenshtein linkage ---------------------
+
+_fuzzy_names = st.lists(
+    st.tuples(
+        st.sampled_from(["box", "cap", "cog"]),            # blocking noun
+        st.text(alphabet="abcd", min_size=0, max_size=6),  # adjective
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(names=_fuzzy_names)
+@_SETTINGS
+def test_fuzzy_name_match_matches_naive_linkage(spark, names, tmp_path_factory):
+    """Blocked edit-distance linkage vs an O(n^2) Python DP scan over
+    the same blocks: same pairs, same distances, same pair counts —
+    verifies the length-difference prefilter prunes nothing that
+    Levenshtein<=3 would keep."""
+    import __spark_entry__ as entrymod
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    tmp = str(tmp_path_factory.mktemp("fuzzy"))
+    rows = [
+        (i, f"{adj} {noun}", "b", "t", 1, 1.0)
+        for i, (noun, adj) in enumerate(names)
+    ]
+    spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/part.parquet")
+    got = {
+        (r.noun, r.adj_a, r.adj_b): (r.dist, r.n_pairs)
+        for r in entrymod._REGISTRY["fuzzy_name_match"][0](spark, tmp).collect()
+    }
+
+    sigs: dict[tuple[str, str], int] = {}
+    for noun, adj in names:
+        sigs[(noun, adj)] = sigs.get((noun, adj), 0) + 1
+    want = {}
+    for (n1, a1), c1 in sigs.items():
+        for (n2, a2), c2 in sigs.items():
+            if n1 == n2 and a1 < a2 and lev(a1, a2) <= 3:
+                want[(n1, a1, a2)] = (lev(a1, a2), c1 * c2)
+    assert got == want, (names, got, want)
