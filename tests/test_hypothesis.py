@@ -3194,3 +3194,58 @@ def test_fuzzy_name_match_matches_naive_linkage(spark, names, tmp_path_factory):
             if n1 == n2 and a1 < a2 and lev(a1, a2) <= 3:
                 want[(n1, a1, a2)] = (lev(a1, a2), c1 * c2)
     assert got == want, (names, got, want)
+
+
+# --- ohlc_bars vs a naive per-bucket scan -----------------------------------
+
+_ohlc_rows = st.lists(
+    st.tuples(
+        st.integers(0, 1),                       # key
+        st.integers(0, 47),                      # hour offset (2 day buckets)
+        st.one_of(st.none(), st.integers(-99, 99)),  # value (NULLs too)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(raw=_ohlc_rows)
+@_SETTINGS
+def test_ohlc_bars_matches_naive(spark, raw):
+    """Open/close by arrival offset (NULL value at the winning offset
+    stays NULL), high/low skipping NULLs, per (key, day) bucket."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.timeseries import (
+        ohlc_bars,
+    )
+
+    rows = [
+        (k, f"2024-01-{1 + h // 24:02d} {h % 24:02d}:00:00",
+         None if v is None else float(v), i)
+        for i, (k, h, v) in enumerate(raw)
+    ]
+    df = (
+        spark.createDataFrame(rows, "k long, ts_s string, value double, off long")
+        .select("k", F.to_timestamp("ts_s").alias("ts"), "value", "off")
+    )
+    got = {
+        (r.k, r.bucket_ts.day): (r.open, r.high, r.low, r.close, r.n_ticks)
+        for r in ohlc_bars(df, ["k"], "ts", "value", "off").collect()
+    }
+
+    buckets: dict = {}
+    for i, (k, h, v) in enumerate(raw):
+        buckets.setdefault((k, 1 + h // 24), []).append(
+            (i, None if v is None else float(v))
+        )
+    want = {}
+    for key, ticks in buckets.items():
+        ticks.sort()
+        vals = [v for _, v in ticks if v is not None]
+        want[key] = (
+            ticks[0][1],
+            max(vals) if vals else None,
+            min(vals) if vals else None,
+            ticks[-1][1],
+            len(ticks),
+        )
+    assert got == want, (raw, got, want)
