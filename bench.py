@@ -118,6 +118,9 @@ HEADLINE = [
     "streaming_scd2",
     # round 5 additions
     "multimodal_decode_raw",
+    "avro_roundtrip",
+    "streaming_avro_topic",
+    "streaming_pull_query",
     # round 4 additions
     "ann_ivf_pq_topk",
     "embedding_similarity_histogram",
