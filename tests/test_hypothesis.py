@@ -3249,3 +3249,107 @@ def test_ohlc_bars_matches_naive(spark, raw):
             len(ticks),
         )
     assert got == want, (raw, got, want)
+
+
+# --- contamination_flags vs a naive n-gram set intersection -----------------
+
+_decon_docs = st.lists(
+    st.lists(st.sampled_from(["Red", "blue-3", "GREEN", "k9"]),
+             min_size=0, max_size=8),
+    min_size=2,
+    max_size=14,
+)
+
+
+@given(docs=_decon_docs)
+@_SETTINGS
+def test_contamination_flags_match_naive_gram_overlap(spark, docs):
+    """Benchmark decontamination vs a Python n-gram set scan: same
+    normalization (lowercase, non-alnum runs to single spaces, trim),
+    same per-doc distinct grams, same overlap counts; docs shorter than
+    the gram width contribute nothing."""
+    import re
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.dedup import (
+        contamination_flags,
+    )
+
+    n_bench = len(docs) // 2
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.n_overlapping_grams
+        for r in contamination_flags(
+            df.filter(F.col("doc_id") >= n_bench),
+            df.filter(F.col("doc_id") < n_bench),
+            gram_words=2,
+        ).collect()
+    }
+
+    def grams(text):
+        words = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split(" ")
+        if words == [""] or len(words) < 2:
+            return set()
+        return {tuple(words[i:i + 2]) for i in range(len(words) - 1)}
+
+    bench = set().union(*(grams(t) for _, t in rows[:n_bench]), set())
+    want = {}
+    for i, t in rows[n_bench:]:
+        n = len(grams(t) & bench)
+        if n:
+            want[i] = n
+    assert got == want, (docs, got, want)
+
+
+# --- PII scrub/count vs a Python re replay ----------------------------------
+
+_pii_frags = st.lists(
+    st.sampled_from(
+        [
+            "hello world",
+            "a.b%x@mail.example.com",
+            "+1-555-0142",
+            "12-345-6789",
+            "123-45-6789",
+            "987-654-3210 not an ssn shape",
+            "x@y.io",
+            "9-123-4567",
+            "no pii here 12345",
+        ]
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(frags=_pii_frags)
+@_SETTINGS
+def test_pii_scrub_and_counts_match_python_re(spark, frags):
+    """scrub_pii / pii_counts vs Python re with the identical patterns
+    and replacement order — Java regex and re agree on this restricted
+    syntax, so outputs must match byte-for-byte."""
+    import re
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.functions.text import (
+        PII_PATTERNS,
+        pii_counts,
+        scrub_pii,
+    )
+
+    text = " ".join(frags)
+    df = spark.createDataFrame([(text,)], ["text"])
+    counts = pii_counts(F.col("text"))
+    [r] = df.select(
+        scrub_pii(F.col("text")).alias("scrubbed"),
+        *[c.alias(k) for k, c in counts.items()],
+    ).collect()
+
+    want_text = text
+    want_counts = {}
+    for kind, (pat, placeholder) in PII_PATTERNS.items():
+        want_counts[kind] = len(re.findall(pat, text))
+    for pat, placeholder in PII_PATTERNS.values():
+        want_text = re.sub(pat, placeholder, want_text)
+    assert r.scrubbed == want_text, (text, r.scrubbed, want_text)
+    for kind, n in want_counts.items():
+        assert r[kind] == n, (kind, text)
