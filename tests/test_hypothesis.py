@@ -3353,3 +3353,148 @@ def test_pii_scrub_and_counts_match_python_re(spark, frags):
     assert r.scrubbed == want_text, (text, r.scrubbed, want_text)
     for kind, n in want_counts.items():
         assert r[kind] == n, (kind, text)
+
+
+# --- ivf_topk vs a naive probe replay ---------------------------------------
+
+_ivf_vecs = st.lists(
+    st.tuples(
+        st.integers(-3, 3), st.integers(-3, 3),
+        st.integers(-3, 3), st.integers(-3, 3),
+    ).filter(lambda v: any(v)),
+    min_size=6,
+    max_size=24,
+)
+
+
+@given(vs=_ivf_vecs, stride=st.integers(3, 8), nprobe=st.integers(1, 3))
+@_SETTINGS
+def test_ivf_topk_matches_naive_probe_replay(spark, vs, stride, nprobe):
+    """IVF: stride centroids, max-cosine assignment (lowest-centroid
+    tie-break), nprobe closest clusters per query, rank by (cos desc,
+    id asc).  All cosine math is the same IEEE op sequence in both
+    implementations, so results must agree exactly."""
+    import math
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    n_queries, k = 3, 4
+    rows = [(i, [float(c) for c in v]) for i, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.cos)
+        for r in ivf_topk(
+            df, n_queries=n_queries, k=k,
+            centroid_stride=stride, nprobe=nprobe,
+        ).collect()
+    }
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return _r6(sum(x * y for x, y in zip(a, b)) / (na * nb))
+
+    cents = {i: v for i, v in rows if i % stride == 0}
+    assign = {
+        i: max(cents, key=lambda c: (cos(v, cents[c]), -c))
+        for i, v in rows
+    }
+    want = {}
+    for qid, qv in rows[:n_queries]:
+        probed = sorted(cents, key=lambda c: (-cos(qv, cents[c]), c))[:nprobe]
+        cand = sorted(
+            ((-cos(v, qv), i) for i, v in rows
+             if i != qid and assign[i] in probed),
+        )
+        for rnk, (negcos, nid) in enumerate(cand[:k], 1):
+            want[(qid, rnk)] = (nid, -negcos)
+    assert got == want, (vs, stride, nprobe, got, want)
+
+
+# --- streaming HLL / CMS merges are batch-split invariant -------------------
+
+_sk_keys = st.lists(st.integers(0, 400), min_size=1, max_size=60)
+_sk_cuts = st.sets(st.integers(1, 59), max_size=3)
+
+
+@given(keys=_sk_keys, cuts=_sk_cuts)
+@_SETTINGS
+def test_streaming_hll_split_invariant(spark, keys, cuts):
+    """Folding HLL register max-merges over ANY batch split (including
+    re-merging an already-seen key) equals the one-shot batch sketch."""
+    import shutil
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        sketches as SK,
+    )
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.sketches import (
+        merge_hll_batch,
+        read_hll_estimate,
+    )
+
+    def mkdf(ks):
+        return spark.createDataFrame([(k,) for k in ks], "k long")
+
+    state = tempfile.mkdtemp(prefix="hllprop_")
+    try:
+        bounds = sorted(c * len(keys) // 60 for c in cuts) + [len(keys)]
+        lo = 0
+        for hi in bounds:
+            if hi > lo:
+                merge_hll_batch(mkdf(keys[lo:hi]), state, "k")
+                lo = hi
+        [s] = read_hll_estimate(spark, state).collect()
+        [b] = SK.hll_estimate(mkdf(keys), "k").collect()
+        assert s.asDict() == b.asDict()
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
+@given(keys=_sk_keys, cuts=_sk_cuts)
+@_SETTINGS
+def test_streaming_cms_split_invariant(spark, keys, cuts):
+    """Folding CMS cellwise sums over ANY batch split equals the
+    one-shot batch sketch's estimates for every key."""
+    import shutil
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        sketches as SK,
+    )
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.sketches import (
+        merge_cms_batch,
+        read_cms_topk,
+    )
+
+    def mkdf(ks):
+        return spark.createDataFrame([(k,) for k in ks], "k long")
+
+    state = tempfile.mkdtemp(prefix="cmsprop_")
+    try:
+        bounds = sorted(c * len(keys) // 60 for c in cuts) + [len(keys)]
+        lo = 0
+        for hi in bounds:
+            if hi > lo:
+                merge_cms_batch(mkdf(keys[lo:hi]), state, "k")
+                lo = hi
+        cand = mkdf(sorted(set(keys)))
+        topk = 1000  # all candidates: compare full estimate vectors
+        got = {
+            r.k: r.cms_count
+            for r in read_cms_topk(
+                spark, state, cand, "k", k=topk
+            ).collect()
+        }
+        cells = SK.cms_cells(mkdf(keys), "k").groupBy("i", "col").agg(
+            F.sum("cnt").alias("cnt")
+        )
+        want = {
+            r.k: r.cms_count
+            for r in SK.cms_estimate_topk(cells, cand, "k", k=topk).collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
