@@ -3498,3 +3498,95 @@ def test_streaming_cms_split_invariant(spark, keys, cuts):
         assert got == want
     finally:
         shutil.rmtree(state, ignore_errors=True)
+
+
+# --- dup_ngram_coverage vs a naive gram-df scan -----------------------------
+
+_dupgram_docs = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=9),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(docs=_dupgram_docs, tmp_seed=st.integers(0, 3))
+@_SETTINGS
+def test_dup_ngram_coverage_matches_naive(spark, docs, tmp_seed, tmp_path_factory):
+    """Per-doc duplicate-5-gram coverage vs a Python scan: same grams
+    (with in-doc multiplicity), df counted as docs-containing (not
+    occurrences), dup fraction over total gram occurrences; docs
+    shorter than 5 tokens emit nothing."""
+    import __spark_entry__ as entrymod
+
+    tmp = str(tmp_path_factory.mktemp("dupgram"))
+    rows = [
+        (i, " ".join(ws), "en", "s", len(" ".join(ws)))
+        for i, ws in enumerate(docs)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    got = {
+        r.doc_id: (r.n_grams, r.n_dup_grams)
+        for r in entrymod._REGISTRY["dup_ngram_coverage"][0](spark, tmp).collect()
+    }
+
+    occ: dict = {}
+    for i, ws in enumerate(docs):
+        for j in range(len(ws) - 4):
+            g = tuple(ws[j:j + 5])
+            occ[(i, g)] = occ.get((i, g), 0) + 1
+    df_count: dict = {}
+    for (i, g) in occ:
+        df_count[g] = df_count.get(g, 0) + 1
+    want: dict = {}
+    for (i, g), n in occ.items():
+        tot, dup = want.get(i, (0, 0))
+        want[i] = (tot + n, dup + (n if df_count[g] >= 2 else 0))
+    assert got == want, (docs, got, want)
+
+
+# --- inverted_index vs a naive postings scan --------------------------------
+
+_inv_docs = st.lists(
+    st.lists(st.sampled_from(["x", "y", "zz"]), min_size=1, max_size=8),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(docs=_inv_docs)
+@_SETTINGS
+def test_inverted_index_matches_naive(spark, docs, tmp_path_factory):
+    """Term occurrences, document frequency, and the bounded first-5
+    posting sample vs a Python dict scan."""
+    import __spark_entry__ as entrymod
+
+    tmp = str(tmp_path_factory.mktemp("inv"))
+    rows = [
+        (i, " ".join(ws), "en", "s", len(" ".join(ws)))
+        for i, ws in enumerate(docs)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    got = {
+        r.term: (r.n_occ, r.df, r.sample_docs)
+        for r in entrymod._REGISTRY["inverted_index"][0](spark, tmp).collect()
+    }
+
+    n_occ: dict = {}
+    postings: dict = {}
+    for i, ws in enumerate(docs):
+        for w in ws:
+            n_occ[w] = n_occ.get(w, 0) + 1
+            postings.setdefault(w, set()).add(i)
+    want = {
+        t: (
+            n_occ[t],
+            len(ds),
+            ",".join(str(d) for d in sorted(ds)[:5]),
+        )
+        for t, ds in postings.items()
+    }
+    assert got == want, (docs, got, want)
