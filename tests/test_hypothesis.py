@@ -3590,3 +3590,79 @@ def test_inverted_index_matches_naive(spark, docs, tmp_path_factory):
         for t, ds in postings.items()
     }
     assert got == want, (docs, got, want)
+
+
+# --- vocab_coverage and tokenizer_fertility vs naive scans ------------------
+
+_vocab_docs = st.lists(
+    st.lists(st.sampled_from(["ab", "c4", "d", "e-e"]), min_size=0, max_size=8),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(docs=_vocab_docs)
+@_SETTINGS
+def test_vocab_coverage_matches_naive(spark, docs, tmp_path_factory):
+    """Top-N vocabulary curve vs a Python counter: same normalization,
+    (count desc, term asc) ranking, cumulative share at 6dp."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    tmp = str(tmp_path_factory.mktemp("vocab"))
+    rows = [
+        (i, " ".join(ws), "en", "s", len(" ".join(ws)))
+        for i, ws in enumerate(docs)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    got = {
+        r.term_rank: (r.term, r.n_occur, r.cum_share)
+        for r in entrymod._REGISTRY["vocab_coverage"][0](spark, tmp).collect()
+    }
+
+    cnt: dict = {}
+    for _, t, *_ in rows:
+        n = re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()
+        if not n:
+            continue
+        for w in n.split(" "):
+            cnt[w] = cnt.get(w, 0) + 1
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(cnt.values())
+    want = {}
+    cum = 0
+    for rank, (term, n) in enumerate(ranked[:50], 1):
+        cum += n
+        want[rank] = (term, n, _r6(cum / total))
+    assert got == want, (docs, got, want)
+
+
+@given(docs=_vocab_docs)
+@_SETTINGS
+def test_tokenizer_fertility_matches_naive(spark, docs, tmp_path_factory):
+    """BPE-ish token counts, chars, and the two ratios vs Python re
+    with the identical pattern."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    tmp = str(tmp_path_factory.mktemp("fert"))
+    rows = [
+        (i, " ".join(ws) if ws else "x", "en", "s", 0)
+        for i, ws in enumerate(docs)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    [r] = entrymod._REGISTRY["tokenizer_fertility"][0](spark, tmp).collect()
+
+    bpe_pat = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+    n_chars = sum(len(t) for _, t, *_ in rows)
+    n_bpe = sum(len(re.findall(bpe_pat, t)) for _, t, *_ in rows)
+    n_ws = sum(len(re.split(r"\s+", t.strip())) for _, t, *_ in rows)
+    assert (r.n_docs, r.n_chars, r.n_bpe_tokens) == (len(rows), n_chars, n_bpe)
+    assert r.tokens_per_char == _r6(n_bpe / n_chars)
+    assert r.fertility == _r6(n_bpe / n_ws)
