@@ -3666,3 +3666,50 @@ def test_tokenizer_fertility_matches_naive(spark, docs, tmp_path_factory):
     assert (r.n_docs, r.n_chars, r.n_bpe_tokens) == (len(rows), n_chars, n_bpe)
     assert r.tokens_per_char == _r6(n_bpe / n_chars)
     assert r.fertility == _r6(n_bpe / n_ws)
+
+
+# --- sequence_pack vs a naive cumulative-binning scan -----------------------
+
+_pack_docs = st.lists(
+    st.tuples(
+        st.sampled_from(["s1", "s2"]),
+        st.integers(1, 12),  # token count (words)
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(docs=_pack_docs)
+@_SETTINGS
+def test_sequence_pack_matches_naive_binning(spark, docs, tmp_path_factory):
+    """Cumulative-sum 2000-token binning per source vs a Python running
+    sum: bin = (cum - tok) // budget in doc-id order, per-bin counts,
+    token totals, and doc-id ranges."""
+    import __spark_entry__ as entrymod
+
+    budget = 2000
+    # token counts large enough that bins roll over: scale words by ~300
+    rows = [
+        (i, " ".join(["w"] * (ntok * 300)), "en", src, 0)
+        for i, (src, ntok) in enumerate(docs)
+    ]
+    tmp = str(tmp_path_factory.mktemp("pack"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    got = {
+        (r.source, r.bin): (r.n_docs, r.tokens_packed, r.first_doc, r.last_doc)
+        for r in entrymod._REGISTRY["sequence_pack"][0](spark, tmp).collect()
+    }
+
+    want: dict = {}
+    cum: dict = {}
+    for i, (src, ntok) in enumerate(docs):
+        tok = ntok * 300
+        start = cum.get(src, 0)
+        cum[src] = start + tok
+        b = start // budget
+        n, t, lo, hi = want.get((src, b), (0, 0, i, i))
+        want[(src, b)] = (n + 1, t + tok, min(lo, i), max(hi, i))
+    assert got == want, (docs, got, want)
