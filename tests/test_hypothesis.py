@@ -3713,3 +3713,44 @@ def test_sequence_pack_matches_naive_binning(spark, docs, tmp_path_factory):
         n, t, lo, hi = want.get((src, b), (0, 0, i, i))
         want[(src, b)] = (n + 1, t + tok, min(lo, i), max(hi, i))
     assert got == want, (docs, got, want)
+
+
+# --- HLL register pyramid: merged dailies == direct weekly ------------------
+
+_pyr_rows = st.lists(
+    st.tuples(st.integers(0, 13), st.integers(0, 500)),  # (day, key)
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(raw=_pyr_rows)
+@_SETTINGS
+def test_hll_pyramid_merge_equals_direct(spark, raw):
+    """The rollup pyramid's central claim: max-merging per-day register
+    frames up to the week yields BIT-IDENTICAL registers — and hence
+    estimates — to sketching the week's rows directly.  Checked for
+    arbitrary day/key multisets including duplicate keys across days."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        sketches as SK,
+    )
+
+    df = spark.createDataFrame(
+        [(d, k) for d, k in raw], "day int, k long"
+    ).withColumn("week", F.expr("day div 7"))
+    # per-(week, day) registers, then max-merge up to the week
+    daily = SK.hll_registers(df, "k", group_cols=("week", "day"))
+    merged = daily.groupBy("week", "bucket").agg(
+        F.max("v_max").alias("v_max")
+    )
+    got = {
+        r.week: (r.buckets_used, r.hll_estimate)
+        for r in SK.hll_estimate_from_registers(
+            merged, group_cols=("week",)
+        ).collect()
+    }
+    want = {
+        r.week: (r.buckets_used, r.hll_estimate)
+        for r in SK.hll_estimate(df, "k", group_cols=("week",)).collect()
+    }
+    assert got == want, (raw, got, want)
