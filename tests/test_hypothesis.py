@@ -3754,3 +3754,65 @@ def test_hll_pyramid_merge_equals_direct(spark, raw):
         for r in SK.hll_estimate(df, "k", group_cols=("week",)).collect()
     }
     assert got == want, (raw, got, want)
+
+
+# --- snapshot_diff vs a naive two-point classification ----------------------
+
+_snap_rows = st.lists(
+    st.tuples(
+        st.integers(0, 4),     # user
+        st.integers(1, 30),    # day of Jan 2024 (cutoff = 15)
+        st.integers(0, 2),     # type idx
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(raw=_snap_rows)
+@_SETTINGS
+def test_snapshot_diff_matches_naive(spark, raw, tmp_path_factory):
+    """added/changed/unchanged classification of the latest-event-per-
+    user table between the Jan-15 snapshot and end of month, vs a
+    Python replay (unique event ids make every max_by deterministic)."""
+    import __spark_entry__ as entrymod
+
+    tmp = str(tmp_path_factory.mktemp("snap"))
+    rows = [
+        (i, f"2024-01-{d:02d} 12:00:00", u, f"T{t}", 1.0, "{}")
+        for i, (u, d, t) in enumerate(raw)
+    ]
+    (
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts_s string, user_id long, event_type string,"
+            " value double, props string",
+        )
+        .select(
+            "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id",
+            "event_type", "value", "props",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/events.parquet")
+    )
+    got = {
+        r.user_id: (r.status, r.old_event_id, r.old_type,
+                    r.new_event_id, r.new_type)
+        for r in entrymod._REGISTRY["snapshot_diff"][0](spark, tmp).collect()
+    }
+
+    per_user: dict = {}
+    for i, (u, d, t) in enumerate(raw):
+        per_user.setdefault(u, []).append((i, d, f"T{t}"))
+    want = {}
+    for u, evs in per_user.items():
+        old = [(i, ty) for i, d, ty in evs if d < 15]
+        new_i, _, new_ty = max(evs)
+        if not old:
+            want[u] = ("added", None, None, new_i, new_ty)
+        else:
+            old_i, old_ty = max(old)
+            status = "unchanged" if old_i == new_i else "changed"
+            want[u] = (status, old_i, old_ty, new_i, new_ty)
+    assert got == want, (raw, got, want)
