@@ -841,14 +841,14 @@ def q_time_weighted_avg(spark, sf):
              unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day
       FROM daily GROUP BY user_id),
     j AS (
-      SELECT g.user_id, g.day, d.obs_value
+      SELECT g.user_id, g.day, d.obs_value, d.day AS obs_day
       FROM grid g LEFT JOIN daily d
         ON g.user_id = d.user_id AND g.day = d.day)
     SELECT user_id, day,
            last_value(obs_value IGNORE NULLS)
              OVER (PARTITION BY user_id ORDER BY day
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
-           obs_value IS NULL AS is_filled
+           obs_day IS NULL AS is_filled
     FROM j
     """,
 )

@@ -3816,3 +3816,62 @@ def test_snapshot_diff_matches_naive(spark, raw, tmp_path_factory):
             status = "unchanged" if old_i == new_i else "changed"
             want[u] = (status, old_i, old_ty, new_i, new_ty)
     assert got == want, (raw, got, want)
+
+
+# --- gap_fill_locf vs a naive daily grid replay -----------------------------
+
+_gap_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),                         # key
+        st.integers(1, 20),                        # day of Jan
+        st.integers(0, 23),                        # hour (ties on day)
+        st.one_of(st.none(), st.integers(-9, 9)),  # value
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(raw=_gap_rows)
+@_SETTINGS
+def test_gap_fill_locf_matches_naive(spark, raw):
+    """Daily grid between each key's first and last observed day, with
+    per-day close by arrival order and LOCF across missing days —
+    including NULL closes carrying the PRIOR day's value forward (last
+    ignorenulls skips them) while still marking the day observed."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.timeseries import (
+        gap_fill_locf,
+    )
+
+    rows = [
+        (k, f"2024-01-{d:02d} {h:02d}:00:00",
+         None if v is None else float(v), i)
+        for i, (k, d, h, v) in enumerate(raw)
+    ]
+    df = (
+        spark.createDataFrame(rows, "k long, ts_s string, value double, off long")
+        .select("k", F.to_timestamp("ts_s").alias("ts"), "value", "off")
+    )
+    got = {
+        (r.k, r.day.day): (r.value, r.is_filled)
+        for r in gap_fill_locf(df, ["k"], "ts", "value", "off").collect()
+    }
+
+    per_key: dict = {}
+    for i, (k, d, h, v) in enumerate(raw):
+        per_key.setdefault(k, {}).setdefault(d, []).append(
+            (i, None if v is None else float(v))
+        )
+    want = {}
+    for k, days in per_key.items():
+        closes = {d: max(evs)[1] for d, evs in days.items()}
+        carry = None
+        for d in range(min(days), max(days) + 1):
+            if d in closes:
+                if closes[d] is not None:
+                    carry = closes[d]
+                want[(k, d)] = (carry if closes[d] is None else closes[d],
+                                False)
+            else:
+                want[(k, d)] = (carry, True)
+    assert got == want, (raw, got, want)

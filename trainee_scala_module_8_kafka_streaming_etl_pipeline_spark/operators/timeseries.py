@@ -140,7 +140,13 @@ def gap_fill_from_daily(daily: DataFrame, key_cols: Sequence[str]) -> DataFrame:
             ).alias("day"),
         )
     )
-    filled = grid.join(daily, [*key_cols, "day"], "left")
+    # explicit observation marker: a day whose close is NULL (every raw
+    # value that day was NULL) is still an OBSERVED day — deriving
+    # is_filled from obs_value IS NULL conflated the two (found by the
+    # gap-fill hypothesis property; the mirrored oracle had the same bug)
+    filled = grid.join(
+        daily.withColumn("_observed", F.lit(True)), [*key_cols, "day"], "left"
+    )
     locf = Window.partitionBy(*key_cols).orderBy("day").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -148,7 +154,7 @@ def gap_fill_from_daily(daily: DataFrame, key_cols: Sequence[str]) -> DataFrame:
         *key_cols,
         "day",
         F.last("obs_value", ignorenulls=True).over(locf).alias("value"),
-        F.col("obs_value").isNull().alias("is_filled"),
+        F.col("_observed").isNull().alias("is_filled"),
     )
 
 
