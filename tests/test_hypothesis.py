@@ -3875,3 +3875,76 @@ def test_gap_fill_locf_matches_naive(spark, raw):
             else:
                 want[(k, d)] = (carry, True)
     assert got == want, (raw, got, want)
+
+
+# --- decile_lift vs a naive ntile replay ------------------------------------
+
+_lift_rows = st.lists(
+    st.tuples(
+        st.integers(0, 24),                         # user
+        st.sampled_from(["click", "purchase", "view"]),
+        st.one_of(st.none(), st.integers(0, 40)),   # quarter-value
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(raw=_lift_rows)
+@_SETTINGS
+def test_decile_lift_matches_naive_ntile(spark, raw, tmp_path_factory):
+    """Decile lift vs a Python replay of SQL ntile(10) with the
+    (score desc, user asc) tiebreak: bucket sizes, converted counts,
+    and 6dp lifts (NULL when the base rate is zero); users with no
+    non-NULL click value are excluded."""
+    import __spark_entry__ as entrymod
+
+    tmp = str(tmp_path_factory.mktemp("lift"))
+    rows = [
+        (i, "2024-01-05 10:00:00", u, t, None if v is None else v * 0.25, "{}")
+        for i, (u, t, v) in enumerate(raw)
+    ]
+    (
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts_s string, user_id long, event_type string,"
+            " value double, props string",
+        )
+        .select("event_id", F.to_timestamp("ts_s").alias("ts"), "user_id",
+                "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    )
+    got = {
+        r.decile: (r.n_users, r.n_converted, r.lift)
+        for r in entrymod._REGISTRY["decile_lift"][0](spark, tmp).collect()
+    }
+
+    users: dict = {}
+    for u, t, v in raw:
+        s = users.setdefault(u, {"clicks": [], "conv": 0})
+        if t == "click" and v is not None:
+            s["clicks"].append(v * 0.25)
+        if t == "purchase":
+            s["conv"] = 1
+    scored = sorted(
+        (
+            (-(sum(s["clicks"]) / len(s["clicks"])), u, s["conv"])
+            for u, s in users.items()
+            if s["clicks"]
+        ),
+    )
+    n = len(scored)
+    want = {}
+    if n:
+        base = sum(c for _, _, c in scored) / n
+        sizes = [n // 10 + (1 if i < n % 10 else 0) for i in range(10)]
+        pos = 0
+        for d, sz in enumerate(sizes, 1):
+            if sz == 0:
+                continue
+            bucket = scored[pos:pos + sz]
+            pos += sz
+            conv = sum(c for _, _, c in bucket)
+            lift = None if base == 0 else _r6(conv / sz / base)
+            want[d] = (sz, conv, lift)
+    assert got == want, (raw, got, want)
