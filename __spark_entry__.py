@@ -1285,6 +1285,93 @@ def q_avro_roundtrip(spark, sf):
     )
 
 
+@_q(
+    "avro_schema_evolution",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           cast(sum(length(event_type)) AS BIGINT) AS sum_len,
+           cast(sum(cast(round(value * 1e6) AS BIGINT)) AS BIGINT)
+             AS sum_value_micro,
+           'registry-v2' AS src_schema
+    FROM events GROUP BY event_type
+    """,
+)
+def q_avro_schema_evolution(spark, sf):
+    """Schema-Registry evolution EXECUTED: records are Avro-binary-
+    encoded under writer schema v1 and decoded under a DIFFERENT reader
+    schema v2, exercising the Avro spec's Schema Resolution rules the
+    registry exists to provide (/root/reference/README.md:389,
+    docker-compose.yml:69-80 — a consumer reading records written under
+    an older schema).  v1->v2 covers every rule class at once: fields
+    matched by NAME despite reordering, a writer-only field (user_id)
+    decoded and discarded, a reader-only field (src_schema) filled from
+    its default, an int->long promotion (etype_len), and a nullable
+    union carried through resolution (value).  The oracle runs on the
+    ORIGINAL rows, so any resolution bug — wrong field pairing, skipped
+    promotion, default misapplied — hash-mismatches here.  The decode is
+    the same Arrow-batched value-column-only mapInPandas as the v1 path:
+    resolution is per-record CPU, no extra shuffle at any scale."""
+    import json as _json
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.sources.avro_codec import (
+        from_avro_py,
+        to_avro_py,
+    )
+
+    v1 = _json.dumps(
+        {
+            "type": "record",
+            "name": "value",
+            "fields": [
+                {"name": "user_id", "type": "long"},
+                {"name": "event_type", "type": "string"},
+                {"name": "etype_len", "type": "int"},
+                {"name": "value", "type": ["null", "double"]},
+            ],
+        }
+    )
+    v2 = _json.dumps(
+        {
+            "type": "record",
+            "name": "value",
+            "fields": [
+                # reordered vs v1; user_id dropped; src_schema added
+                {"name": "etype_len", "type": "long"},  # int -> long
+                {"name": "event_type", "type": "string"},
+                {
+                    "name": "src_schema",
+                    "type": "string",
+                    "default": "registry-v2",
+                },
+                {"name": "value", "type": ["null", "double"]},
+            ],
+        }
+    )
+    ev = _events(spark, sf).select(
+        "user_id",
+        "event_type",
+        F.length("event_type").cast("int").alias("etype_len"),
+        "value",
+    )
+    enc = to_avro_py(ev, ["user_id", "event_type", "etype_len", "value"], v1)
+    dec = from_avro_py(
+        enc,
+        "value",
+        v1,
+        "etype_len long, event_type string, src_schema string, value double",
+        reader_schema_json=v2,
+    )
+    return dec.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("etype_len").cast("bigint").alias("sum_len"),
+        F.sum(F.round(F.col("value") * 1e6).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_value_micro"),
+        F.max("src_schema").alias("src_schema"),
+    )
+
+
 # event-shape analytics: pivot, histogram, outliers -------------------------
 
 _ETYPES = ["click", "error", "purchase", "signup", "view"]

@@ -142,6 +142,8 @@ HEADLINE = [
     "doc_chunk_split",
     "streaming_cohort_matrix",
     "streaming_ltv_curve",
+    # round 6 additions
+    "avro_schema_evolution",
 ]
 
 

@@ -126,3 +126,149 @@ def test_spark_roundtrip_through_avro_binary(spark):
     assert sorted(
         (r.user_id, r.event_type, r.value) for r in dec.collect()
     ) == sorted(rows)
+
+
+# --------------------------------------------------------------------------
+# schema resolution (reader != writer) — byte-level spec fixtures.
+# Every record below is encoded BY HAND-CHECKED bytes under the WRITER
+# schema, then decoded under a DIFFERENT reader schema; the resolution
+# rules exercised are the Avro 1.11 spec's "Schema Resolution" section.
+# --------------------------------------------------------------------------
+
+V1 = json.dumps(
+    {
+        "type": "record",
+        "name": "customer",
+        "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "name", "type": "string"},
+            {"name": "age", "type": "int"},
+        ],
+    }
+)
+# v2: age removed, id promoted int->long, fields reordered, new
+# "country" with a default, new nullable "score" defaulting to null
+V2 = json.dumps(
+    {
+        "type": "record",
+        "name": "customer",
+        "fields": [
+            {"name": "name", "type": "string"},
+            {"name": "id", "type": "long"},
+            {"name": "country", "type": "string", "default": "unknown"},
+            {"name": "score", "type": ["null", "double"], "default": None},
+        ],
+    }
+)
+
+
+def test_resolution_golden_bytes_v1_read_as_v2():
+    # id=3 -> 0x06; "ab" -> 0x04 6162; age=25 -> zigzag 50 = 0x32
+    buf = bytes.fromhex("06 04 6162 32")
+    assert encode_record({"id": 3, "name": "ab", "age": 25}, V1) == buf
+    assert decode_record(buf, V1, V2) == {
+        "name": "ab",        # matched by name despite reorder
+        "id": 3,             # int -> long promotion
+        "country": "unknown",  # reader-only: default
+        "score": None,       # reader-only union: default on first branch
+    }                        # age: writer-only, decoded and discarded
+
+
+def test_resolution_promotions():
+    w = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "i", "type": "int"},
+        {"name": "f", "type": "float"},
+        {"name": "s", "type": "string"},
+        {"name": "b", "type": "bytes"},
+    ]})
+    r = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "i", "type": "double"},
+        {"name": "f", "type": "double"},
+        {"name": "s", "type": "bytes"},
+        {"name": "b", "type": "string"},
+    ]})
+    buf = encode_record({"i": 7, "f": 1.5, "s": "hi", "b": b"ok"}, w)
+    out = decode_record(buf, w, r)
+    assert out == {"i": 7.0, "f": 1.5, "s": b"hi", "b": "ok"}
+    assert isinstance(out["i"], float)
+
+
+def test_resolution_writer_union_reader_plain_and_vice_versa():
+    wu = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "v", "type": ["null", "int"]}]})
+    rp = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "v", "type": "long"}]})
+    # writer union branch 1 (int 5): 0x02 0x0a — resolved into plain long
+    assert decode_record(bytes([0x02, 0x0A]), wu, rp) == {"v": 5}
+    # plain writer into reader union: int 5 -> ["string","long"] picks long
+    wp = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "v", "type": "int"}]})
+    ru = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "v", "type": ["string", "long"]}]})
+    assert decode_record(bytes([0x0A]), wp, ru) == {"v": 5}
+
+
+def test_resolution_nested_array_and_missing_default_errors():
+    w = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": {"type": "array", "items": "int"}}]})
+    r = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": {"type": "array", "items": "double"}}]})
+    buf = encode_record({"a": [1, 2]}, w)
+    assert decode_record(buf, w, r) == {"a": [1.0, 2.0]}
+
+    r_bad = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": {"type": "array", "items": "double"}},
+        {"name": "zz", "type": "int"}]})  # no default
+    with pytest.raises(ValueError, match="no default"):
+        decode_record(buf, w, r_bad)
+    # illegal demotion double -> int is rejected, not silently truncated
+    w2 = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "x", "type": "double"}]})
+    r2 = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "x", "type": "int"}]})
+    with pytest.raises(ValueError, match="promote"):
+        decode_record(encode_record({"x": 1.0}, w2), w2, r2)
+
+
+def test_union_branch_dispatch_by_type():
+    # ["null","long","double"]: a float must take the double branch
+    # (index 2), not truncate through int() on the long branch
+    s = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "v", "type": ["null", "long", "double"]}]})
+    buf = encode_record({"v": 2.5}, s)
+    assert buf[0] == 0x04  # zigzag(2): double branch
+    assert decode_record(buf, s) == {"v": 2.5}
+    assert decode_record(encode_record({"v": 7}, s), s) == {"v": 7}
+    assert decode_record(encode_record({"v": None}, s), s) == {"v": None}
+    # int rides a float-only union via the lenient pass
+    s2 = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "v", "type": ["null", "double"]}]})
+    assert decode_record(encode_record({"v": 3}, s2), s2) == {"v": 3.0}
+    # a string into a numeric-only union raises instead of corrupting
+    with pytest.raises(ValueError, match="no union branch"):
+        encode_record({"v": "oops"}, s)
+
+
+def test_from_avro_py_nested_ddl_and_reader_schema(spark):
+    """DDL with commas inside types parses correctly, and the
+    DataFrame-level decode honours reader-schema resolution."""
+    rows = [(i, encode_record({"id": i, "name": f"n{i}", "age": 20 + i}, V1))
+            for i in range(4)]
+    df = spark.createDataFrame(rows, "k long, value binary")
+    out = from_avro_py(
+        df.select("value"), "value", V1,
+        "name string, id long, country string, score double",
+        reader_schema_json=V2,
+    )
+    got = {r.id: (r.name, r.country, r.score) for r in out.collect()}
+    assert got == {i: (f"n{i}", "unknown", None) for i in range(4)}
+
+    # nested-comma DDL: map<string,int> used to be mis-split on ","
+    s = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "m", "type": {"type": "map", "values": "int"}},
+        {"name": "tag", "type": "string"}]})
+    df2 = spark.createDataFrame(
+        [(encode_record({"m": {"a": 1}, "tag": "t"}, s),)], "value binary")
+    out2 = from_avro_py(df2, "value", s, "m map<string,int>, tag string")
+    [r] = out2.collect()
+    assert r.tag == "t" and dict(r.m) == {"a": 1}

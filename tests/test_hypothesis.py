@@ -955,6 +955,7 @@ def test_bm25_matches_naive(spark, doc_words):
     Lucene idf / tf-saturation formula on tiny adversarial corpora
     (single-word docs, query terms absent, all-identical docs)."""
     import math
+    from decimal import ROUND_HALF_UP, Decimal
 
     from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators.retrieval import (
         bm25_topk,
@@ -973,6 +974,13 @@ def test_bm25_matches_naive(spark, doc_words):
     dfreq = {
         t: sum(1 for ws in doc_words if t in ws) for t in terms
     }
+    # The operator rounds per-term scores with Spark F.round — HALF_UP on
+    # the double's shortest decimal repr (BigDecimal.valueOf semantics).
+    # The replay must use the SAME rounding mode (_r6), not Python's
+    # banker's round(): on an exact 5e-7 boundary they diverge one
+    # micro-unit per term, which is precisely the failure hypothesis
+    # found in round 5.  With matched rounding we compare integer
+    # micro-units exactly — no float tolerance at all.
     want = {}
     for i, ws in enumerate(doc_words):
         smic = 0
@@ -980,16 +988,25 @@ def test_bm25_matches_naive(spark, doc_words):
             tf = ws.count(t)
             if tf == 0:
                 continue
-            idf = round(
-                math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5)), 6
+            idf = _r6(
+                math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
             )
             s = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(ws) / avgdl))
-            smic += int(round(round(s, 6) * 1e6))
+            smic += int(
+                Decimal(repr(_r6(s) * 1e6)).quantize(
+                    Decimal("1"), rounding=ROUND_HALF_UP
+                )
+            )
         if smic or any(t in ws for t in terms):
-            want[i] = smic / 1e6
+            want[i] = smic
     assert set(got) == set(want)
-    for i, score in want.items():
-        assert abs(got[i][0] - score) <= 2e-6, (i, doc_words)
+    for i, smic in want.items():
+        got_mic = int(
+            Decimal(repr(got[i][0] * 1e6)).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+        assert got_mic == smic, (i, doc_words)
     # ranking: descending score, ties by doc_id
     order = sorted(want, key=lambda i: (-want[i], i))
     assert [i for i, _ in sorted(got.items(), key=lambda kv: kv[1][1])] == order
@@ -1850,7 +1867,7 @@ def test_rfm_quintiles_match_sql_ntile_reference(spark, orders):
         cnt, cents = segs.get(key, (0, 0))
         segs[key] = (cnt + 1, cents + int(round(per_cust[c][2] * 100)))
     want = {
-        k: (cnt, round(cents / 100.0 / cnt, 6)) for k, (cnt, cents) in segs.items()
+        k: (cnt, _r6(cents / 100.0 / cnt)) for k, (cnt, cents) in segs.items()
     }
     assert got == want
 
@@ -1947,7 +1964,7 @@ def test_wow_growth_matches_naive(spark, raw):
         for w, micro, n in seq:
             growth = (
                 None if prev is None or prev == 0  # zero-sum prior week
-                else round((micro - prev) / abs(prev), 6)
+                else _r6((micro - prev) / abs(prev))
             )
             want[(t, w)] = (n, round(micro / 1e6, 6), growth)
             prev = micro
@@ -2238,7 +2255,7 @@ def test_value_histogram_matches_naive(spark, vals):
     want = {}
     for b in sorted(counts):
         cum += counts[b]
-        want[b] = (b * w, counts[b], cum, round(cum / total, 6))
+        want[b] = (b * w, counts[b], cum, _r6(cum / total))
     assert set(got) == set(want)
     for b, (lo, n, c, share) in want.items():
         glo, gn, gc, gshare = got[b]

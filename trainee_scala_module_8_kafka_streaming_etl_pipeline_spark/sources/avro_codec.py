@@ -74,18 +74,51 @@ def _norm(schema: Any) -> Any:
     return schema
 
 
+def _union_branch_matches(value: Any, branch: Any, lenient: bool) -> bool:
+    """Does ``value``'s Python type select this union branch?  Strict
+    pass is exact-type; the lenient pass additionally lets ints ride
+    float/double branches (Avro's own Python binding allows this)."""
+    bn = _norm(branch)
+    if bn == "null":
+        return value is None
+    if value is None:
+        return False
+    if bn == "boolean":
+        return isinstance(value, bool)
+    if bn in ("int", "long"):
+        return isinstance(value, int) and not isinstance(value, bool)
+    if bn in ("float", "double"):
+        if isinstance(value, float):
+            return True
+        return lenient and isinstance(value, int) and not isinstance(value, bool)
+    if bn == "string":
+        return isinstance(value, str)
+    if bn == "bytes":
+        return isinstance(value, (bytes, bytearray))
+    if isinstance(bn, dict):
+        t = bn.get("type")
+        if t == "record":
+            return isinstance(value, dict)
+        if t == "map":
+            return isinstance(value, dict)
+        if t == "array":
+            return isinstance(value, (list, tuple))
+    return False
+
+
 def _encode(value: Any, schema: Any, out: bytearray) -> None:
     schema = _norm(schema)
     if isinstance(schema, list):  # union: varint branch index + value
-        for i, branch in enumerate(schema):
-            bn = _norm(branch)
-            if value is None and bn == "null":
-                out += _zigzag_encode(i)
-                return
-            if value is not None and bn != "null":
-                out += _zigzag_encode(i)
-                _encode(value, branch, out)
-                return
+        # dispatch by the VALUE'S TYPE, not first-non-null: a
+        # ["null","long","double"] union must route 2.5 to the double
+        # branch, not truncate it through int() on the long branch
+        for lenient in (False, True):
+            for i, branch in enumerate(schema):
+                if _union_branch_matches(value, branch, lenient):
+                    out += _zigzag_encode(i)
+                    if _norm(branch) != "null":
+                        _encode(value, branch, out)
+                    return
         raise ValueError(f"no union branch for {value!r} in {schema!r}")
     if schema == "null":
         return
@@ -184,6 +217,162 @@ def _decode(buf: bytes, pos: int, schema: Any) -> tuple[Any, int]:
 
 
 # --------------------------------------------------------------------------
+# schema resolution (reader != writer) — Avro 1.11 spec, "Schema
+# Resolution": this is the Schema-Registry contract the reference
+# depends on (/root/reference/README.md:389, registry service in
+# docker-compose.yml:69-80) — a consumer reading records written under
+# an OLDER schema.  Rules implemented:
+#   - record fields matched BY NAME (writer order on the wire);
+#     writer-only fields are decoded and discarded; reader-only fields
+#     take their schema default (error if none)
+#   - promotions: int -> long/float/double, long -> float/double,
+#     float -> double, string <-> bytes
+#   - unions on either side: the writer's branch index picks the
+#     written schema, which is then resolved against the reader's
+#     first structurally-matching branch
+#   - arrays/maps resolve their item/value schemas recursively
+# --------------------------------------------------------------------------
+
+_PROMOTIONS = {
+    "int": {"int", "long", "float", "double"},
+    "long": {"long", "float", "double"},
+    "float": {"float", "double"},
+    "double": {"double"},
+    "string": {"string", "bytes"},
+    "bytes": {"bytes", "string"},
+    "boolean": {"boolean"},
+    "null": {"null"},
+}
+
+
+def _resolvable(writer: Any, reader: Any) -> bool:
+    """Can data written as ``writer`` be read as ``reader``?  (Shallow
+    structural check used to pick a reader-union branch.)"""
+    w, r = _norm(writer), _norm(reader)
+    if isinstance(r, list):
+        return any(_resolvable(w, rb) for rb in r)
+    if isinstance(w, list):
+        # a writer union resolves if every branch could (spec resolves
+        # per-datum, but for branch-picking any-match is enough)
+        return any(_resolvable(wb, r) for wb in w)
+    if isinstance(w, str) and isinstance(r, str):
+        return r in _PROMOTIONS.get(w, set())
+    if isinstance(w, dict) and isinstance(r, dict):
+        return w.get("type") == r.get("type")
+    return False
+
+
+def _promote(value: Any, writer: str, reader: str) -> Any:
+    if writer == reader or value is None:
+        return value
+    if reader in ("float", "double"):
+        return float(value)
+    if reader == "long":
+        return int(value)
+    if writer == "string" and reader == "bytes":
+        return value.encode("utf-8")
+    if writer == "bytes" and reader == "string":
+        return bytes(value).decode("utf-8")
+    return value
+
+
+def _default_value(schema: Any, default: Any) -> Any:
+    """Coerce an Avro JSON default to the Python value space (spec: a
+    union's default is typed by its FIRST branch; bytes defaults are
+    latin-1-escaped JSON strings)."""
+    s = _norm(schema)
+    if isinstance(s, list):
+        return _default_value(s[0], default)
+    if s == "bytes" and isinstance(default, str):
+        return default.encode("latin-1")
+    if s in ("float", "double") and default is not None:
+        return float(default)
+    return default
+
+
+def _decode_resolved(
+    buf: bytes, pos: int, writer: Any, reader: Any
+) -> tuple[Any, int]:
+    writer, reader = _norm(writer), _norm(reader)
+    if isinstance(writer, list):
+        idx, pos = _zigzag_decode(buf, pos)
+        return _decode_resolved(buf, pos, writer[idx], reader)
+    if isinstance(reader, list):
+        for rb in reader:
+            if _resolvable(writer, rb):
+                return _decode_resolved(buf, pos, writer, rb)
+        raise ValueError(
+            f"writer schema {writer!r} matches no reader union branch {reader!r}"
+        )
+    if isinstance(writer, str) and isinstance(reader, str):
+        if reader not in _PROMOTIONS.get(writer, set()):
+            raise ValueError(f"cannot promote {writer!r} to {reader!r}")
+        value, pos = _decode(buf, pos, writer)
+        return _promote(value, writer, reader), pos
+    if isinstance(writer, dict) and isinstance(reader, dict):
+        wt, rt = writer.get("type"), reader.get("type")
+        if wt != rt:
+            raise ValueError(f"cannot resolve {wt!r} as {rt!r}")
+        if wt == "record":
+            wfields = {f["name"]: f for f in writer["fields"]}
+            rec = {}
+            for wf in writer["fields"]:  # wire order = writer order
+                name = wf["name"]
+                rf = next(
+                    (f for f in reader["fields"] if f["name"] == name), None
+                )
+                if rf is None:  # writer-only: decode and discard
+                    _, pos = _decode(buf, pos, wf["type"])
+                else:
+                    rec[name], pos = _decode_resolved(
+                        buf, pos, wf["type"], rf["type"]
+                    )
+            for rf in reader["fields"]:  # reader-only: defaults
+                if rf["name"] in wfields:
+                    continue
+                if "default" not in rf:
+                    raise ValueError(
+                        f"reader field {rf['name']!r} absent from writer "
+                        "schema and has no default"
+                    )
+                rec[rf["name"]] = _default_value(rf["type"], rf["default"])
+            return rec, pos
+        if wt == "array":
+            items = []
+            while True:
+                n, pos = _zigzag_decode(buf, pos)
+                if n == 0:
+                    break
+                if n < 0:
+                    _, pos = _zigzag_decode(buf, pos)
+                    n = -n
+                for _ in range(n):
+                    it, pos = _decode_resolved(
+                        buf, pos, writer["items"], reader["items"]
+                    )
+                    items.append(it)
+            return items, pos
+        if wt == "map":
+            kv = {}
+            while True:
+                n, pos = _zigzag_decode(buf, pos)
+                if n == 0:
+                    break
+                if n < 0:
+                    _, pos = _zigzag_decode(buf, pos)
+                    n = -n
+                for _ in range(n):
+                    k, pos = _decode(buf, pos, "string")
+                    kv[k], pos = _decode_resolved(
+                        buf, pos, writer["values"], reader["values"]
+                    )
+            return kv, pos
+    raise TypeError(
+        f"unsupported resolution: writer={writer!r} reader={reader!r}"
+    )
+
+
+# --------------------------------------------------------------------------
 # row-level API (the pure-Python reference codec)
 # --------------------------------------------------------------------------
 
@@ -194,8 +383,19 @@ def encode_record(rec: dict, schema_json: str) -> bytes:
     return bytes(out)
 
 
-def decode_record(buf: bytes, schema_json: str) -> dict:
-    rec, pos = _decode(bytes(buf), 0, json.loads(schema_json))
+def decode_record(
+    buf: bytes, schema_json: str, reader_schema_json: str | None = None
+) -> dict:
+    """Decode one record.  With ``reader_schema_json`` the bytes are
+    decoded under the WRITER schema and resolved into the READER's
+    field set per the Avro spec's Schema Resolution rules."""
+    writer = json.loads(schema_json)
+    if reader_schema_json is None:
+        rec, pos = _decode(bytes(buf), 0, writer)
+    else:
+        rec, pos = _decode_resolved(
+            bytes(buf), 0, writer, json.loads(reader_schema_json)
+        )
     if pos != len(buf):
         raise ValueError(f"trailing {len(buf) - pos} bytes after record")
     return rec
@@ -239,22 +439,28 @@ def from_avro_py(
     value_col: str,
     schema_json: str,
     field_types: str,
+    reader_schema_json: str | None = None,
 ) -> DataFrame:
     """Decode an Avro binary value column back into typed columns.
     ``field_types`` is the Spark DDL for the decoded fields (the
-    StructType the Schema-Registry schema maps to)."""
-    names = [f.split()[0] for f in field_types.split(",")]
+    StructType the Schema-Registry schema maps to).  Pass
+    ``reader_schema_json`` to read bytes written under an older
+    (writer) schema, resolved per the Avro spec — ``field_types`` then
+    describes the READER's field set."""
+    from pyspark.sql.types import StructType
+
+    # parse the DDL properly: splitting on "," mangles nested types
+    # like map<string,int> or decimal(10,2)
+    names = [f.name for f in StructType.fromDDL(field_types).fields]
 
     def _batches(iterator):
         import pandas as pd
 
         for pdf in iterator:
             recs = [
-                decode_record(b, schema_json) for b in pdf[value_col]
+                decode_record(b, schema_json, reader_schema_json)
+                for b in pdf[value_col]
             ]
-            cols = {
-                n.strip(): [r[n.strip()] for r in recs] for n in names
-            }
-            yield pd.DataFrame(cols)
+            yield pd.DataFrame({n: [r[n] for r in recs] for n in names})
 
     return df.mapInPandas(_batches, schema=field_types)
