@@ -79,25 +79,19 @@ def brute_force_topk(
     )
 
 
-def ivf_topk(
+def ivf_assign(
     emb: DataFrame,
-    n_queries: int = 10,
-    k: int = 5,
     centroid_stride: int = 50,
-    nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-style ANN: deterministic centroids (every ``centroid_stride``-th
-    vector), cluster assignment by max cosine, queries probe the
-    ``nprobe`` closest clusters.
-
-    At scale: centroids are broadcast (K ~ sqrt(N) rows); assignment is
-    one narrow pass; the probe join hits only nprobe/K of the corpus.
-    Results are approximate when the true neighbor lives in an
-    unprobed cluster — that's the accuracy/cost dial.
-    """
-    emb = emb.filter(F.col(vec_col).isNotNull())  # vectorless rows cannot participate
+    """The IVF index artifact: every vector assigned to its nearest
+    stride-centroid — (id, vector, centroid_id).  Split out of
+    ``ivf_topk`` so the assignment can be materialized ONCE per corpus
+    snapshot and shared by every consumer (ivf_topk, ivf_pq_topk, rank
+    fusion, recall evals) — at 100 TB the assignment IS the index
+    table you persist, not a per-query recomputation."""
+    emb = emb.filter(F.col(vec_col).isNotNull())
     cent = emb.filter(F.col(id_col) % centroid_stride == 0).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
     )
@@ -108,12 +102,41 @@ def ivf_topk(
     assigned_scored = emb.join(F.broadcast(cent)).select(
         id_col, vec_col, "centroid_id", cosine_col(vec_col, "c_vec").alias("ccos")
     )
-    assigned = assigned_scored.groupBy(id_col).agg(
+    return assigned_scored.groupBy(id_col).agg(
         F.first(vec_col).alias(vec_col),
         F.max_by(
             "centroid_id", F.struct(F.col("ccos"), (-F.col("centroid_id")).alias("nid"))
         ).alias("centroid_id"),
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    centroid_stride: int = 50,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-style ANN: deterministic centroids (every ``centroid_stride``-th
+    vector), cluster assignment by max cosine, queries probe the
+    ``nprobe`` closest clusters.
+
+    At scale: centroids are broadcast (K ~ sqrt(N) rows); assignment is
+    one narrow pass; the probe join hits only nprobe/K of the corpus.
+    Results are approximate when the true neighbor lives in an
+    unprobed cluster — that's the accuracy/cost dial.  Pass a
+    materialized ``assigned`` (from :func:`ivf_assign`) to skip the
+    assignment pass — the shared-index fast path.
+    """
+    emb = emb.filter(F.col(vec_col).isNotNull())  # vectorless rows cannot participate
+    cent = emb.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
+    )
+    if assigned is None:
+        assigned = ivf_assign(emb, centroid_stride, id_col, vec_col)
     # queries pick their nprobe nearest centroids
     q = emb.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
@@ -241,6 +264,22 @@ def _bucketize_pandas(
     )
 
 
+def lsh_bucketize(
+    emb: DataFrame,
+    n_tables: int = LSH_TABLES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The LSH index artifact: (id, vector, table_idx, bucket) — one
+    row per (vector, hash table).  Materialize once per corpus
+    snapshot and share across lsh_topk / pair histograms / recall
+    evals; at scale this is the persisted bucket-index table."""
+    return _bucketize_pandas(
+        emb.filter(F.col(vec_col).isNotNull()), lsh_planes(n_tables),
+        id_col, vec_col,
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     n_queries: int = 10,
@@ -248,6 +287,7 @@ def lsh_topk(
     n_tables: int = LSH_TABLES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH.
 
@@ -260,16 +300,16 @@ def lsh_topk(
     buckets.  Candidates found in several tables are deduped BEFORE the
     exact cosine (the expensive stage), then ranked per query.
     """
-    emb = emb.filter(F.col(vec_col).isNotNull())  # vectorless rows cannot participate
-    tables = lsh_planes(n_tables)
-    buckets = _bucketize_pandas(emb, tables, id_col, vec_col)
-    # cache + materialize: the corpus side and the query side both read
-    # this frame, and the L x P sign-bit dot products are the expensive
-    # narrow stage — don't evaluate them twice.  (In a persistent
-    # deployment the bucket assignment is written once as an index
-    # table and reused across query batches.)
-    buckets = buckets.cache()
-    buckets.count()
+    if buckets is None:
+        buckets = lsh_bucketize(emb, n_tables, id_col, vec_col)
+        # cache + materialize: the corpus side and the query side both
+        # read this frame, and the L x P sign-bit dot products are the
+        # expensive narrow stage — don't evaluate them twice.  (In a
+        # persistent deployment the bucket assignment is written once
+        # as an index table and reused across query batches — that's
+        # the materialized-``buckets`` argument path.)
+        buckets = buckets.cache()
+        buckets.count()
     q = buckets.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
@@ -299,6 +339,7 @@ def lsh_pair_cosine_histogram(
     bin_width: float = 0.05,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Cosine-similarity histogram over the LSH candidate pairs — the
     threshold-tuning dashboard for embedding dedup: before committing to
@@ -313,8 +354,8 @@ def lsh_pair_cosine_histogram(
     most 2/bin_width rows.  Costs what one dedup candidate pass costs —
     never O(N²)."""
     emb = emb.filter(F.col(vec_col).isNotNull())  # vectorless rows cannot participate
-    tables = lsh_planes(n_tables)
-    buckets = _bucketize_pandas(emb, tables, id_col, vec_col)
+    if buckets is None:
+        buckets = lsh_bucketize(emb, n_tables, id_col, vec_col)
     a = buckets.select(
         "table_idx", "bucket",
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
@@ -658,12 +699,59 @@ def _subdist_micro(a: str, b: str) -> F.Column:
     return F.expr(_SUBDIST_MICRO.format(a=a, b=b, dsub=PQ_DSUB))
 
 
+def _pq_codewords(emb: DataFrame, id_col: str, vec_col: str):
+    subs = F.explode(F.array(*[F.lit(s) for s in range(PQ_SUBS)])).alias("s")
+    return (
+        emb.filter(
+            (F.col(id_col) % PQ_CW_STRIDE == 0)
+            & (F.col(id_col) < PQ_CODES * PQ_CW_STRIDE)
+        )
+        .select(
+            (F.col(id_col) / PQ_CW_STRIDE).cast("int").alias("code"),
+            F.col(vec_col).alias("cw_vec"),
+        )
+        .select("code", "cw_vec", subs)
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The PQ index artifact: (id, subspace, code) — every vector
+    compressed to its nearest codeword per subspace by integer
+    micro-unit distance (low-code tie-break).  Materialize once per
+    corpus snapshot; pq_topk / ivf_pq_topk / recall evals consume the
+    code table instead of re-encoding the corpus."""
+    emb = emb.filter(F.col(vec_col).isNotNull())
+    cw = _pq_codewords(emb, id_col, vec_col)
+    subs = F.explode(F.array(*[F.lit(s) for s in range(PQ_SUBS)])).alias("s")
+    corpus = emb.select(F.col(id_col), F.col(vec_col).alias("v")).select(
+        id_col, "v", subs
+    )
+    return (
+        corpus.join(F.broadcast(cw), "s")
+        .select(
+            id_col,
+            "s",
+            F.struct(
+                _subdist_micro("v", "cw_vec").alias("dmic"), F.col("code")
+            ).alias("dc"),
+        )
+        .groupBy(id_col, "s")
+        .agg(F.min("dc").alias("dc"))
+        .select(id_col, "s", F.col("dc.code").alias("code"))
+    )
+
+
 def pq_topk(
     emb: DataFrame,
     n_queries: int = 10,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantized approximate top-k: each corpus vector is
     compressed to PQ_SUBS codebook indices (3 bits each here — 64 bits
@@ -689,34 +777,10 @@ def pq_topk(
     """
     emb = emb.filter(F.col(vec_col).isNotNull())  # vectorless rows cannot participate
     subs = F.explode(F.array(*[F.lit(s) for s in range(PQ_SUBS)])).alias("s")
-    cw = (
-        emb.filter(
-            (F.col(id_col) % PQ_CW_STRIDE == 0)
-            & (F.col(id_col) < PQ_CODES * PQ_CW_STRIDE)
-        )
-        .select(
-            (F.col(id_col) / PQ_CW_STRIDE).cast("int").alias("code"),
-            F.col(vec_col).alias("cw_vec"),
-        )
-        .select("code", "cw_vec", subs)
-    )
-    corpus = emb.select(F.col(id_col), F.col(vec_col).alias("v")).select(
-        id_col, "v", subs
-    )
-    # (vector, subspace) -> nearest codeword by integer micro-distance
-    codes = (
-        corpus.join(F.broadcast(cw), "s")
-        .select(
-            id_col,
-            "s",
-            F.struct(
-                _subdist_micro("v", "cw_vec").alias("dmic"), F.col("code")
-            ).alias("dc"),
-        )
-        .groupBy(id_col, "s")
-        .agg(F.min("dc").alias("dc"))
-        .select(id_col, "s", F.col("dc.code").alias("code"))
-    )
+    cw = _pq_codewords(emb, id_col, vec_col)
+    if codes is None:
+        # (vector, subspace) -> nearest codeword by integer micro-distance
+        codes = pq_encode(emb, id_col, vec_col)
     q = emb.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
@@ -750,6 +814,8 @@ def ivf_pq_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the production ANN shape that combines both halves built
     above — the IVF coarse quantizer restricts each query's search to
@@ -773,19 +839,9 @@ def ivf_pq_topk(
     cent = emb.filter(F.col(id_col) % centroid_stride == 0).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
     )
-    assigned = (
-        emb.join(F.broadcast(cent))
-        .select(
-            id_col, "centroid_id", cosine_col(vec_col, "c_vec").alias("ccos")
-        )
-        .groupBy(id_col)
-        .agg(
-            F.max_by(
-                "centroid_id",
-                F.struct(F.col("ccos"), (-F.col("centroid_id")).alias("nid")),
-            ).alias("centroid_id")
-        )
-    )
+    if assigned is None:
+        assigned = ivf_assign(emb, centroid_stride, id_col, vec_col)
+    assigned = assigned.select(id_col, "centroid_id")
     q = emb.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -809,33 +865,9 @@ def ivf_pq_topk(
 
     # --- fine quantizer (pq_topk's codes + asymmetric distance table) ---
     subs = F.explode(F.array(*[F.lit(s) for s in range(PQ_SUBS)])).alias("s")
-    cw = (
-        emb.filter(
-            (F.col(id_col) % PQ_CW_STRIDE == 0)
-            & (F.col(id_col) < PQ_CODES * PQ_CW_STRIDE)
-        )
-        .select(
-            (F.col(id_col) / PQ_CW_STRIDE).cast("int").alias("code"),
-            F.col(vec_col).alias("cw_vec"),
-        )
-        .select("code", "cw_vec", subs)
-    )
-    corpus = emb.select(F.col(id_col), F.col(vec_col).alias("v")).select(
-        id_col, "v", subs
-    )
-    codes = (
-        corpus.join(F.broadcast(cw), "s")
-        .select(
-            id_col,
-            "s",
-            F.struct(
-                _subdist_micro("v", "cw_vec").alias("dmic"), F.col("code")
-            ).alias("dc"),
-        )
-        .groupBy(id_col, "s")
-        .agg(F.min("dc").alias("dc"))
-        .select(id_col, "s", F.col("dc.code").alias("code"))
-    )
+    cw = _pq_codewords(emb, id_col, vec_col)
+    if codes is None:
+        codes = pq_encode(emb, id_col, vec_col)
     dtab = (
         emb.filter(F.col(id_col) < n_queries)
         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
