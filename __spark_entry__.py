@@ -11260,13 +11260,38 @@ def q_dow_seasonality(spark, sf):
 # Mirror the _embeddings NULL-vector filter into every oracle: each bare
 # `FROM embeddings` table reference becomes a NULL-filtered derived table,
 # so both engines agree that vectorless rows don't participate in vector
-# operators.  A plain-text rewrite is safe because every oracle references
-# the table bare (no alias directly after it — verified by grep) and the
-# derived table keeps the name `embeddings` for downstream references.
+# operators.  The rewrite only matches the BARE table reference (word
+# boundary, not followed by an alias or AS) and fails loudly at import
+# if an oracle ever uses an aliased/prefixed reference the rewrite
+# would silently mangle (e.g. `FROM embeddings e`, `FROM embeddings_x`).
+import re as _re
+
 _EMB_FILTERED = "(SELECT * FROM embeddings WHERE embedding IS NOT NULL) embeddings"
+# clause keywords that legitimately follow a bare table reference —
+# anything else after whitespace reads as an alias
+_EMB_KW = (
+    r"(?:WHERE|GROUP|ORDER|LIMIT|UNION|JOIN|ON|HAVING|EXCEPT|INTERSECT"
+    r"|USING|CROSS|LEFT|RIGHT|INNER|FULL|NATURAL|WINDOW|QUALIFY)\b"
+)
+_EMB_BARE = _re.compile(
+    rf"FROM embeddings\b(?!\s*(?:AS\s)?[A-Za-z_])|FROM embeddings\b(?=\s*{_EMB_KW})",
+    _re.IGNORECASE,
+)
+_EMB_RISKY = _re.compile(
+    rf"FROM embeddings(?:\w|\s+(?!{_EMB_KW})(?:AS\s+)?[A-Za-z_])",
+    _re.IGNORECASE,
+)
 for _name, (_fn, _sql) in list(_REGISTRY.items()):
-    if _sql is not None and "FROM embeddings" in _sql:
-        _REGISTRY[_name] = (_fn, _sql.replace("FROM embeddings", f"FROM {_EMB_FILTERED}"))
+    if _sql is None:
+        continue
+    if _EMB_RISKY.search(_sql):
+        raise AssertionError(
+            f"oracle {_name!r} references `embeddings` with an alias or "
+            "prefix — the NULL-filter rewrite would mangle it; splice the "
+            "filtered derived table in explicitly instead"
+        )
+    if _EMB_BARE.search(_sql):
+        _REGISTRY[_name] = (_fn, _EMB_BARE.sub(f"FROM {_EMB_FILTERED}", _sql))
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -70,11 +70,12 @@ def merge_bars_batch(
     value_col: str,
     offset_col: str,
     bucket: str,
+    retain: int | None = 2,
 ) -> None:
     part = _bar_state(batch_df, key_cols, ts_col, value_col, offset_col, bucket)
     prior = read_state(batch_df.sparkSession, state_dir)
     merged = part if prior is None else prior.unionByName(part)
-    write_version(_merge(merged, key_cols), state_dir)
+    write_version(_merge(merged, key_cols), state_dir, retain=retain)
 
 
 def run_bars_stream(

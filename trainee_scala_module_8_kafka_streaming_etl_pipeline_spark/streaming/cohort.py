@@ -51,7 +51,9 @@ def _batch_state(batch_df: DataFrame) -> DataFrame:
     return first.unionByName(act)
 
 
-def merge_cohort_batch(batch_df: DataFrame, state_dir: str) -> None:
+def merge_cohort_batch(
+    batch_df: DataFrame, state_dir: str, retain: int | None = 2
+) -> None:
     """state' = idempotent merge(state, batch): per-user min for the
     'first' rows, distinct union for the 'act' rows."""
     bs = _batch_state(batch_df)
@@ -69,7 +71,7 @@ def merge_cohort_batch(batch_df: DataFrame, state_dir: str) -> None:
         .distinct()
         .select("user_id", "wk", F.lit("act").alias("kind"))
     )
-    write_version(first.unionByName(act), state_dir)
+    write_version(first.unionByName(act), state_dir, retain=retain)
 
 
 def run_cohort_stream(stream_df: DataFrame, state_dir: str) -> None:

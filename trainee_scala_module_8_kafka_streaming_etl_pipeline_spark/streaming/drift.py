@@ -35,6 +35,7 @@ def merge_drift_batch(
     ts_col: str = "ts",
     n_bins: int = 20,
     bin_width: float = 25.0,
+    retain: int | None = 2,
 ) -> None:
     """One histogram merge: state' = sum-merge(state, bins(batch))."""
     binned = assign_drift_bins(
@@ -46,7 +47,7 @@ def merge_drift_batch(
     prior = read_state(batch_df.sparkSession, state_dir)
     merged = counts if prior is None else prior.unionByName(counts)
     folded = merged.groupBy("grp", "period", "bin").agg(F.sum("c").alias("c"))
-    write_version(folded, state_dir)
+    write_version(folded, state_dir, retain=retain)
 
 
 def run_drift_stream(

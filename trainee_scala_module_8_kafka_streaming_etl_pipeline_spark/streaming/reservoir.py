@@ -36,6 +36,7 @@ def merge_reservoir_batch(
     weight_col: str,
     k: int = 100,
     id_col: str = "doc_id",
+    retain: int | None = 2,
 ) -> None:
     """One reservoir merge: state' = min-k(state ∪ keyed(batch))."""
     keyed = (
@@ -52,6 +53,7 @@ def merge_reservoir_batch(
     write_version(
         merged.dropDuplicates([id_col]).orderBy("samp_key", id_col).limit(k),
         state_dir,
+        retain=retain,
     )
 
 

@@ -22,6 +22,7 @@ def topn_sink(
     order_col: str,
     n: int,
     tiebreak_cols: Sequence[str] = (),
+    retain: int | None = 2,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` function maintaining a global top-n leaderboard
     across micro-batches.
@@ -45,7 +46,9 @@ def topn_sink(
         local = batch_df.orderBy(*order).limit(n)
         prior = read_state(spark, state_dir)
         merged = local if prior is None else prior.unionByName(local)
-        write_version(merged.orderBy(*order).limit(n), state_dir)
+        write_version(
+            merged.orderBy(*order).limit(n), state_dir, retain=retain
+        )
 
     return _sink
 

@@ -32,6 +32,7 @@ def merge_hll_batch(
     key_col: str,
     group_cols: Sequence[str] = (),
     m: int = SK.HLL_M,
+    retain: int | None = 2,
 ) -> None:
     """One register merge: state' = max-merge(state, registers(batch))."""
     regs = SK.hll_registers(batch_df, key_col, group_cols, m)
@@ -40,7 +41,7 @@ def merge_hll_batch(
     folded = merged.groupBy(*group_cols, "bucket").agg(
         F.max("v_max").alias("v_max")
     )
-    write_version(folded, state_dir)
+    write_version(folded, state_dir, retain=retain)
 
 
 def run_hll_stream(
@@ -82,6 +83,7 @@ def merge_cms_batch(
     key_col: str,
     d: int = SK.CMS_D,
     w: int = SK.CMS_W,
+    retain: int | None = 2,
 ) -> None:
     """One count-min merge: state' = cellwise-sum(state, cells(batch)).
 
@@ -94,7 +96,7 @@ def merge_cms_batch(
     prior = read_state(batch_df.sparkSession, state_dir)
     merged = cells if prior is None else prior.unionByName(cells)
     folded = merged.groupBy("i", "col").agg(F.sum("cnt").alias("cnt"))
-    write_version(folded, state_dir)
+    write_version(folded, state_dir, retain=retain)
 
 
 def run_cms_stream(
@@ -138,6 +140,7 @@ def merge_hist_batch(
     value_col: str,
     group_cols: Sequence[str] = (),
     width: float = SK.HIST_BIN_WIDTH,
+    retain: int | None = 2,
 ) -> None:
     """One histogram merge: state' = sum-merge(state, bins(batch)).
     Sum is associative/commutative, so the maintained state is
@@ -148,7 +151,7 @@ def merge_hist_batch(
     prior = read_state(batch_df.sparkSession, state_dir)
     merged = bins if prior is None else prior.unionByName(bins)
     folded = merged.groupBy(*group_cols, "bin").agg(F.sum("c").alias("c"))
-    write_version(folded, state_dir)
+    write_version(folded, state_dir, retain=retain)
 
 
 def run_hist_stream(

@@ -60,6 +60,7 @@ def upsert_batch(
     offset_col: str,
     deleted_col: str | None = "__deleted",
     allow_schema_evolution: bool = False,
+    retain: int | None = 2,
 ) -> None:
     """One MERGE: fold ``batch_df`` into the state table at ``state_dir``.
 
@@ -111,7 +112,7 @@ def upsert_batch(
     if deleted_col:
         compacted = compacted.filter(~F.col(deleted_col)).drop(deleted_col)
 
-    write_version(compacted, state_dir)
+    write_version(compacted, state_dir, retain=retain)
 
 
 def write_version(
@@ -125,7 +126,11 @@ def write_version(
     are vacuumed (pass ``retain=None`` to keep everything, e.g. for a
     time-travel fixture).  Without retention every micro-batch leaves a
     full state copy behind, so the sink's disk footprint grows with
-    batch COUNT × state size rather than state size.
+    batch COUNT × state size rather than state size.  Every sink
+    factory (keyed_upsert_sink, topn_sink, the sketch/bars/ewma/drift/
+    reservoir/cohort merges) threads its own ``retain`` through to
+    here, so a deployment with external time-travel readers opts out at
+    the sink it configures rather than patching call sites.
     """
     prev = _state_version(state_dir)
     next_v = 0 if prev is None else prev + 1
@@ -175,6 +180,7 @@ def keyed_upsert_sink(
     deleted_col: str | None = "__deleted",
     transform: Callable[[DataFrame], DataFrame] | None = None,
     allow_schema_evolution: bool = False,
+    retain: int | None = 2,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` function maintaining a keyed-upsert state table —
     the writeStream side of reference S9/E2.  ``transform`` (optional)
@@ -191,6 +197,7 @@ def keyed_upsert_sink(
             offset_col,
             deleted_col,
             allow_schema_evolution=allow_schema_evolution,
+            retain=retain,
         )
 
     return _sink
