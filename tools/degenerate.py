@@ -77,14 +77,34 @@ GROUPS = {
     "embeddings": ["label"],
 }
 
-# timestamp columns: pinned to one instant in `constvals`
+# timestamp columns: pinned to one instant in `constvals` and `onets`
 TIMESTAMPS = {
     "orders": ["o_orderdate"],
     "lineitem": ["l_shipdate"],
     "events": ["ts"],
 }
 
-VARIANTS = ["empty", "single", "nullvals", "onegroup", "constvals"]
+# join/partition key columns: collapsed to ONE value in `onekey` (max
+# skew — every row lands in a single hash partition, self-joins go
+# quadratic, salting decisions face their worst case) and made ALL
+# DISTINCT in `allkeysdistinct` (every group size 1 — window frames,
+# n-1 denominators, and lead/lag all hit their degenerate edge)
+KEYS = {
+    "customer": ["c_custkey", "c_nationkey"],
+    "supplier": ["s_suppkey", "s_nationkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["user_id"],
+    "embeddings": ["label"],
+}
+
+VARIANTS = [
+    # value-shaped (round 5)
+    "empty", "single", "nullvals", "onegroup", "constvals",
+    # shape-adversarial (round 6)
+    "onekey", "allkeysdistinct", "onets", "wsdocs", "zerovec",
+]
 SAMPLE_ROWS = 40
 
 
@@ -145,6 +165,43 @@ def _make_variant(variant: str, tbl: pa.Table, table_name: str) -> pa.Table:
         for c in TIMESTAMPS.get(table_name, []):
             v = _first_valid(tbl.column(c))
             tbl = _replace(tbl, c, [v] * n)
+        return tbl
+    if variant == "onekey":  # max skew: one hash partition gets everything
+        for c in KEYS.get(table_name, []):
+            v = _first_valid(tbl.column(c))
+            tbl = _replace(tbl, c, [v] * n)
+        return tbl
+    if variant == "allkeysdistinct":  # every group size 1
+        for c in KEYS.get(table_name, []) + GROUPS.get(table_name, []):
+            i = tbl.schema.get_field_index(c)
+            t = tbl.schema.field(i).type
+            if pa.types.is_integer(t):
+                vals = list(range(n))
+            elif pa.types.is_string(t) or pa.types.is_large_string(t):
+                vals = [f"v{j}" for j in range(n)]
+            else:
+                continue
+            tbl = _replace(tbl, c, vals)
+        return tbl
+    if variant == "onets":  # all timestamps one instant, values real
+        for c in TIMESTAMPS.get(table_name, []):
+            v = _first_valid(tbl.column(c))
+            tbl = _replace(tbl, c, [v] * n)
+        return tbl
+    if variant == "wsdocs":  # whitespace-only / unicode-only corpora
+        if table_name == "documents":
+            vals = [
+                "  \t\n   " if j % 2 == 0 else "日本語のテキスト、トークン化境界なし"
+                for j in range(n)
+            ]
+            tbl = _replace(tbl, "text", vals)
+            tbl = _replace(tbl, "n_chars", [len(v) for v in vals])
+        return tbl
+    if variant == "zerovec":  # zero-norm embedding corpus
+        if table_name == "embeddings":
+            first = _first_valid(tbl.column("embedding"))
+            dim = len(first) if first else 64
+            tbl = _replace(tbl, "embedding", [[0.0] * dim] * n)
         return tbl
     raise ValueError(f"unknown variant {variant}")
 
