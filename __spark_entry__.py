@@ -5714,6 +5714,97 @@ def q_streaming_avro_topic(spark, sf):
     return spark.table("streaming_avro_topic")
 
 
+@_q(
+    "streaming_avro_evolution",
+    """
+    SELECT event_type,
+           CASE WHEN user_id % 2 = 0 THEN 'v1' ELSE 'v2' END AS src_ver,
+           count(*) AS n,
+           cast(sum(cast(round(value * 1e6) AS BIGINT)) AS BIGINT)
+             AS sum_value_micro
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_streaming_avro_evolution(spark, sf):
+    """Mid-stream schema upgrade END-TO-END: one topic carries records
+    produced under TWO schema versions, framed with the public
+    Schema-Registry wire envelope (magic byte 0 + 4-byte big-endian
+    schema id + Avro binary) — the mechanism that lets a consumer know
+    which writer schema each record used.  Even-user records are
+    encoded under v1, odd-user records under v2 (fields reordered +
+    a src_ver field v1 lacks); the streaming consumer decodes every
+    micro-batch PER RECORD (from_avro_confluent_py dispatches the
+    writer schema by embedded id) and resolves all records to the v2
+    reader shape, v1's missing src_ver filled from its default 'v1'.
+    The oracle recomputes src_ver from user_id parity on the ORIGINAL
+    rows, so a wrong dispatch, a mis-resolved field, or a default
+    applied to the wrong version hash-mismatches.  This is the
+    consumer contract the reference's registry service provides
+    (/root/reference/README.md:389, docker-compose.yml:69-80).
+    Per-record dispatch is CPU in the same Arrow batch — no extra
+    shuffle; the registry dict is a broadcast-sized constant."""
+    import json as _json
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.sources.avro_codec import (
+        from_avro_confluent_py,
+        to_avro_confluent_py,
+    )
+
+    v1 = _json.dumps(
+        {
+            "type": "record",
+            "name": "value",
+            "fields": [
+                {"name": "user_id", "type": "long"},
+                {"name": "event_type", "type": "string"},
+                {"name": "value", "type": ["null", "double"]},
+            ],
+        }
+    )
+    v2 = _json.dumps(
+        {
+            "type": "record",
+            "name": "value",
+            "fields": [
+                # reordered vs v1 + the new provenance field
+                {"name": "event_type", "type": "string"},
+                {"name": "src_ver", "type": "string", "default": "v1"},
+                {"name": "user_id", "type": "long"},
+                {"name": "value", "type": ["null", "double"]},
+            ],
+        }
+    )
+    topic = tempfile.mkdtemp(prefix="avro_evo_topic_")
+    ev = _events(spark, sf).select("user_id", "event_type", "value")
+    old = ev.filter(F.col("user_id") % 2 == 0)
+    new = ev.filter(F.col("user_id") % 2 != 0).withColumn(
+        "src_ver", F.lit("v2")
+    )
+    to_avro_confluent_py(
+        old, ["user_id", "event_type", "value"], v1, 1
+    ).write.mode("overwrite").parquet(topic)
+    to_avro_confluent_py(
+        new, ["event_type", "src_ver", "user_id", "value"], v2, 2
+    ).write.mode("append").parquet(topic)
+    stream = spark.readStream.schema("value binary").parquet(topic)
+    dec = from_avro_confluent_py(
+        stream,
+        "value",
+        {1: v1, 2: v2},
+        "event_type string, src_ver string, user_id long, value double",
+        reader_schema_json=v2,
+    )
+    agg = dec.groupBy("event_type", "src_ver").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 1e6).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_value_micro"),
+    )
+    _run_to_memory(agg, "streaming_avro_evolution", "complete")
+    return spark.table("streaming_avro_evolution")
+
+
 _PULL_KEYS = [3, 17, 42, 88, 131]
 
 

@@ -144,6 +144,7 @@ HEADLINE = [
     "streaming_ltv_curve",
     # round 6 additions
     "avro_schema_evolution",
+    "streaming_avro_evolution",
 ]
 
 

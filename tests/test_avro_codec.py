@@ -272,3 +272,42 @@ def test_from_avro_py_nested_ddl_and_reader_schema(spark):
     out2 = from_avro_py(df2, "value", s, "m map<string,int>, tag string")
     [r] = out2.collect()
     assert r.tag == "t" and dict(r.m) == {"a": 1}
+
+
+def test_confluent_envelope_golden_bytes_and_mixed_topic(spark):
+    """The Schema-Registry wire envelope (magic 0 + 4-byte big-endian
+    schema id + Avro binary) pinned at the byte level, and a mixed
+    v1/v2 'topic' decoded per record to the reader shape."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.sources.avro_codec import (
+        decode_confluent,
+        encode_confluent,
+        from_avro_confluent_py,
+        to_avro_confluent_py,
+    )
+
+    s1 = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"}]})
+    s2 = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "tag", "type": "string", "default": "old"},
+        {"name": "id", "type": "long"}]})
+    # id=3 under schema id 7: 00 | 00000007 | zigzag(3)=06
+    buf = encode_confluent({"id": 3}, s1, 7)
+    assert buf == bytes.fromhex("00 00000007 06")
+    reg = {7: s1, 8: s2}
+    assert decode_confluent(buf, reg, s2) == {"tag": "old", "id": 3}
+    with pytest.raises(KeyError, match="99"):
+        decode_confluent(encode_confluent({"id": 1}, s1, 99), reg)
+    with pytest.raises(ValueError, match="framed"):
+        decode_confluent(b"\x01\x00\x00\x00\x07\x06", reg)
+
+    # mixed-version topic through the DataFrame path
+    df1 = spark.createDataFrame([(i,) for i in range(3)], "id long")
+    df2 = spark.createDataFrame(
+        [("new", i) for i in range(3, 5)], "tag string, id long")
+    enc = to_avro_confluent_py(df1, ["id"], s1, 7).unionByName(
+        to_avro_confluent_py(df2, ["tag", "id"], s2, 8)
+    )
+    out = from_avro_confluent_py(
+        enc, "value", reg, "tag string, id long", reader_schema_json=s2)
+    got = {r.id: r.tag for r in out.collect()}
+    assert got == {0: "old", 1: "old", 2: "old", 3: "new", 4: "new"}

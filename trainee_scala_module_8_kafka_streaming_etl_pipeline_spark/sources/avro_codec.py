@@ -464,3 +464,98 @@ def from_avro_py(
             yield pd.DataFrame({n: [r[n] for r in recs] for n in names})
 
     return df.mapInPandas(_batches, schema=field_types)
+
+
+# --------------------------------------------------------------------------
+# Confluent Schema-Registry wire envelope (public format: magic byte 0 +
+# 4-byte big-endian schema id + Avro binary).  This is HOW a topic can
+# carry records written under different schema versions at once — the
+# consumer reads the id per record, fetches that writer schema from the
+# registry, and resolves it to its own reader schema.  The reference's
+# every stream runs on exactly this envelope
+# (/root/reference/README.md:389-427; registry docker-compose.yml:69-80).
+# --------------------------------------------------------------------------
+
+_MAGIC = 0
+
+
+def encode_confluent(rec: dict, schema_json: str, schema_id: int) -> bytes:
+    return (
+        bytes([_MAGIC])
+        + int(schema_id).to_bytes(4, "big")
+        + encode_record(rec, schema_json)
+    )
+
+
+def decode_confluent(
+    buf: bytes,
+    registry: dict[int, str],
+    reader_schema_json: str | None = None,
+) -> dict:
+    """Decode one registry-framed record: writer schema looked up by the
+    embedded id, then (optionally) resolved to the reader schema."""
+    buf = bytes(buf)
+    if len(buf) < 5 or buf[0] != _MAGIC:
+        raise ValueError("not a Schema-Registry framed record")
+    schema_id = int.from_bytes(buf[1:5], "big")
+    writer = registry.get(schema_id)
+    if writer is None:
+        raise KeyError(f"schema id {schema_id} not in registry")
+    return decode_record(buf[5:], writer, reader_schema_json)
+
+
+def to_avro_confluent_py(
+    df: DataFrame,
+    cols: list[str],
+    schema_json: str,
+    schema_id: int,
+    out_col: str = "value",
+) -> DataFrame:
+    """Registry-framed variant of :func:`to_avro_py`."""
+
+    def _batches(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            vals = [
+                encode_confluent(
+                    {c: (None if pd.isna(rec[c]) else rec[c]) for c in cols},
+                    schema_json,
+                    schema_id,
+                )
+                for rec in pdf[cols].to_dict("records")
+            ]
+            yield pdf.drop(columns=cols).assign(**{out_col: vals})
+
+    keep = [c for c in df.columns if c not in cols]
+    fields = ", ".join(f"{c} {t}" for c, t in df.dtypes if c in keep)
+    schema = (fields + ", " if fields else "") + f"{out_col} binary"
+    return df.mapInPandas(_batches, schema=schema)
+
+
+def from_avro_confluent_py(
+    df: DataFrame,
+    value_col: str,
+    registry: dict[int, str],
+    field_types: str,
+    reader_schema_json: str | None = None,
+) -> DataFrame:
+    """Registry-framed variant of :func:`from_avro_py`: each record's
+    writer schema is dispatched PER RECORD by the embedded schema id,
+    so one topic can mix records produced before and after a schema
+    upgrade — the exact consumer contract Schema Registry provides."""
+    from pyspark.sql.types import StructType
+
+    names = [f.name for f in StructType.fromDDL(field_types).fields]
+
+    def _batches(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            recs = [
+                decode_confluent(b, registry, reader_schema_json)
+                for b in pdf[value_col]
+            ]
+            yield pd.DataFrame({n: [r[n] for r in recs] for n in names})
+
+    return df.mapInPandas(_batches, schema=field_types)
