@@ -3597,7 +3597,8 @@ _BUCKET_SQL = "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100"
     f"""
     WITH rated AS (
       SELECT doc_id, source,
-             20 + 4 * (cast(substr(source, 4, 10) AS INT) % 15) AS keep_pct,
+             20 + 4 * coalesce(try_cast(substr(source, 4, 10) AS INT) % 15, 0)
+               AS keep_pct,
              {_BUCKET_SQL} AS bucket
       FROM documents)
     SELECT source, keep_pct,
@@ -3616,9 +3617,19 @@ def q_source_mixture(spark, sf):
     groupBy on the source key — one scan, no joins (the per-row keep
     verdict is exactly weighted_sample's hash_bucket < rate test)."""
     d = load(spark, sf, "documents")
+    # try_cast: a source name without a numeric suffix (or with a
+    # non-numeric one) falls back to the base 20% rate instead of an
+    # ANSI CAST_INVALID_INPUT crash — found by the all-keys-distinct
+    # degenerate variant, whose synthetic source names have no digits
     rate = (
         F.lit(20)
-        + F.lit(4) * F.pmod(F.substring("source", 4, 10).cast("int"), F.lit(15))
+        + F.lit(4)
+        * F.coalesce(
+            F.pmod(
+                F.expr("try_cast(substring(source, 4, 10) AS INT)"), F.lit(15)
+            ),
+            F.lit(0),
+        )
     ).alias("keep_pct")
     rated = d.select(
         "source", rate, sampling.hash_bucket("doc_id").alias("bucket")

@@ -34,6 +34,9 @@ CRASHERS = [
     ("constvals", "json_extract"),  # ''::BIGINT under ANSI
     # empty-graph NULL-vs-0 divergence (triangle sum-over-empty)
     ("empty", "triangle_count"),
+    # round-6 shape-adversarial variants: digit-less source names hit
+    # ANSI CAST_INVALID_INPUT in the mixture rate derivation
+    ("allkeysdistinct", "source_mixture"),
 ]
 
 
