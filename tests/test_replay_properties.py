@@ -815,3 +815,293 @@ def test_k_anonymity_audit_matches_naive(spark, raw):
         below = [g for g in groups.values() if g < k]
         want[k] = (len(below), sum(below), len(groups))
     assert got == want, (raw, got, want)
+
+
+# --------------------------------------------------------------------------
+# batch 2: audits, linkage, lag percentiles, novelty
+# --------------------------------------------------------------------------
+
+
+def _write_part(spark, rows):
+    """rows: (p_partkey, p_name, p_brand)"""
+    tmp = tempfile.mkdtemp(prefix="replay_part_")
+    spark.createDataFrame(
+        [(k, n, b, "TYPE", 10, 1.0) for k, n, b in rows],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size long, p_retailprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/part.parquet")
+    return tmp
+
+
+@given(
+    o_raw=_order_rows,
+    li_raw=_li_rows,
+    c_raw=_cust_rows,
+    e_raw=_ev_rows,
+)
+@_SETTINGS
+def test_dq_audit_matches_naive(spark, o_raw, li_raw, c_raw, e_raw):
+    """Five-constraint DQ audit vs direct Python counting — FK null
+    probes, PK uniqueness, domain checks."""
+    o_rows = _mk_orders(o_raw)
+    li_rows = _mk_lineitem(li_raw)
+    c_rows = [(i % 3, n, seg, b * 0.5) for i, (n, seg, b) in enumerate(c_raw)]
+    e_rows = _mk_events(e_raw)
+    tmp = _write_orders(spark, o_rows)
+    _write_lineitem(spark, li_rows, tmp=tmp)
+    spark.createDataFrame(
+        [(k, f"cust{k}", n, seg, float(b)) for k, n, seg, b in c_rows],
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_mktsegment string, c_acctbal double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/customer.parquet")
+    spark.createDataFrame(
+        [(i, ts, u, t, v, "{}") for i, ts, u, t, v in e_rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+
+    got = {
+        r.check_name: (r.n_violations, r.n_checked)
+        for r in _entry("dq_audit")(spark, tmp).collect()
+    }
+
+    custkeys = {k for k, _n, _s, _b in c_rows}
+    orderkeys = {k for k, _c, _p, _d in o_rows}
+    want = {
+        "orders_fk_customer": (
+            sum(1 for _k, c, _p, _d in o_rows if c not in custkeys),
+            len(o_rows),
+        ),
+        "lineitem_fk_orders": (
+            sum(1 for ok, *_ in li_rows if ok not in orderkeys),
+            len(li_rows),
+        ),
+        "customer_pk_unique": (
+            len(c_rows) - len(custkeys),
+            len(c_rows),
+        ),
+        "events_value_not_null": (
+            sum(1 for *_x, v in e_rows if v is None),
+            len(e_rows),
+        ),
+        "orders_price_positive": (
+            sum(1 for _k, _c, p, _d in o_rows if p <= 0),
+            len(o_rows),
+        ),
+    }
+    assert got == want, (got, want)
+
+
+def _lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+_part_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["B1", "B2"]),
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(raw=_part_rows)
+@_SETTINGS
+def test_sorted_neighborhood_pairs_matches_naive(spark, raw):
+    """Sorted-neighborhood linkage vs a direct sorted-walk replay with
+    a from-scratch Levenshtein DP."""
+    rows = [(i, name, brand) for i, (brand, name) in enumerate(raw)]
+    got = sorted(
+        (r.p_brand, r.name_a, r.name_b, r.w_off, r.dist)
+        for r in _entry("sorted_neighborhood_pairs")(
+            spark, _write_part(spark, rows)
+        ).collect()
+    )
+
+    by_brand: dict = {}
+    for _k, name, brand in rows:
+        by_brand.setdefault(brand, set()).add(name)
+    want = []
+    for brand, names in by_brand.items():
+        s = sorted(names)
+        for i, a in enumerate(s):
+            for off in (1, 2):
+                if i + off < len(s):
+                    d = _lev(a, s[i + off])
+                    if d <= 4:
+                        want.append((brand, a, s[i + off], off, d))
+    assert got == sorted(want), (raw, got, want)
+
+
+@given(o_raw=_order_rows, li_raw=_li_rows)
+@_SETTINGS
+def test_ship_lag_percentiles_matches_naive(spark, o_raw, li_raw):
+    """Order-to-ship lag percentiles vs a direct join + interpolated-
+    percentile replay."""
+    o_rows = _mk_orders(o_raw)
+    li_rows = _mk_lineitem(li_raw)
+    tmp = _write_orders(spark, o_rows)
+    _write_lineitem(spark, li_rows, tmp=tmp)
+    got = {
+        r.o_orderpriority: (r.n_items, r.p50_days, r.p90_days, r.p99_days,
+                            r.max_days)
+        for r in _entry("ship_lag_percentiles")(spark, tmp).collect()
+    }
+
+    odate = {k: d for k, _c, _p, d in o_rows}
+    lags = sorted(
+        (ship.date() - odate[ok].date()).days
+        for ok, _pk, _q, _p, _d, ship in li_rows
+        if ok in odate
+    )
+    if not lags:
+        assert got == {}
+        return
+
+    def pct(p):
+        pos = p * (len(lags) - 1)
+        lo = int(math.floor(pos))
+        hi = min(lo + 1, len(lags) - 1)
+        return _r6(lags[lo] + (pos - lo) * (lags[hi] - lags[lo]))
+
+    want = {"1-URGENT": (len(lags), pct(0.5), pct(0.9), pct(0.99), lags[-1])}
+    assert got == want, (got, want)
+
+
+@given(raw=_ev_rows)
+@_SETTINGS
+def test_skew_audit_matches_naive(spark, raw):
+    """Key-skew Gini + hottest-key ratio vs an exact integer replay of
+    the sorted-rank formula."""
+    rows = _mk_events(raw)
+    [r] = _entry("skew_audit")(spark, _write_events(spark, rows)).collect()
+
+    per_key: dict = {}
+    for _i, _ts, u, _t, _v in rows:
+        per_key[u] = per_key.get(u, 0) + 1
+    ranked = sorted((c, u) for u, c in per_key.items())
+    n, tot = len(ranked), sum(c for c, _u in ranked)
+    gini_num = sum(
+        (2 * i - n - 1) * c for i, (c, _u) in enumerate(ranked, 1)
+    )
+    assert (r.n_keys, r.n_rows, r.max_key_rows) == (n, tot, ranked[-1][0])
+    assert r.max_skew_ratio == _r6(ranked[-1][0] * n / tot)
+    assert r.gini == _r6(gini_num / (n * tot)), (raw, r.gini, gini_num)
+
+
+@given(docs=_doc_rows)
+@_SETTINGS
+def test_dup_rate_by_source_matches_naive(spark, docs):
+    """Exact-dup rate per source vs a direct digest-group replay."""
+    got = {
+        r.source: (r.n_docs, r.n_redundant, r.dup_rate)
+        for r in _entry("dup_rate_by_source")(
+            spark, _write_documents(spark, docs)
+        ).collect()
+    }
+
+    groups: dict = {}
+    for s, text in docs:
+        key = (f"src{s}", text)
+        groups[key] = groups.get(key, 0) + 1
+    per_src: dict = {}
+    for (s, _t), n in groups.items():
+        tot, ngrp = per_src.get(s, (0, 0))
+        per_src[s] = (tot + n, ngrp + 1)
+    want = {
+        s: (tot, tot - ngrp, _r6((tot - ngrp) / tot))
+        for s, (tot, ngrp) in per_src.items()
+    }
+    assert got == want, (docs, got, want)
+
+
+@given(raw=_ev_rows)
+@_SETTINGS
+def test_seasonal_outliers_matches_naive(spark, raw):
+    """Per-(type, weekday) z-score screen vs a direct exact-moment
+    replay (NULL-safe Bessel denominator, |z| > 3 on the unrounded
+    score)."""
+    rows = _mk_events(raw)
+    got = {
+        r.event_id: (r.event_type, r.weekday, r.value, r.seasonal_z)
+        for r in _entry("seasonal_outliers")(
+            spark, _write_events(spark, rows)
+        ).collect()
+    }
+
+    cells: dict = {}
+    for _i, ts, _u, t, v in rows:
+        s = cells.setdefault((t, ts.weekday()), [0, Decimal(0), Decimal(0)])
+        s[0] += 1
+        if v is not None:
+            y = Decimal(repr(v))
+            s[1] += y
+            s[2] += y * y
+    want = {}
+    for i, ts, _u, t, v in rows:
+        key = (t, ts.weekday())
+        n, s1, s2 = cells[key]
+        if n <= 1 or v is None:
+            continue
+        var = (float(s2) - float(s1) * float(s1) / n) / (n - 1)
+        den = math.sqrt(var) if var > 0 else 0.0
+        if den == 0:
+            continue  # nullif -> NULL z -> filtered
+        zs = (v - float(s1) / n) / den
+        if abs(zs) > 3:
+            want[i] = (t, ts.weekday(), v, _r6(zs))
+    assert got == want, (raw, got, want)
+
+
+_novel_docs = st.lists(
+    st.tuples(
+        st.integers(0, 0),
+        st.lists(
+            st.sampled_from(["w1", "w2", "w3"]), min_size=0, max_size=9
+        ).map(" ".join),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=_novel_docs)
+@_SETTINGS
+def test_ngram_novelty_matches_naive(spark, docs):
+    """Novelty curve vs a direct first-seen replay on 60-bit md5 gram
+    hashes (distinct 5-word grams per doc, min-doc first appearance)."""
+    import hashlib
+
+    got = {
+        r.doc_id: (r.n_grams, r.n_novel, r.novelty)
+        for r in _entry("ngram_novelty")(
+            spark, _write_documents(spark, docs)
+        ).collect()
+    }
+
+    def gh(gram):
+        return int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)
+
+    doc_ghs: dict = {}
+    for i, (_s, text) in enumerate(docs):
+        ws = _norm_tokens(text)
+        if len(ws) < 5:
+            continue
+        grams = {" ".join(ws[j:j + 5]) for j in range(len(ws) - 4)}
+        doc_ghs[i] = {gh(g) for g in grams}
+    first_seen: dict = {}
+    for i in sorted(doc_ghs):
+        for h in doc_ghs[i]:
+            first_seen.setdefault(h, i)
+    want = {}
+    for i, hs in doc_ghs.items():
+        novel = sum(1 for h in hs if first_seen[h] == i)
+        want[i] = (len(hs), novel, _r6(novel / len(hs)))
+    assert got == want, (docs, got, want)
