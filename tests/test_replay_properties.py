@@ -865,19 +865,26 @@ def test_dq_audit_matches_naive(spark, o_raw, li_raw, c_raw, e_raw):
         for r in _entry("dq_audit")(spark, tmp).collect()
     }
 
-    custkeys = {k for k, _n, _s, _b in c_rows}
-    orderkeys = {k for k, _c, _p, _d in o_rows}
+    # LEFT-join fanout: a duplicated PK on the dimension side multiplies
+    # the probe row, and BOTH engines count the multiplied rows — the
+    # replay must too (hypothesis found the miscount immediately)
+    cust_mult: dict = {}
+    for k, _n, _s, _b in c_rows:
+        cust_mult[k] = cust_mult.get(k, 0) + 1
+    ord_mult: dict = {}
+    for k, _c, _p, _d in o_rows:
+        ord_mult[k] = ord_mult.get(k, 0) + 1
     want = {
         "orders_fk_customer": (
-            sum(1 for _k, c, _p, _d in o_rows if c not in custkeys),
-            len(o_rows),
+            sum(1 for _k, c, _p, _d in o_rows if c not in cust_mult),
+            sum(max(1, cust_mult.get(c, 0)) for _k, c, _p, _d in o_rows),
         ),
         "lineitem_fk_orders": (
-            sum(1 for ok, *_ in li_rows if ok not in orderkeys),
-            len(li_rows),
+            sum(1 for ok, *_ in li_rows if ok not in ord_mult),
+            sum(max(1, ord_mult.get(ok, 0)) for ok, *_ in li_rows),
         ),
         "customer_pk_unique": (
-            len(c_rows) - len(custkeys),
+            len(c_rows) - len(cust_mult),
             len(c_rows),
         ),
         "events_value_not_null": (
