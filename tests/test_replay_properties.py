@@ -1119,3 +1119,325 @@ def test_ngram_novelty_matches_naive(spark, docs):
         novel = sum(1 for h in hs if first_seen[h] == i)
         want[i] = (len(hs), novel, _r6(novel / len(hs)))
     assert got == want, (docs, got, want)
+
+
+# --------------------------------------------------------------------------
+# batch 3: core text functions, pivots, set ops
+# --------------------------------------------------------------------------
+
+import re as _re
+
+_STOPS = ("the", "a", "and", "of", "in", "to", "is", "it")
+_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "die", "und", "ist"),
+    "fr": ("le", "la", "et", "est"),
+    "es": ("el", "los", "que", "es"),
+    "zh": ("de", "shi", "le", "bu"),
+}
+
+
+def _toks(text):
+    # Spark/DuckDB trim() strips SPACES only — a leading newline
+    # survives and split() then yields a leading empty token, so the
+    # replay must NOT use Python's all-whitespace .strip()
+    return _re.split(r"\s+", text.strip(" "))
+
+
+def _stop_hits(text):
+    pat = r"\b(" + "|".join(_STOPS) + r")\b"
+    return len(_re.findall(pat, text.lower()))
+
+
+def _punct_ratio(text):
+    return _r6(
+        len(_re.findall(r"[.,!?;:]", text)) / max(len(text), 1)
+    )
+
+
+def _stop_ratio(text):
+    return _r6(_stop_hits(text) / max(len(_toks(text)), 1))
+
+
+def _quality(text):
+    len_score = min(len(text) / 200.0, 1.0)
+    stop_score = min(_stop_ratio(text) * 4.0, 1.0)
+    punct_penalty = min(_punct_ratio(text) * 10.0, 1.0)
+    return _r6(len_score * 0.4 + stop_score * 0.4 + (1.0 - punct_penalty) * 0.2)
+
+
+def _pred_lang(text):
+    low = text.lower()
+    langs = sorted(_MARKERS)
+    best_enc = max(
+        len(_re.findall(r"\b(" + "|".join(_MARKERS[lg]) + r")\b", low)) * 8 + i
+        for i, lg in enumerate(langs)
+    )
+    return langs[best_enc % 8] if best_enc >= 8 else "und"
+
+
+_text_docs = st.lists(
+    st.tuples(
+        st.integers(0, 1),
+        st.lists(
+            st.sampled_from(
+                ["the", "der", "le", "el", "de", "x.", "!?", "a1", "und..."]
+            ),
+            min_size=0,
+            max_size=12,
+        ).map(" ".join),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(docs=_text_docs)
+@_SETTINGS
+def test_text_stats_matches_naive(spark, docs):
+    """Every per-doc text statistic vs direct Python regex replays of
+    the documented formulas (token counts, ratios, quality score)."""
+    got = {
+        r.doc_id: (
+            r.n_chars_calc, r.n_tokens, r.n_bpe_tokens, r.punct_ratio,
+            r.stopword_ratio, r.avg_token_len, r.quality_score,
+        )
+        for r in _entry("text_stats")(spark, _write_documents(spark, docs)).collect()
+    }
+
+    want = {}
+    for i, (_s, text) in enumerate(docs):
+        nt = len(_toks(text))
+        want[i] = (
+            len(text),
+            nt,
+            len(_re.findall(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]", text)),
+            _punct_ratio(text),
+            _stop_ratio(text),
+            _r6(len(_re.sub(r"\s+", "", text)) / max(nt, 1)),
+            _quality(text),
+        )
+    assert got == want, (docs, got, want)
+
+
+@given(docs=_text_docs)
+@_SETTINGS
+def test_lang_id_and_fingerprint_match_naive(spark, docs):
+    """Marker-argmax language ID (alphabetically-last tie-break,
+    zero hits -> 'und') and the alnum-normalized md5 fingerprint."""
+    import hashlib
+
+    sf = _write_documents(spark, docs)
+    got_lang = {
+        r.doc_id: r.pred_lang for r in _entry("lang_id")(spark, sf).collect()
+    }
+    got_fp = {
+        r.doc_id: r.fingerprint
+        for r in _entry("doc_fingerprint")(spark, sf).collect()
+    }
+
+    for i, (_s, text) in enumerate(docs):
+        assert got_lang[i] == _pred_lang(text), (text, got_lang[i])
+        norm = _re.sub(r"[^a-z0-9]", "", text.lower())
+        assert got_fp[i] == hashlib.md5(norm.encode()).hexdigest()
+
+
+@given(docs=_text_docs)
+@_SETTINGS
+def test_token_count_matches_naive(spark, docs):
+    """Corpus token totals per language vs direct counting."""
+    [r] = _entry("token_count")(spark, _write_documents(spark, docs)).collect()
+    ws = sum(len(_toks(t)) for _s, t in docs)
+    bpe = sum(
+        len(_re.findall(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]", t)) for _s, t in docs
+    )
+    assert (r.lang, r.total_ws_tokens, r.total_bpe_tokens, r.n_docs) == (
+        "en", ws, bpe, len(docs))
+
+
+@given(docs=_text_docs)
+@_SETTINGS
+def test_corpus_clean_matches_naive(spark, docs):
+    """Dedup -> quality filter -> lang filter pipeline vs a direct
+    keep-lowest-id-per-digest + threshold replay."""
+    got = {
+        r.doc_id: (r.pred_lang, r.quality)
+        for r in _entry("corpus_clean")(spark, _write_documents(spark, docs)).collect()
+    }
+
+    keep: dict = {}
+    for i, (_s, text) in enumerate(docs):
+        if text not in keep:
+            keep[text] = i
+    want = {}
+    for text, i in keep.items():
+        q = _quality(text)
+        lang = _pred_lang(text)
+        if q >= 0.5 and lang != "und":
+            want[i] = (lang, q)
+    assert got == want, (docs, got, want)
+
+
+@given(raw=_ev_rows)
+@_SETTINGS
+def test_value_quartiles_matches_naive(spark, raw):
+    """ntile(4) bucket stats vs a direct replay of ntile's
+    ceil/floor bucket sizing with the (value, event_id) order
+    (NULL values sort first, ascending)."""
+    rows = _mk_events(raw)
+    got = {
+        (r.event_type, r.quartile): (r.n, r.lo, r.hi, r.total)
+        for r in _entry("value_quartiles")(
+            spark, _write_events(spark, rows)
+        ).collect()
+    }
+
+    by_type: dict = {}
+    for i, _ts, _u, t, v in rows:
+        by_type.setdefault(t, []).append((v, i))
+    want = {}
+    for t, vs in by_type.items():
+        vs.sort(key=lambda p: (p[0] is not None, p[0] if p[0] is not None else 0, p[1]))
+        n = len(vs)
+        sizes = [n // 4 + (1 if j < n % 4 else 0) for j in range(4)]
+        pos = 0
+        for q, sz in enumerate(sizes, 1):
+            if sz == 0:
+                continue
+            bucket = vs[pos:pos + sz]
+            pos += sz
+            vals = [v for v, _i in bucket if v is not None]
+            tot = (
+                float(sum(Decimal(repr(v)) for v in vals)) if vals else None
+            )
+            want[(t, q)] = (
+                sz,
+                _r6(min(vals)) if vals else None,
+                _r6(max(vals)) if vals else None,
+                tot,
+            )
+    assert got == want, (raw, got, want)
+
+
+@given(raw=_ev_rows)
+@_SETTINGS
+def test_event_type_pivot_and_set_ops_match_naive(spark, raw):
+    """Fixed-list pivot counts and INTERSECT/EXCEPT segmentation vs
+    direct per-user counting."""
+    rows = _mk_events(raw)
+    sf = _write_events(spark, rows)
+    etypes = ["click", "error", "purchase", "signup", "view"]
+    got = {
+        r.user_id: tuple(r[t] for t in etypes) + (r.total,)
+        for r in _entry("event_type_pivot")(spark, sf).collect()
+    }
+    per_user: dict = {}
+    for _i, _ts, u, t, _v in rows:
+        per_user.setdefault(u, {}).setdefault(t, 0)
+        per_user[u][t] += 1
+    want = {
+        u: tuple(cnt.get(t, 0) for t in etypes) + (sum(cnt.values()),)
+        for u, cnt in per_user.items()
+    }
+    assert got == want, (raw, got, want)
+
+    got_seg = {
+        (r.user_id, r.segment)
+        for r in _entry("set_ops_segments")(spark, sf).collect()
+    }
+    p = {u for _i, _ts, u, t, _v in rows if t == "purchase"}
+    c = {u for _i, _ts, u, t, _v in rows if t == "click"}
+    want_seg = (
+        {(u, "both") for u in p & c}
+        | {(u, "purchase_only") for u in p - c}
+        | {(u, "click_only") for u in c - p}
+    )
+    assert got_seg == want_seg, (raw, got_seg, want_seg)
+
+
+_json_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["view", "click"]),
+        st.one_of(st.none(), st.integers(0, 500)),   # k value or no key
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(raw=_json_rows)
+@_SETTINGS
+def test_json_extract_matches_naive(spark, raw):
+    """Regex JSON field extraction vs direct parsing — rows without
+    the key contribute NULL (never a crash), all-missing groups sum
+    to NULL."""
+    rows = [
+        (
+            i,
+            _BASE,
+            0,
+            t,
+            1.0,
+            "{}" if k is None else '{"k": %d}' % k,
+        )
+        for i, (t, k) in enumerate(raw)
+    ]
+    tmp = tempfile.mkdtemp(prefix="replay_json_")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    got = {
+        r.event_type: (r.sum_k, r.n)
+        for r in _entry("json_extract")(spark, tmp).collect()
+    }
+
+    acc: dict = {}
+    for t, k in raw:
+        s, n = acc.get(t, (None, 0))
+        if k is not None:
+            s = (s or 0) + k
+        acc[t] = (s, n + 1)
+    assert got == acc, (raw, got, acc)
+
+
+_line_docs = st.lists(
+    st.tuples(
+        st.integers(0, 1),
+        st.lists(
+            st.sampled_from(["the cat", "x.", "a line of text", ""]),
+            min_size=1,
+            max_size=4,
+        ).map("\n".join),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=_line_docs)
+@_SETTINGS
+def test_unpivot_metrics_matches_naive(spark, docs):
+    """Wide->long melt of per-source averages vs direct computation
+    (newline-aware line counts, exact-decimal quality sums)."""
+    got = {
+        (r.source, r.metric): r.value
+        for r in _entry("unpivot_metrics")(
+            spark, _write_documents(spark, docs)
+        ).collect()
+    }
+
+    per_src: dict = {}
+    for s, text in docs:
+        a = per_src.setdefault(f"src{s}", [0, 0, 0, Decimal(0)])
+        a[0] += 1
+        a[1] += len(text)
+        a[2] += text.count("\n") + 1
+        a[3] += Decimal(repr(_quality(text)))
+    want = {}
+    for s, (n, chars, lines, qsum) in per_src.items():
+        want[(s, "avg_chars")] = _r6(chars / n)
+        want[(s, "avg_lines")] = _r6(lines / n)
+        want[(s, "avg_quality")] = _r6(float(qsum) / n)
+    assert got == want, (docs, got, want)
