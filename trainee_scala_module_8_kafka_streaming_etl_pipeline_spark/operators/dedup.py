@@ -371,6 +371,7 @@ def contamination_flags(
     id_col: str = "doc_id",
     text_col: str = "text",
     gram_words: int = DECON_GRAM_WORDS,
+    train_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any
     ``gram_words``-word n-gram with a held-out benchmark set — the
@@ -389,8 +390,10 @@ def contamination_flags(
         .select("gh")
         .distinct()
     )
+    if train_grams is None:
+        train_grams = word_gram_hashes(train, gram_words, id_col, text_col)
     return (
-        word_gram_hashes(train, gram_words, id_col, text_col)
+        train_grams
         .join(F.broadcast(bench_grams), "gh")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_overlapping_grams"))
