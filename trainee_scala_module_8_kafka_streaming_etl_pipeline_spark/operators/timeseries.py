@@ -331,12 +331,16 @@ def dow_seasonality(
     tot_s = F.sum("s").over(kw)
     dow_mean = F.col("s").cast("double") / F.col("n")
     all_mean = tot_s.cast("double") / tot_n
+    # try_divide: a key whose corpus mean is exactly 0 (e.g. an
+    # all-zero value column) has no defined seasonal index — emit NULL
+    # like DuckDB's x/0, instead of the ANSI DIVIDE_BY_ZERO crash the
+    # replay property found on the all-zero corpus.
     return daily.select(
         *key_cols,
         "weekday",
         F.col("n").alias("n_events"),
         F.round(dow_mean, 6).alias("dow_mean"),
-        F.round(dow_mean / all_mean, 6).alias("seasonal_index"),
+        F.round(F.try_divide(dow_mean, all_mean), 6).alias("seasonal_index"),
     )
 
 
