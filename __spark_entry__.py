@@ -8054,12 +8054,22 @@ def q_incremental_agg_merge(spark, sf):
     )
     merged = a.join(b, "user_id", "full_outer")
     zero = F.lit(0).cast("decimal(18,6)")
+    # the merged sum must preserve the "no non-NULL value seen" state:
+    # sum() over all-NULL input is NULL, and a lossless merge of two
+    # NULL partials is NULL, not 0 + 0 (the replay property caught the
+    # coalesce-both-sides form turning NULL into 0.0 for all-NULL
+    # users, which the direct-aggregate oracle would hash-flag on any
+    # corpus containing one)
     return merged.select(
         "user_id",
         (F.coalesce("n_a", F.lit(0)) + F.coalesce("n_b", F.lit(0))).alias(
             "n_events"
         ),
-        (F.coalesce(F.col("s_a"), zero) + F.coalesce(F.col("s_b"), zero))
+        F.when(
+            F.col("s_a").isNull() & F.col("s_b").isNull(),
+            F.lit(None).cast("decimal(18,6)"),
+        )
+        .otherwise(F.coalesce(F.col("s_a"), zero) + F.coalesce(F.col("s_b"), zero))
         .cast("double")
         .alias("total_value"),
         F.greatest("o_a", "o_b").alias("last_offset"),
