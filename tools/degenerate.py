@@ -104,6 +104,11 @@ VARIANTS = [
     "empty", "single", "nullvals", "onegroup", "constvals",
     # shape-adversarial (round 6)
     "onekey", "allkeysdistinct", "onets", "wsdocs", "zerovec",
+    # all numeric measures exactly 0 (round 6 continuation): zero sums
+    # and zero corpus means hit every x/sum(x) seasonal-index-style
+    # divide — the shape that caught the dow_seasonality ANSI crash
+    # the constvals variant (constant = 1) could not
+    "zerovals",
 ]
 SAMPLE_ROWS = 40
 
@@ -196,6 +201,15 @@ def _make_variant(variant: str, tbl: pa.Table, table_name: str) -> pa.Table:
             ]
             tbl = _replace(tbl, "text", vals)
             tbl = _replace(tbl, "n_chars", [len(v) for v in vals])
+        return tbl
+    if variant == "zerovals":  # every numeric measure exactly 0
+        for c in MEASURES.get(table_name, []):
+            i = tbl.schema.get_field_index(c)
+            t = tbl.schema.field(i).type
+            if pa.types.is_floating(t):
+                tbl = _replace(tbl, c, [0.0] * n)
+            elif pa.types.is_integer(t):
+                tbl = _replace(tbl, c, [0] * n)
         return tbl
     if variant == "zerovec":  # zero-norm embedding corpus
         if table_name == "embeddings":
