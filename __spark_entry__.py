@@ -3175,7 +3175,14 @@ def q_nation_market_share(spark, sf):
             "o_year",
             nat.alias("nation_revenue"),
             F.col("_tot").cast("double").alias("total_revenue"),
-            F.round(nat / F.col("_tot").cast("double"), 6).alias("mkt_share"),
+            # try_divide: a year whose ASIA revenue sums to exactly 0
+            # has no defined share — NULL like DuckDB's x/0, not the
+            # ANSI DIVIDE_BY_ZERO crash the relational replay property
+            # found (an all-zero-price year; the degenerate sweep's
+            # 40-row samples never joined into a non-empty group here)
+            F.round(F.try_divide(nat, F.col("_tot").cast("double")), 6).alias(
+                "mkt_share"
+            ),
         )
     )
 
