@@ -8486,17 +8486,20 @@ def q_skew_audit(spark, sf):
 def q_streaming_late_drop(spark, sf):
     """Watermark late-data semantics, oracle-checked EXACTLY: events
     replay as three deterministic micro-batches (mtime-ordered files,
-    maxFilesPerTrigger=1) — bulk, then the single globally-latest row,
-    then the 'late' slice — so the 10-minute watermark in force for the
-    final batch is fixed by construction. Spark drops a late row iff
-    its hour-window END is <= the watermark, and the watermark is the
-    max observed event time FLOORED TO MILLISECONDS minus the delay
-    (both facts verified empirically on this Spark build); the oracle
-    replays exactly that rule in integer microsecond arithmetic. The
-    middle single-row batch pins the watermark one commit before the
-    late batch, making the filter independent of any within-batch
-    ordering. Covers the E1 semantics no rows-only check could:
-    which rows a continuous query DISCARDS."""
+    maxFilesPerTrigger=1) — the on-time bulk (including the globally
+    latest row), an EMPTY watermark-carrier batch, then the 'late'
+    slice — so the 10-minute watermark in force for the final batch is
+    fixed by construction. Spark drops a late row iff its hour-window
+    END is <= the LATE-EVENTS watermark, which on Spark >= 3.4 is the
+    watermark planned for the PREVIOUS batch (the late/eviction
+    watermark split; verified against this build's checkpoint offsets
+    and by a hypothesis property that caught the original one-batch-
+    short design), and the watermark itself is the max observed event
+    time FLOORED TO MILLISECONDS minus the delay. The oracle replays
+    exactly that rule in integer microsecond arithmetic; the empty
+    middle commit is what carries the bulk batch's watermark into the
+    late batch's late-events slot. Covers the E1 semantics no
+    rows-only check could: which rows a continuous query DISCARDS."""
     import glob
     import os
     import shutil
@@ -8527,11 +8530,24 @@ def q_streaming_late_drop(spark, sf):
         os.utime(dst, (t, t))
 
     cols = ["event_id", "ts", "event_type"]
+    # Three mtime-ordered files -> three availableNow batches:
+    #   a: every on-time row INCLUDING the globally-latest one (sets the
+    #      watermark to global-max-ts minus the delay after batch 0)
+    #   b: EMPTY watermark-carrier batch.  Spark >= 3.4 splits the
+    #      watermark per batch into ForLateEvents (the PREVIOUS batch's
+    #      value, offsets/N-1) and ForEviction (offsets/N) — verified
+    #      against this build's checkpoint offsets metadata — so the
+    #      late batch c filters against the watermark planned for batch
+    #      b, which the empty commit carries forward from batch a.
+    #   c: the 'late' slice, filtered against global-max - 10 min.
     dump(
-        r.filter((F.col("rn") > 1) & (F.col("event_id") % 3 != 0)).select(cols),
+        r.filter(
+            (F.col("rn") == 1)
+            | ((F.col("rn") > 1) & (F.col("event_id") % 3 != 0))
+        ).select(cols),
         "a", 120,
     )
-    dump(r.filter(F.col("rn") == 1).select(cols), "b", 80)
+    dump(r.filter(F.lit(False)).select(cols), "b", 80)
     dump(
         r.filter((F.col("rn") > 1) & (F.col("event_id") % 3 == 0)).select(cols),
         "c", 40,

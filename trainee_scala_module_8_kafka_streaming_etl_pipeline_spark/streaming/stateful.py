@@ -51,16 +51,20 @@ def _update_counter(
     if state.exists:
         n, total, ltype, lval, loff = state.get
     else:
-        n, total, ltype, lval, loff = 0, 0, None, None, -1
+        n, total, ltype, lval, loff = 0, None, None, None, -1
     for pdf in pdfs:
         n += len(pdf)
         # exact integer cents: float partial sums would make the result
         # depend on batch split; per-row round-to-cent then int-sum is
         # associative, so any micro-batching folds to the batch answer.
-        # NULL values contribute nothing (SQL sum semantics) instead of
-        # poisoning the int cast with NaN.
+        # NULL values contribute nothing, and a key that has never seen
+        # a non-NULL value reports NULL, not 0 (SQL sum semantics — the
+        # same all-NULL-state trap incremental_agg_merge had).
         cents = (pdf["value"] * 100).round().dropna()
-        total += int(cents.astype("int64").sum())
+        if len(cents):
+            total = (0 if total is None else total) + int(
+                cents.astype("int64").sum()
+            )
         i = int(pdf["event_id"].idxmax())
         if int(pdf["event_id"].loc[i]) > loff:
             loff = int(pdf["event_id"].loc[i])
