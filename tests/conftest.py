@@ -15,9 +15,24 @@ def spark():
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "false")
+        # the whole suite shares one JVM; the default 1g driver heap
+        # OOMs mid-run now that ~380 tests (hundreds of StreamingQuery
+        # lifecycles and cached index frames) accumulate in it
+        .config("spark.driver.memory", "8g")
         .appName("tests")
         .getOrCreate()
     )
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()
+
+
+@pytest.fixture(autouse=True)
+def _clear_spark_cache(request):
+    """Unpersist everything between tests: operators legitimately
+    .cache() within an entry (e.g. the LSH bucket index), but nothing
+    is meant to survive a test — without this the shared session pins
+    every cached frame for the whole suite."""
+    yield
+    if "spark" in request.fixturenames:
+        request.getfixturevalue("spark").catalog.clearCache()

@@ -20,6 +20,11 @@ def _fake_load(tables):
 @pytest.fixture()
 def patch_load(monkeypatch):
     def apply(tables):
+        # swapping the fake catalog = a new corpus snapshot: the shared
+        # stage memos (trigram tables, cluster labels, ANN indexes) are
+        # keyed per (app, sf dir, stage) and would otherwise serve the
+        # PREVIOUS corpus's materialization under the same "i" token
+        entrymod._STAGE_CACHE.clear()
         monkeypatch.setattr(entrymod, "load", _fake_load(tables))
 
     return apply
