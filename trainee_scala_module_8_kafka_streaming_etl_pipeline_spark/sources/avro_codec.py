@@ -20,6 +20,16 @@ binary bytes in tests and in the ``avro_roundtrip`` registry entry,
 with the byte layout pinned against hand-computed spec fixtures (a
 roundtrip alone can't catch a self-consistent-but-wrong codec).
 
+Execution model: schemas are COMPILED, not interpreted.  A (writer,
+reader) schema pair is walked ONCE — field pairing, union-branch
+resolution, promotions, and defaults are all decided at compile time —
+into a tree of plain closures ``read(buf, pos) -> (value, pos)`` /
+``write(value, out)``, memoized per schema-JSON string.  Per record
+only the closures run; no schema dict is ever re-walked on the data
+path.  At 100 TB the decode stage is per-record CPU paid fleet-wide,
+so the compile/execute split is the difference between paying JSON
+schema traversal per record and paying it once per (schema, task).
+
 On a cluster the decode stage is the same ``mapInPandas`` shape with
 ``from_avro`` substituting for the Python codec — or this codec as-is:
 it is Arrow-batched and touches only the value column.
@@ -27,8 +37,10 @@ it is Arrow-batched and touches only the value column.
 
 from __future__ import annotations
 
+import copy
 import json
 import struct
+from collections.abc import Callable
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -74,10 +86,24 @@ def _norm(schema: Any) -> Any:
     return schema
 
 
+def _np_unwrap(value: Any) -> Any:
+    """Collapse numpy scalars (the pandas ``to_dict('records')`` path
+    yields np.int64 / np.bool_ / np.float32, which are NOT subclasses
+    of int / bool / float) to plain Python values so union-branch type
+    dispatch sees the logical type, not the container type."""
+    if value is None or isinstance(
+        value, (bool, int, float, str, bytes, bytearray, dict, list, tuple)
+    ):
+        return value
+    item = getattr(value, "item", None)
+    return item() if callable(item) else value
+
+
 def _union_branch_matches(value: Any, branch: Any, lenient: bool) -> bool:
     """Does ``value``'s Python type select this union branch?  Strict
     pass is exact-type; the lenient pass additionally lets ints ride
     float/double branches (Avro's own Python binding allows this)."""
+    value = _np_unwrap(value)
     bn = _norm(branch)
     if bn == "null":
         return value is None
@@ -106,102 +132,191 @@ def _union_branch_matches(value: Any, branch: Any, lenient: bool) -> bool:
     return False
 
 
-def _encode(value: Any, schema: Any, out: bytearray) -> None:
+_F32 = struct.Struct("<f")
+_F64 = struct.Struct("<d")
+
+
+# --------------------------------------------------------------------------
+# compiled encoders: schema -> write(value, out) closure tree
+# --------------------------------------------------------------------------
+
+
+def _write_null(value: Any, out: bytearray) -> None:
+    pass
+
+
+def _write_boolean(value: Any, out: bytearray) -> None:
+    out.append(1 if value else 0)
+
+
+def _write_long(value: Any, out: bytearray) -> None:
+    out += _zigzag_encode(int(value))
+
+
+def _write_float(value: Any, out: bytearray) -> None:
+    out += _F32.pack(float(value))
+
+
+def _write_double(value: Any, out: bytearray) -> None:
+    out += _F64.pack(float(value))
+
+
+def _write_string(value: Any, out: bytearray) -> None:
+    raw = value.encode("utf-8")
+    out += _zigzag_encode(len(raw))
+    out += raw
+
+
+def _write_bytes(value: Any, out: bytearray) -> None:
+    raw = bytes(value)
+    out += _zigzag_encode(len(raw))
+    out += raw
+
+
+_PRIMITIVE_WRITERS: dict[str, Callable[[Any, bytearray], None]] = {
+    "null": _write_null,
+    "boolean": _write_boolean,
+    "int": _write_long,
+    "long": _write_long,
+    "float": _write_float,
+    "double": _write_double,
+    "string": _write_string,
+    "bytes": _write_bytes,
+}
+
+_ZERO = _zigzag_encode(0)
+
+
+def _compile_write(schema: Any) -> Callable[[Any, bytearray], None]:
+    """Compile ``schema`` into a closure ``write(value, out)``.  Union
+    dispatch order (strict type pass, then the lenient int-on-float
+    pass) is decided per value, but the branch table — normalized
+    branch schema, pre-encoded varint index, compiled branch writer —
+    is built here, once."""
     schema = _norm(schema)
     if isinstance(schema, list):  # union: varint branch index + value
         # dispatch by the VALUE'S TYPE, not first-non-null: a
         # ["null","long","double"] union must route 2.5 to the double
         # branch, not truncate it through int() on the long branch
-        for lenient in (False, True):
-            for i, branch in enumerate(schema):
-                if _union_branch_matches(value, branch, lenient):
-                    out += _zigzag_encode(i)
-                    if _norm(branch) != "null":
-                        _encode(value, branch, out)
-                    return
-        raise ValueError(f"no union branch for {value!r} in {schema!r}")
-    if schema == "null":
-        return
-    if schema == "boolean":
-        out.append(1 if value else 0)
-        return
-    if schema in ("int", "long"):
-        out += _zigzag_encode(int(value))
-        return
-    if schema == "float":
-        out += struct.pack("<f", float(value))
-        return
-    if schema == "double":
-        out += struct.pack("<d", float(value))
-        return
-    if schema in ("bytes", "string"):
-        raw = value.encode("utf-8") if schema == "string" else bytes(value)
-        out += _zigzag_encode(len(raw))
-        out += raw
-        return
+        branches = tuple(
+            (
+                _norm(b),
+                _zigzag_encode(i),
+                None if _norm(b) == "null" else _compile_write(b),
+            )
+            for i, b in enumerate(schema)
+        )
+        full = list(schema)
+
+        def write_union(value: Any, out: bytearray) -> None:
+            value = _np_unwrap(value)
+            for lenient in (False, True):
+                for bn, idx, wfn in branches:
+                    if _union_branch_matches(value, bn, lenient):
+                        out += idx
+                        if wfn is not None:
+                            wfn(value, out)
+                        return
+            raise ValueError(f"no union branch for {value!r} in {full!r}")
+
+        return write_union
+    if isinstance(schema, str):
+        wfn = _PRIMITIVE_WRITERS.get(schema)
+        if wfn is not None:
+            return wfn
+        raise TypeError(f"unsupported Avro schema {schema!r}")
     if isinstance(schema, dict) and schema.get("type") == "record":
-        for f in schema["fields"]:
-            _encode(value[f["name"]], f["type"], out)
-        return
+        fields = tuple(
+            (f["name"], _compile_write(f["type"])) for f in schema["fields"]
+        )
+
+        def write_record(value: Any, out: bytearray) -> None:
+            for name, wfn in fields:
+                wfn(value[name], out)
+
+        return write_record
     if isinstance(schema, dict) and schema.get("type") == "array":
-        items = list(value)
-        if items:
-            out += _zigzag_encode(len(items))
-            for it in items:
-                _encode(it, schema["items"], out)
-        out += _zigzag_encode(0)
-        return
+        item_w = _compile_write(schema["items"])
+
+        def write_array(value: Any, out: bytearray) -> None:
+            items = list(value)
+            if items:
+                out += _zigzag_encode(len(items))
+                for it in items:
+                    item_w(it, out)
+            out += _ZERO
+
+        return write_array
     if isinstance(schema, dict) and schema.get("type") == "map":
-        kv = dict(value)
-        if kv:
-            out += _zigzag_encode(len(kv))
-            for k, v in kv.items():
-                _encode(k, "string", out)
-                _encode(v, schema["values"], out)
-        out += _zigzag_encode(0)
-        return
+        value_w = _compile_write(schema["values"])
+
+        def write_map(value: Any, out: bytearray) -> None:
+            kv = dict(value)
+            if kv:
+                out += _zigzag_encode(len(kv))
+                for k, v in kv.items():
+                    _write_string(k, out)
+                    value_w(v, out)
+            out += _ZERO
+
+        return write_map
     raise TypeError(f"unsupported Avro schema {schema!r}")
 
 
-def _decode(buf: bytes, pos: int, schema: Any) -> tuple[Any, int]:
-    schema = _norm(schema)
-    if isinstance(schema, list):
-        idx, pos = _zigzag_decode(buf, pos)
-        return _decode(buf, pos, schema[idx])
-    if schema == "null":
-        return None, pos
-    if schema == "boolean":
-        return buf[pos] != 0, pos + 1
-    if schema in ("int", "long"):
-        return _zigzag_decode(buf, pos)
-    if schema == "float":
-        return struct.unpack_from("<f", buf, pos)[0], pos + 4
-    if schema == "double":
-        return struct.unpack_from("<d", buf, pos)[0], pos + 8
-    if schema in ("bytes", "string"):
-        n, pos = _zigzag_decode(buf, pos)
-        raw = buf[pos:pos + n]
-        return (raw.decode("utf-8") if schema == "string" else raw), pos + n
-    if isinstance(schema, dict) and schema.get("type") == "record":
-        rec = {}
-        for f in schema["fields"]:
-            rec[f["name"]], pos = _decode(buf, pos, f["type"])
-        return rec, pos
-    if isinstance(schema, dict) and schema.get("type") == "array":
-        items = []
-        while True:
-            n, pos = _zigzag_decode(buf, pos)
-            if n == 0:
-                break
-            if n < 0:  # block with byte-size prefix (spec-permitted)
-                _, pos = _zigzag_decode(buf, pos)
-                n = -n
-            for _ in range(n):
-                it, pos = _decode(buf, pos, schema["items"])
-                items.append(it)
-        return items, pos
-    if isinstance(schema, dict) and schema.get("type") == "map":
-        kv = {}
+# --------------------------------------------------------------------------
+# compiled decoders (reader == writer): schema -> read(buf, pos) closures
+# --------------------------------------------------------------------------
+
+
+def _read_null(buf: bytes, pos: int) -> tuple[None, int]:
+    return None, pos
+
+
+def _read_boolean(buf: bytes, pos: int) -> tuple[bool, int]:
+    return buf[pos] != 0, pos + 1
+
+
+def _read_float(buf: bytes, pos: int) -> tuple[float, int]:
+    return _F32.unpack_from(buf, pos)[0], pos + 4
+
+
+def _read_double(buf: bytes, pos: int) -> tuple[float, int]:
+    return _F64.unpack_from(buf, pos)[0], pos + 8
+
+
+def _read_bytes(buf: bytes, pos: int) -> tuple[bytes, int]:
+    n, pos = _zigzag_decode(buf, pos)
+    end = pos + n
+    return buf[pos:end], end
+
+
+def _read_string(buf: bytes, pos: int) -> tuple[str, int]:
+    n, pos = _zigzag_decode(buf, pos)
+    end = pos + n
+    return buf[pos:end].decode("utf-8"), end
+
+
+_PRIMITIVE_READERS: dict[str, Callable[[bytes, int], tuple[Any, int]]] = {
+    "null": _read_null,
+    "boolean": _read_boolean,
+    "int": _zigzag_decode,
+    "long": _zigzag_decode,
+    "float": _read_float,
+    "double": _read_double,
+    "string": _read_string,
+    "bytes": _read_bytes,
+}
+
+_Reader = Callable[[bytes, int], tuple[Any, int]]
+
+
+def _block_array_reader(read_item: _Reader) -> _Reader:
+    """Array block framing (varint count, items, ..., zero terminator;
+    negative count = block with byte-size prefix, spec-permitted)."""
+
+    def read_array(buf: bytes, pos: int) -> tuple[list, int]:
+        items: list = []
+        append = items.append
         while True:
             n, pos = _zigzag_decode(buf, pos)
             if n == 0:
@@ -210,9 +325,64 @@ def _decode(buf: bytes, pos: int, schema: Any) -> tuple[Any, int]:
                 _, pos = _zigzag_decode(buf, pos)
                 n = -n
             for _ in range(n):
-                k, pos = _decode(buf, pos, "string")
-                kv[k], pos = _decode(buf, pos, schema["values"])
+                it, pos = read_item(buf, pos)
+                append(it)
+        return items, pos
+
+    return read_array
+
+
+def _block_map_reader(read_value: _Reader) -> _Reader:
+    def read_map(buf: bytes, pos: int) -> tuple[dict, int]:
+        kv: dict = {}
+        while True:
+            n, pos = _zigzag_decode(buf, pos)
+            if n == 0:
+                break
+            if n < 0:
+                _, pos = _zigzag_decode(buf, pos)
+                n = -n
+            for _ in range(n):
+                k, pos = _read_string(buf, pos)
+                kv[k], pos = read_value(buf, pos)
         return kv, pos
+
+    return read_map
+
+
+def _compile_read(schema: Any) -> _Reader:
+    """Compile ``schema`` into ``read(buf, pos) -> (value, pos)`` with
+    no resolution (reader == writer)."""
+    schema = _norm(schema)
+    if isinstance(schema, list):
+        branches = tuple(_compile_read(b) for b in schema)
+
+        def read_union(buf: bytes, pos: int) -> tuple[Any, int]:
+            idx, pos = _zigzag_decode(buf, pos)
+            return branches[idx](buf, pos)
+
+        return read_union
+    if isinstance(schema, str):
+        rfn = _PRIMITIVE_READERS.get(schema)
+        if rfn is not None:
+            return rfn
+        raise TypeError(f"unsupported Avro schema {schema!r}")
+    if isinstance(schema, dict) and schema.get("type") == "record":
+        fields = tuple(
+            (f["name"], _compile_read(f["type"])) for f in schema["fields"]
+        )
+
+        def read_record(buf: bytes, pos: int) -> tuple[dict, int]:
+            rec = {}
+            for name, rfn in fields:
+                rec[name], pos = rfn(buf, pos)
+            return rec, pos
+
+        return read_record
+    if isinstance(schema, dict) and schema.get("type") == "array":
+        return _block_array_reader(_compile_read(schema["items"]))
+    if isinstance(schema, dict) and schema.get("type") == "map":
+        return _block_map_reader(_compile_read(schema["values"]))
     raise TypeError(f"unsupported Avro schema {schema!r}")
 
 
@@ -229,8 +399,10 @@ def _decode(buf: bytes, pos: int, schema: Any) -> tuple[Any, int]:
 #     float -> double, string <-> bytes
 #   - unions on either side: the writer's branch index picks the
 #     written schema, which is then resolved against the reader's
-#     first structurally-matching branch
+#     first matching branch (records match by name, per the spec)
 #   - arrays/maps resolve their item/value schemas recursively
+# All of the above is decided at COMPILE time; the per-record closures
+# carry no resolution logic.
 # --------------------------------------------------------------------------
 
 _PROMOTIONS = {
@@ -247,33 +419,32 @@ _PROMOTIONS = {
 
 def _resolvable(writer: Any, reader: Any) -> bool:
     """Can data written as ``writer`` be read as ``reader``?  (Shallow
-    structural check used to pick a reader-union branch.)"""
+    structural check used to pick a reader-union branch.)  Records
+    match by NAME per the spec's match-by-fullname rule — a reader
+    union with two record branches must pick by record name, not
+    first-record-wins — and arrays/maps recurse into items/values."""
     w, r = _norm(writer), _norm(reader)
     if isinstance(r, list):
         return any(_resolvable(w, rb) for rb in r)
     if isinstance(w, list):
-        # a writer union resolves if every branch could (spec resolves
+        # a writer union resolves if any branch could (spec resolves
         # per-datum, but for branch-picking any-match is enough)
         return any(_resolvable(wb, r) for wb in w)
     if isinstance(w, str) and isinstance(r, str):
         return r in _PROMOTIONS.get(w, set())
     if isinstance(w, dict) and isinstance(r, dict):
-        return w.get("type") == r.get("type")
+        wt, rt = w.get("type"), r.get("type")
+        if wt != rt:
+            return False
+        if wt == "record":
+            wn, rn = w.get("name"), r.get("name")
+            return wn is None or rn is None or wn == rn
+        if wt == "array":
+            return _resolvable(w.get("items"), r.get("items"))
+        if wt == "map":
+            return _resolvable(w.get("values"), r.get("values"))
+        return True
     return False
-
-
-def _promote(value: Any, writer: str, reader: str) -> Any:
-    if writer == reader or value is None:
-        return value
-    if reader in ("float", "double"):
-        return float(value)
-    if reader == "long":
-        return int(value)
-    if writer == "string" and reader == "bytes":
-        return value.encode("utf-8")
-    if writer == "bytes" and reader == "string":
-        return bytes(value).decode("utf-8")
-    return value
 
 
 def _default_value(schema: Any, default: Any) -> Any:
@@ -290,86 +461,157 @@ def _default_value(schema: Any, default: Any) -> Any:
     return default
 
 
-def _decode_resolved(
-    buf: bytes, pos: int, writer: Any, reader: Any
-) -> tuple[Any, int]:
+def _raising_reader(exc: Exception) -> _Reader:
+    """A compiled branch that fails only if a datum actually selects it
+    — a writer-union branch that cannot resolve to the reader must not
+    poison records written under the branches that can (the
+    interpreted decoder erred per-datum; compile keeps that)."""
+
+    def read(buf: bytes, pos: int) -> tuple[Any, int]:
+        raise exc
+
+    return read
+
+
+def _compile_resolved(writer: Any, reader: Any) -> _Reader:
+    """Compile a (writer, reader) schema pair into a resolving reader
+    closure.  Every resolution decision — union branch pairing, field
+    pairing/discard order, promotions, defaults — happens here, once
+    per schema pair, never per record."""
     writer, reader = _norm(writer), _norm(reader)
     if isinstance(writer, list):
-        idx, pos = _zigzag_decode(buf, pos)
-        return _decode_resolved(buf, pos, writer[idx], reader)
+        branches = []
+        for wb in writer:
+            try:
+                branches.append(_compile_resolved(wb, reader))
+            except (ValueError, TypeError) as exc:
+                branches.append(_raising_reader(exc))
+        branch_tab = tuple(branches)
+
+        def read_wunion(buf: bytes, pos: int) -> tuple[Any, int]:
+            idx, pos = _zigzag_decode(buf, pos)
+            return branch_tab[idx](buf, pos)
+
+        return read_wunion
     if isinstance(reader, list):
         for rb in reader:
             if _resolvable(writer, rb):
-                return _decode_resolved(buf, pos, writer, rb)
+                return _compile_resolved(writer, rb)
         raise ValueError(
             f"writer schema {writer!r} matches no reader union branch {reader!r}"
         )
     if isinstance(writer, str) and isinstance(reader, str):
         if reader not in _PROMOTIONS.get(writer, set()):
             raise ValueError(f"cannot promote {writer!r} to {reader!r}")
-        value, pos = _decode(buf, pos, writer)
-        return _promote(value, writer, reader), pos
+        if writer in ("int", "long") and reader in ("float", "double"):
+            def read_promoted(buf: bytes, pos: int) -> tuple[float, int]:
+                v, pos = _zigzag_decode(buf, pos)
+                return float(v), pos
+
+            return read_promoted
+        if writer in ("string", "bytes"):
+            # string<->bytes share the wire layout; only the output
+            # type differs, so read in the READER's type
+            return _PRIMITIVE_READERS[reader]
+        # the wire layout is always the WRITER's: float->double reads 4
+        # bytes (a Python float either way); int->long the same varint
+        return _PRIMITIVE_READERS[writer]
     if isinstance(writer, dict) and isinstance(reader, dict):
         wt, rt = writer.get("type"), reader.get("type")
         if wt != rt:
             raise ValueError(f"cannot resolve {wt!r} as {rt!r}")
         if wt == "record":
-            wfields = {f["name"]: f for f in writer["fields"]}
-            rec = {}
+            wn, rn = writer.get("name"), reader.get("name")
+            if wn is not None and rn is not None and wn != rn:
+                raise ValueError(
+                    f"cannot resolve record {wn!r} as {rn!r} (names must match)"
+                )
+            wnames = {f["name"] for f in writer["fields"]}
+            steps = []  # (reader field name | None-to-discard, reader fn)
             for wf in writer["fields"]:  # wire order = writer order
-                name = wf["name"]
                 rf = next(
-                    (f for f in reader["fields"] if f["name"] == name), None
+                    (f for f in reader["fields"] if f["name"] == wf["name"]),
+                    None,
                 )
                 if rf is None:  # writer-only: decode and discard
-                    _, pos = _decode(buf, pos, wf["type"])
+                    steps.append((None, _compile_read(wf["type"])))
                 else:
-                    rec[name], pos = _decode_resolved(
-                        buf, pos, wf["type"], rf["type"]
+                    steps.append(
+                        (wf["name"], _compile_resolved(wf["type"], rf["type"]))
                     )
+            defaults = []
             for rf in reader["fields"]:  # reader-only: defaults
-                if rf["name"] in wfields:
+                if rf["name"] in wnames:
                     continue
                 if "default" not in rf:
                     raise ValueError(
                         f"reader field {rf['name']!r} absent from writer "
                         "schema and has no default"
                     )
-                rec[rf["name"]] = _default_value(rf["type"], rf["default"])
-            return rec, pos
+                defaults.append(
+                    (rf["name"], _default_value(rf["type"], rf["default"]))
+                )
+            step_tab = tuple(steps)
+            default_tab = tuple(defaults)
+            # array/map defaults are mutable; hand each record a copy
+            copy_defaults = any(
+                isinstance(v, (list, dict)) for _, v in default_tab
+            )
+
+            def read_rrecord(buf: bytes, pos: int) -> tuple[dict, int]:
+                rec = {}
+                for name, rfn in step_tab:
+                    v, pos = rfn(buf, pos)
+                    if name is not None:
+                        rec[name] = v
+                for name, dv in default_tab:
+                    rec[name] = copy.deepcopy(dv) if copy_defaults else dv
+                return rec, pos
+
+            return read_rrecord
         if wt == "array":
-            items = []
-            while True:
-                n, pos = _zigzag_decode(buf, pos)
-                if n == 0:
-                    break
-                if n < 0:
-                    _, pos = _zigzag_decode(buf, pos)
-                    n = -n
-                for _ in range(n):
-                    it, pos = _decode_resolved(
-                        buf, pos, writer["items"], reader["items"]
-                    )
-                    items.append(it)
-            return items, pos
+            return _block_array_reader(
+                _compile_resolved(writer["items"], reader["items"])
+            )
         if wt == "map":
-            kv = {}
-            while True:
-                n, pos = _zigzag_decode(buf, pos)
-                if n == 0:
-                    break
-                if n < 0:
-                    _, pos = _zigzag_decode(buf, pos)
-                    n = -n
-                for _ in range(n):
-                    k, pos = _decode(buf, pos, "string")
-                    kv[k], pos = _decode_resolved(
-                        buf, pos, writer["values"], reader["values"]
-                    )
-            return kv, pos
+            return _block_map_reader(
+                _compile_resolved(writer["values"], reader["values"])
+            )
     raise TypeError(
         f"unsupported resolution: writer={writer!r} reader={reader!r}"
     )
+
+
+# --------------------------------------------------------------------------
+# compile caches — keyed by the schema JSON strings callers already
+# hold, so the hot path is one dict hit per call
+# --------------------------------------------------------------------------
+
+_ENCODER_CACHE: dict[str, Callable[[Any, bytearray], None]] = {}
+_DECODER_CACHE: dict[tuple[str, str | None], _Reader] = {}
+
+
+def _encoder(schema_json: str) -> Callable[[Any, bytearray], None]:
+    wfn = _ENCODER_CACHE.get(schema_json)
+    if wfn is None:
+        wfn = _compile_write(json.loads(schema_json))
+        _ENCODER_CACHE[schema_json] = wfn
+    return wfn
+
+
+def _decoder(
+    schema_json: str, reader_schema_json: str | None = None
+) -> _Reader:
+    key = (schema_json, reader_schema_json)
+    rfn = _DECODER_CACHE.get(key)
+    if rfn is None:
+        writer = json.loads(schema_json)
+        if reader_schema_json is None:
+            rfn = _compile_read(writer)
+        else:
+            rfn = _compile_resolved(writer, json.loads(reader_schema_json))
+        _DECODER_CACHE[key] = rfn
+    return rfn
 
 
 # --------------------------------------------------------------------------
@@ -379,7 +621,7 @@ def _decode_resolved(
 
 def encode_record(rec: dict, schema_json: str) -> bytes:
     out = bytearray()
-    _encode(rec, json.loads(schema_json), out)
+    _encoder(schema_json)(rec, out)
     return bytes(out)
 
 
@@ -389,16 +631,172 @@ def decode_record(
     """Decode one record.  With ``reader_schema_json`` the bytes are
     decoded under the WRITER schema and resolved into the READER's
     field set per the Avro spec's Schema Resolution rules."""
-    writer = json.loads(schema_json)
-    if reader_schema_json is None:
-        rec, pos = _decode(bytes(buf), 0, writer)
-    else:
-        rec, pos = _decode_resolved(
-            bytes(buf), 0, writer, json.loads(reader_schema_json)
-        )
+    buf = bytes(buf)
+    rec, pos = _decoder(schema_json, reader_schema_json)(buf, 0)
     if pos != len(buf):
         raise ValueError(f"trailing {len(buf) - pos} bytes after record")
     return rec
+
+
+# --------------------------------------------------------------------------
+# schema compatibility — the registration-time gate the reference's
+# Schema Registry service enforces BEFORE any consumer sees a new
+# schema version (/root/reference/docker-compose.yml:69-80; public
+# semantics: Confluent Schema Registry compatibility types, which are
+# themselves defined in terms of the Avro spec's Schema Resolution).
+#   BACKWARD:  a consumer on the NEW schema can read data written
+#              under the latest prior schema (delete fields / add
+#              fields with defaults are safe)
+#   FORWARD:   a consumer still on the latest PRIOR schema can read
+#              data written under the new one
+#   FULL:      both
+#   *_TRANSITIVE: same, checked against ALL prior versions
+#   NONE:      no check
+# --------------------------------------------------------------------------
+
+
+class IncompatibleSchemaError(ValueError):
+    """Raised when a schema registration violates the subject's
+    compatibility mode."""
+
+
+_COMPAT_MODES = (
+    "NONE",
+    "BACKWARD",
+    "FORWARD",
+    "FULL",
+    "BACKWARD_TRANSITIVE",
+    "FORWARD_TRANSITIVE",
+    "FULL_TRANSITIVE",
+)
+
+
+def _can_read(w: Any, r: Any) -> bool:
+    """Deep Schema-Resolution check: can EVERY datum written under
+    ``w`` be read under ``r``?  Stricter than :func:`_resolvable`
+    (which picks union branches shallowly): every writer-union branch
+    must be readable, record fields must pair or default, and nested
+    schemas are checked all the way down."""
+    w, r = _norm(w), _norm(r)
+    if isinstance(w, list):
+        return all(_can_read(wb, r) for wb in w)
+    if isinstance(r, list):
+        return any(_can_read(w, rb) for rb in r)
+    if isinstance(w, str) and isinstance(r, str):
+        return r in _PROMOTIONS.get(w, set())
+    if isinstance(w, dict) and isinstance(r, dict):
+        wt, rt = w.get("type"), r.get("type")
+        if wt != rt:
+            return False
+        if wt == "array":
+            return _can_read(w["items"], r["items"])
+        if wt == "map":
+            return _can_read(w["values"], r["values"])
+        if wt == "record":
+            wn, rn = w.get("name"), r.get("name")
+            if wn is not None and rn is not None and wn != rn:
+                return False
+            wfields = {f["name"]: f for f in w["fields"]}
+            for rf in r["fields"]:
+                wf = wfields.get(rf["name"])
+                if wf is not None:
+                    if not _can_read(wf["type"], rf["type"]):
+                        return False
+                elif "default" not in rf:
+                    return False  # reader-only field with no default
+            return True
+        return False
+    return False
+
+
+def reader_can_read(writer_schema_json: str, reader_schema_json: str) -> bool:
+    """Public deep-resolution check on schema JSON strings."""
+    return _can_read(
+        json.loads(writer_schema_json), json.loads(reader_schema_json)
+    )
+
+
+def check_compatibility(
+    new_schema_json: str,
+    prior_schema_jsons: list[str],
+    mode: str = "BACKWARD",
+) -> None:
+    """Raise :class:`IncompatibleSchemaError` if registering
+    ``new_schema_json`` after ``prior_schema_jsons`` (oldest first)
+    would violate ``mode`` — the write-side half of the registry
+    contract (the read side is :func:`decode_record`'s resolution)."""
+    if mode not in _COMPAT_MODES:
+        raise ValueError(f"unknown compatibility mode {mode!r}")
+    if mode == "NONE" or not prior_schema_jsons:
+        return
+    priors = (
+        prior_schema_jsons
+        if mode.endswith("_TRANSITIVE")
+        else prior_schema_jsons[-1:]
+    )
+    for prior_json in priors:
+        if mode.startswith(("BACKWARD", "FULL")) and not reader_can_read(
+            prior_json, new_schema_json
+        ):
+            raise IncompatibleSchemaError(
+                f"{mode}: a consumer on the new schema could not read "
+                f"data written under prior schema {prior_json}"
+            )
+        if mode.startswith(("FORWARD", "FULL")) and not reader_can_read(
+            new_schema_json, prior_json
+        ):
+            raise IncompatibleSchemaError(
+                f"{mode}: a consumer on prior schema {prior_json} could "
+                "not read data written under the new schema"
+            )
+
+
+class SchemaRegistry:
+    """In-memory analogue of the Schema Registry service the reference
+    deploys (/root/reference/docker-compose.yml:69-80): ``register``
+    enforces the subject's compatibility mode BEFORE assigning an id,
+    so an illegal evolution is rejected at registration time — no
+    consumer ever sees it.  Ids are global and sequential from 1, as
+    in the real service; re-registering a schema already under the
+    subject returns its existing id (idempotent producers)."""
+
+    def __init__(self, mode: str = "BACKWARD") -> None:
+        if mode not in _COMPAT_MODES:
+            raise ValueError(f"unknown compatibility mode {mode!r}")
+        self.mode = mode
+        self._subject_versions: dict[str, list[int]] = {}
+        self._schemas_by_id: dict[int, str] = {}
+        self._next_id = 1
+
+    def register(self, subject: str, schema_json: str) -> int:
+        versions = self._subject_versions.setdefault(subject, [])
+        parsed = json.loads(schema_json)
+        for sid in versions:
+            if json.loads(self._schemas_by_id[sid]) == parsed:
+                return sid
+        check_compatibility(
+            schema_json,
+            [self._schemas_by_id[s] for s in versions],
+            self.mode,
+        )
+        sid = self._next_id
+        self._next_id += 1
+        self._schemas_by_id[sid] = schema_json
+        versions.append(sid)
+        return sid
+
+    def get(self, schema_id: int) -> str | None:
+        """Schema JSON by global id (dict-compatible, so a
+        ``SchemaRegistry`` can stand wherever a ``{id: json}`` dict is
+        accepted, e.g. :func:`from_avro_confluent_py`)."""
+        return self._schemas_by_id.get(schema_id)
+
+    def latest(self, subject: str) -> tuple[int, str]:
+        sid = self._subject_versions[subject][-1]
+        return sid, self._schemas_by_id[sid]
+
+    def registry_dict(self) -> dict[int, str]:
+        return dict(self._schemas_by_id)
 
 
 # --------------------------------------------------------------------------
@@ -415,14 +813,16 @@ def to_avro_py(
     def _batches(iterator):
         import pandas as pd
 
+        write = _encoder(schema_json)
         for pdf in iterator:
-            vals = [
-                encode_record(
+            vals = []
+            for rec in pdf[cols].to_dict("records"):
+                out = bytearray()
+                write(
                     {c: (None if pd.isna(rec[c]) else rec[c]) for c in cols},
-                    schema_json,
+                    out,
                 )
-                for rec in pdf[cols].to_dict("records")
-            ]
+                vals.append(bytes(out))
             # drop BEFORE assign: out_col may shadow one of the encoded
             # input columns (e.g. encoding a column literally named
             # "value" into the "value" payload column)
@@ -434,36 +834,91 @@ def to_avro_py(
     return df.mapInPandas(_batches, schema=schema)
 
 
+def _decode_batches_fn(
+    value_col: str,
+    names: list[str],
+    keep: list[str],
+    tombstone_col: str | None,
+    decode_one,
+):
+    """Shared mapInPandas generator for the from_avro variants.
+    ``decode_one`` maps one non-null binary value to a record dict.
+    With ``tombstone_col``, null values become all-NULL rows flagged
+    true — Kafka tombstone semantics on the value column — instead of
+    an error; ``keep`` columns pass through beside the decoded fields
+    (the topic's key/offset metadata)."""
+
+    def _batches(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            decoded: dict[str, list] = {n: [] for n in names}
+            tombs: list[bool] = []
+            for b in pdf[value_col]:
+                if b is None and tombstone_col is not None:
+                    for n in names:
+                        decoded[n].append(None)
+                    tombs.append(True)
+                else:
+                    rec = decode_one(b)
+                    for n in names:
+                        decoded[n].append(rec[n])
+                    tombs.append(False)
+            data = {c: pdf[c].to_numpy() for c in keep}
+            data.update(decoded)
+            if tombstone_col is not None:
+                data[tombstone_col] = tombs
+            yield pd.DataFrame(data)
+
+    return _batches
+
+
+def _decoded_ddl(
+    df: DataFrame,
+    field_types: str,
+    keep: list[str],
+    tombstone_col: str | None,
+) -> str:
+    dtypes = dict(df.dtypes)
+    parts = [f"{c} {dtypes[c]}" for c in keep]
+    parts.append(field_types)
+    if tombstone_col is not None:
+        parts.append(f"{tombstone_col} boolean")
+    return ", ".join(parts)
+
+
 def from_avro_py(
     df: DataFrame,
     value_col: str,
     schema_json: str,
     field_types: str,
     reader_schema_json: str | None = None,
+    keep: list[str] | None = None,
+    tombstone_col: str | None = None,
 ) -> DataFrame:
     """Decode an Avro binary value column back into typed columns.
     ``field_types`` is the Spark DDL for the decoded fields (the
     StructType the Schema-Registry schema maps to).  Pass
     ``reader_schema_json`` to read bytes written under an older
     (writer) schema, resolved per the Avro spec — ``field_types`` then
-    describes the READER's field set."""
+    describes the READER's field set.  ``keep`` columns (the topic's
+    key/offset metadata) pass through unchanged; with
+    ``tombstone_col``, a NULL value decodes to an all-NULL row flagged
+    true (Kafka tombstone) instead of erroring."""
     from pyspark.sql.types import StructType
 
     # parse the DDL properly: splitting on "," mangles nested types
     # like map<string,int> or decimal(10,2)
     names = [f.name for f in StructType.fromDDL(field_types).fields]
+    keep = list(keep or [])
 
-    def _batches(iterator):
-        import pandas as pd
+    def decode_one(b):
+        return decode_record(b, schema_json, reader_schema_json)
 
-        for pdf in iterator:
-            recs = [
-                decode_record(b, schema_json, reader_schema_json)
-                for b in pdf[value_col]
-            ]
-            yield pd.DataFrame({n: [r[n] for r in recs] for n in names})
-
-    return df.mapInPandas(_batches, schema=field_types)
+    return df.mapInPandas(
+        _decode_batches_fn(value_col, names, keep, tombstone_col, decode_one),
+        schema=_decoded_ddl(df, field_types, keep, tombstone_col),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -480,16 +935,15 @@ _MAGIC = 0
 
 
 def encode_confluent(rec: dict, schema_json: str, schema_id: int) -> bytes:
-    return (
-        bytes([_MAGIC])
-        + int(schema_id).to_bytes(4, "big")
-        + encode_record(rec, schema_json)
-    )
+    out = bytearray([_MAGIC])
+    out += int(schema_id).to_bytes(4, "big")
+    _encoder(schema_json)(rec, out)
+    return bytes(out)
 
 
 def decode_confluent(
     buf: bytes,
-    registry: dict[int, str],
+    registry: dict[int, str] | SchemaRegistry,
     reader_schema_json: str | None = None,
 ) -> dict:
     """Decode one registry-framed record: writer schema looked up by the
@@ -501,7 +955,10 @@ def decode_confluent(
     writer = registry.get(schema_id)
     if writer is None:
         raise KeyError(f"schema id {schema_id} not in registry")
-    return decode_record(buf[5:], writer, reader_schema_json)
+    rec, pos = _decoder(writer, reader_schema_json)(buf, 5)
+    if pos != len(buf):
+        raise ValueError(f"trailing {len(buf) - pos} bytes after record")
+    return rec
 
 
 def to_avro_confluent_py(
@@ -512,19 +969,21 @@ def to_avro_confluent_py(
     out_col: str = "value",
 ) -> DataFrame:
     """Registry-framed variant of :func:`to_avro_py`."""
+    prefix = bytes([_MAGIC]) + int(schema_id).to_bytes(4, "big")
 
     def _batches(iterator):
         import pandas as pd
 
+        write = _encoder(schema_json)
         for pdf in iterator:
-            vals = [
-                encode_confluent(
+            vals = []
+            for rec in pdf[cols].to_dict("records"):
+                out = bytearray(prefix)
+                write(
                     {c: (None if pd.isna(rec[c]) else rec[c]) for c in cols},
-                    schema_json,
-                    schema_id,
+                    out,
                 )
-                for rec in pdf[cols].to_dict("records")
-            ]
+                vals.append(bytes(out))
             yield pdf.drop(columns=cols).assign(**{out_col: vals})
 
     keep = [c for c in df.columns if c not in cols]
@@ -536,26 +995,30 @@ def to_avro_confluent_py(
 def from_avro_confluent_py(
     df: DataFrame,
     value_col: str,
-    registry: dict[int, str],
+    registry: dict[int, str] | SchemaRegistry,
     field_types: str,
     reader_schema_json: str | None = None,
+    keep: list[str] | None = None,
+    tombstone_col: str | None = None,
 ) -> DataFrame:
     """Registry-framed variant of :func:`from_avro_py`: each record's
     writer schema is dispatched PER RECORD by the embedded schema id,
     so one topic can mix records produced before and after a schema
-    upgrade — the exact consumer contract Schema Registry provides."""
+    upgrade — the exact consumer contract Schema Registry provides.
+    ``keep``/``tombstone_col`` as in :func:`from_avro_py` (a Kafka
+    tombstone is a record whose VALUE is null while key/offset
+    metadata remain)."""
     from pyspark.sql.types import StructType
 
     names = [f.name for f in StructType.fromDDL(field_types).fields]
+    keep = list(keep or [])
+    if isinstance(registry, SchemaRegistry):
+        registry = registry.registry_dict()  # plain dict pickles lean
 
-    def _batches(iterator):
-        import pandas as pd
+    def decode_one(b):
+        return decode_confluent(b, registry, reader_schema_json)
 
-        for pdf in iterator:
-            recs = [
-                decode_confluent(b, registry, reader_schema_json)
-                for b in pdf[value_col]
-            ]
-            yield pd.DataFrame({n: [r[n] for r in recs] for n in names})
-
-    return df.mapInPandas(_batches, schema=field_types)
+    return df.mapInPandas(
+        _decode_batches_fn(value_col, names, keep, tombstone_col, decode_one),
+        schema=_decoded_ddl(df, field_types, keep, tombstone_col),
+    )
