@@ -5776,13 +5776,18 @@ def q_streaming_avro_evolution(spark, sf):
     rows, so a wrong dispatch, a mis-resolved field, or a default
     applied to the wrong version hash-mismatches.  This is the
     consumer contract the reference's registry service provides
-    (/root/reference/README.md:389, docker-compose.yml:69-80).
+    (/root/reference/README.md:389, docker-compose.yml:69-80) — and
+    the WRITE side of that contract gates this entry too: v2 is
+    registered through SchemaRegistry under BACKWARD mode, so an
+    illegal evolution (e.g. src_ver without its default) would be
+    rejected at registration time, before any record is produced.
     Per-record dispatch is CPU in the same Arrow batch — no extra
     shuffle; the registry dict is a broadcast-sized constant."""
     import json as _json
     import tempfile
 
     from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.sources.avro_codec import (
+        SchemaRegistry,
         from_avro_confluent_py,
         to_avro_confluent_py,
     )
@@ -5811,6 +5816,9 @@ def q_streaming_avro_evolution(spark, sf):
             ],
         }
     )
+    registry = SchemaRegistry(mode="BACKWARD")
+    id1 = registry.register("events-value", v1)
+    id2 = registry.register("events-value", v2)  # gated: BACKWARD-legal
     topic = tempfile.mkdtemp(prefix="avro_evo_topic_")
     ev = _events(spark, sf).select("user_id", "event_type", "value")
     old = ev.filter(F.col("user_id") % 2 == 0)
@@ -5818,16 +5826,16 @@ def q_streaming_avro_evolution(spark, sf):
         "src_ver", F.lit("v2")
     )
     to_avro_confluent_py(
-        old, ["user_id", "event_type", "value"], v1, 1
+        old, ["user_id", "event_type", "value"], v1, id1
     ).write.mode("overwrite").parquet(topic)
     to_avro_confluent_py(
-        new, ["event_type", "src_ver", "user_id", "value"], v2, 2
+        new, ["event_type", "src_ver", "user_id", "value"], v2, id2
     ).write.mode("append").parquet(topic)
     stream = spark.readStream.schema("value binary").parquet(topic)
     dec = from_avro_confluent_py(
         stream,
         "value",
-        {1: v1, 2: v2},
+        registry,
         "event_type string, src_ver string, user_id long, value double",
         reader_schema_json=v2,
     )
@@ -5839,6 +5847,111 @@ def q_streaming_avro_evolution(spark, sf):
     )
     _run_to_memory(agg, "streaming_avro_evolution", "complete")
     return spark.table("streaming_avro_evolution")
+
+
+@_q(
+    "streaming_avro_tombstone",
+    """
+    WITH ch AS (
+      SELECT user_id, event_type, value, event_id AS _offset,
+             (event_type = 'error') AS __deleted
+      FROM events)
+    SELECT user_id,
+           max_by(event_type, _offset) AS latest_event_type,
+           max_by(value, _offset)      AS latest_value,
+           max(_offset)                AS _offset
+    FROM ch GROUP BY user_id
+    HAVING NOT max_by(__deleted, _offset)
+    """,
+)
+def q_streaming_avro_tombstone(spark, sf):
+    """Kafka tombstones through the AVRO transport, end-to-end: the
+    reference keeps tombstones on its topics (drop.tombstones=false,
+    /root/reference/README.md:363) so the delete signal reaches the
+    keyed sink as a record with a LIVE key and a NULL value.  Here the
+    topic's records are Schema-Registry-framed Avro values beside
+    key/offset metadata; 'error' events are produced as tombstones
+    (value IS NULL).  The streaming consumer decodes each micro-batch
+    in-flight (from_avro_confluent_py with tombstone_col: null values
+    become flagged all-NULL rows, key/offset pass through) and feeds
+    the keyed-upsert MERGE, whose tombstone propagation drops the key
+    from state — the same delete path the CDC file entries exercise,
+    now on the reference's actual transport encoding.  The oracle
+    replays changelog compaction + tombstone drop on the ORIGINAL
+    rows, so a tombstone that fails to delete (or deletes the wrong
+    key) hash-mismatches.  Scale shape: decode is Arrow-batched
+    value-column CPU, the MERGE shuffles once on the key."""
+    import json as _json
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.sources.avro_codec import (
+        SchemaRegistry,
+        from_avro_confluent_py,
+        to_avro_confluent_py,
+    )
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.upsert import (
+        keyed_upsert_sink,
+        read_state,
+    )
+
+    sch = _json.dumps(
+        {
+            "type": "record",
+            "name": "value",
+            "fields": [
+                {"name": "event_type", "type": "string"},
+                {"name": "value", "type": ["null", "double"]},
+            ],
+        }
+    )
+    registry = SchemaRegistry(mode="BACKWARD")
+    sid = registry.register("events-value", sch)
+    ev = _events(spark, sf).select(
+        "user_id", F.col("event_id").alias("_offset"), "event_type", "value"
+    )
+    live = to_avro_confluent_py(
+        ev.filter(F.col("event_type") != "error"),
+        ["event_type", "value"],
+        sch,
+        sid,
+    )
+    tombs = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "_offset", F.lit(None).cast("binary").alias("value")
+    )
+    topic = tempfile.mkdtemp(prefix="avro_tomb_topic_")
+    live.unionByName(tombs).write.mode("overwrite").parquet(topic)
+
+    stream = spark.readStream.schema(
+        "user_id long, _offset long, value binary"
+    ).parquet(topic)
+    flat = from_avro_confluent_py(
+        stream,
+        "value",
+        registry,
+        "event_type string, value double",
+        keep=["user_id", "_offset"],
+        tombstone_col="__deleted",
+    )
+    state_dir = tempfile.mkdtemp(prefix="avro_tomb_state_")
+    with _stream_partitions(spark):
+        q = (
+            flat.writeStream.outputMode("append")
+            .foreachBatch(
+                keyed_upsert_sink(
+                    state_dir, keys=["user_id"], offset_col="_offset"
+                )
+            )
+            .option("checkpointLocation", f"{state_dir}/_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return read_state(spark, state_dir).select(
+        "user_id",
+        F.col("event_type").alias("latest_event_type"),
+        F.col("value").alias("latest_value"),
+        "_offset",
+    )
 
 
 _PULL_KEYS = [3, 17, 42, 88, 131]

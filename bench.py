@@ -145,6 +145,8 @@ HEADLINE = [
     # round 6 additions
     "avro_schema_evolution",
     "streaming_avro_evolution",
+    # round 7 additions
+    "streaming_avro_tombstone",
 ]
 
 

@@ -311,3 +311,189 @@ def test_confluent_envelope_golden_bytes_and_mixed_topic(spark):
         enc, "value", reg, "tag string, id long", reader_schema_json=s2)
     got = {r.id: r.tag for r in out.collect()}
     assert got == {0: "old", 1: "old", 2: "old", 3: "new", 4: "new"}
+
+
+# --------------------------------------------------------------------------
+# compatibility-mode enforcement (the registry's write-side gate) and
+# the round-7 codec hardening: numpy scalar unions, record-name union
+# branch picking, tombstone-aware DataFrame decode.
+# --------------------------------------------------------------------------
+
+
+def _sch(fields):
+    return json.dumps({"type": "record", "name": "subj", "fields": fields})
+
+
+def test_check_compatibility_backward():
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.sources.avro_codec import (
+        IncompatibleSchemaError,
+        check_compatibility,
+    )
+
+    v1 = _sch([{"name": "id", "type": "int"},
+               {"name": "age", "type": "int"}])
+    # BACKWARD-compatible: drop a field, add one WITH a default,
+    # promote int -> long
+    ok = _sch([{"name": "id", "type": "long"},
+               {"name": "country", "type": "string", "default": "xx"}])
+    check_compatibility(ok, [v1], "BACKWARD")
+    # BACKWARD-incompatible: new reader field without a default
+    bad = _sch([{"name": "id", "type": "int"},
+                {"name": "country", "type": "string"}])
+    with pytest.raises(IncompatibleSchemaError, match="BACKWARD"):
+        check_compatibility(bad, [v1], "BACKWARD")
+    # ... and an illegal demotion long -> int
+    v1l = _sch([{"name": "id", "type": "long"}])
+    bad2 = _sch([{"name": "id", "type": "int"}])
+    with pytest.raises(IncompatibleSchemaError, match="BACKWARD"):
+        check_compatibility(bad2, [v1l], "BACKWARD")
+
+
+def test_check_compatibility_forward_and_full():
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.sources.avro_codec import (
+        IncompatibleSchemaError,
+        check_compatibility,
+    )
+
+    v1 = _sch([{"name": "id", "type": "int"},
+               {"name": "age", "type": "int", "default": 0}])
+    # FORWARD-compatible: new schema ADDS a field (old reader discards
+    # it); dropping "age" is also forward-OK because old reader has a
+    # default for it
+    add = _sch([{"name": "id", "type": "int"},
+                {"name": "age", "type": "int", "default": 0},
+                {"name": "extra", "type": "string"}])
+    check_compatibility(add, [v1], "FORWARD")
+    # FORWARD-incompatible: dropping a field the old reader requires
+    v1_req = _sch([{"name": "id", "type": "int"},
+                   {"name": "name", "type": "string"}])
+    drop = _sch([{"name": "id", "type": "int"}])
+    with pytest.raises(IncompatibleSchemaError, match="FORWARD"):
+        check_compatibility(drop, [v1_req], "FORWARD")
+    # FULL requires both directions: adding a defaulted field passes,
+    # adding a non-defaulted one fails the BACKWARD half
+    both = _sch([{"name": "id", "type": "int"},
+                 {"name": "age", "type": "int", "default": 0},
+                 {"name": "tag", "type": "string", "default": "x"}])
+    check_compatibility(both, [v1], "FULL")
+    nofull = _sch([{"name": "id", "type": "int"},
+                   {"name": "tag", "type": "string"}])
+    with pytest.raises(IncompatibleSchemaError):
+        check_compatibility(nofull, [v1], "FULL")
+
+
+def test_check_compatibility_transitive_vs_latest_only():
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.sources.avro_codec import (
+        IncompatibleSchemaError,
+        check_compatibility,
+    )
+
+    v1 = _sch([{"name": "a", "type": "int"}])
+    v2 = _sch([{"name": "a", "type": "int"},
+               {"name": "b", "type": "int", "default": 0}])
+    # v3 reads v2 (b has default there) but NOT v1 (c lacks a default
+    # and v1 never had it... construct: c required, present in v2 only)
+    v2c = _sch([{"name": "a", "type": "int"},
+                {"name": "c", "type": "int", "default": 0}])
+    v3 = _sch([{"name": "a", "type": "int"},
+               {"name": "c", "type": "int"}])  # c now REQUIRED, no default
+    # plain BACKWARD checks only the latest prior (v2c): c pairs by
+    # name, compatible
+    check_compatibility(v3, [v1, v2c], "BACKWARD")
+    # transitive also checks v1, where c is absent and has no default
+    with pytest.raises(IncompatibleSchemaError, match="BACKWARD_TRANSITIVE"):
+        check_compatibility(v3, [v1, v2c], "BACKWARD_TRANSITIVE")
+
+
+def test_schema_registry_gates_registration():
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.sources.avro_codec import (
+        IncompatibleSchemaError,
+        SchemaRegistry,
+        decode_confluent,
+        encode_confluent,
+    )
+
+    reg = SchemaRegistry(mode="BACKWARD")
+    v1 = _sch([{"name": "id", "type": "int"}])
+    v2 = _sch([{"name": "id", "type": "long"},
+               {"name": "tag", "type": "string", "default": "t"}])
+    bad = _sch([{"name": "id", "type": "int"},
+                {"name": "req", "type": "string"}])
+    id1 = reg.register("topic-value", v1)
+    assert id1 == 1
+    # idempotent re-registration returns the same id
+    assert reg.register("topic-value", v1) == 1
+    with pytest.raises(IncompatibleSchemaError):
+        reg.register("topic-value", bad)
+    id2 = reg.register("topic-value", v2)
+    assert id2 == 2 and reg.latest("topic-value") == (2, v2)
+    # the registry object itself serves decode_confluent lookups
+    buf = encode_confluent({"id": 5}, v1, id1)
+    assert decode_confluent(buf, reg, v2) == {"id": 5, "tag": "t"}
+    # unknown modes rejected loudly
+    with pytest.raises(ValueError, match="mode"):
+        SchemaRegistry(mode="SIDEWAYS")
+
+
+def test_union_branch_accepts_numpy_scalars():
+    """to_dict('records') yields np.int64/np.bool_, which are NOT
+    subclasses of int/bool — the union matcher must unwrap them."""
+    np = pytest.importorskip("numpy")
+    s = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "v", "type": ["null", "long"]},
+        {"name": "b", "type": ["null", "boolean"]},
+        {"name": "f", "type": ["null", "float"]}]})
+    rec = {"v": np.int64(7), "b": np.bool_(True), "f": np.float32(1.5)}
+    assert decode_record(encode_record(rec, s), s) == {
+        "v": 7, "b": True, "f": 1.5}
+
+
+def test_reader_union_record_branches_matched_by_name():
+    """A reader union with two record branches must pick by record
+    NAME (spec match-by-fullname), not first-record-wins."""
+    cat = {"type": "record", "name": "cat", "fields": [
+        {"name": "meow", "type": "int"}]}
+    dog = {"type": "record", "name": "dog", "fields": [
+        {"name": "woof", "type": "int"}]}
+    w = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "pet", "type": dog}]})
+    r = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "pet", "type": [cat, dog]}]})
+    buf = encode_record({"pet": {"woof": 3}}, w)
+    assert decode_record(buf, w, r) == {"pet": {"woof": 3}}
+    # mismatched record names refuse to resolve rather than silently
+    # decoding the wrong branch
+    r_only_cat = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "pet", "type": [cat]}]})
+    with pytest.raises(ValueError, match="union branch"):
+        decode_record(buf, w, r_only_cat)
+
+
+def test_from_avro_py_tombstones_and_keep_columns(spark):
+    """A Kafka tombstone (null VALUE, live key/offset metadata) decodes
+    to an all-NULL row flagged in tombstone_col, with keep= columns
+    passing through beside the decoded fields."""
+    s = json.dumps({"type": "record", "name": "v", "fields": [
+        {"name": "name", "type": "string"},
+        {"name": "score", "type": ["null", "double"]}]})
+    rows = [
+        (1, 10, encode_record({"name": "a", "score": 1.5}, s)),
+        (2, 11, None),  # tombstone for key 2
+        (1, 12, encode_record({"name": "b", "score": None}, s)),
+    ]
+    df = spark.createDataFrame(rows, "k long, _offset long, value binary")
+    out = from_avro_py(
+        df, "value", s, "name string, score double",
+        keep=["k", "_offset"], tombstone_col="__deleted",
+    ).collect()
+    got = {r._offset: (r.k, r.name, r.score, r["__deleted"]) for r in out}
+    assert got == {
+        10: (1, "a", 1.5, False),
+        11: (2, None, None, True),
+        12: (1, "b", None, False),
+    }
+    # without tombstone_col a null value is still a loud error
+    with pytest.raises(Exception, match="(?i)nonetype|framed|null"):
+        from_avro_py(
+            df, "value", s, "name string, score double", keep=["k"]
+        ).collect()

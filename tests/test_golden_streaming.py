@@ -576,3 +576,68 @@ def test_streaming_embdedup_batch_split_invariant(spark, tmp_path):
     assert (2, 0) in flags_all          # exact dup, same batch
     assert (4, 0) in flags_all          # near-dup across the batch cut
     assert (5, 1) in flags_all          # exact dup across the batch cut
+
+
+def test_avro_tombstone_deletes_key_through_topic(spark, tmp_path):
+    """drop.tombstones=false end-to-end on the Avro transport
+    (README.md:363): a Schema-Registry-framed topic carries a record
+    then a tombstone (null VALUE, live key) for key 2 — across TWO
+    availableNow rounds against the same checkpoint — and the keyed
+    upsert state drops the key; a later re-insert resurrects it."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.sources.avro_codec import (
+        SchemaRegistry,
+        encode_confluent,
+        from_avro_confluent_py,
+    )
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.upsert import (
+        keyed_upsert_sink,
+        read_state,
+    )
+
+    sch = _json.dumps({"type": "record", "name": "v", "fields": [
+        {"name": "name", "type": "string"}]})
+    reg = SchemaRegistry()
+    sid = reg.register("t-value", sch)
+    topic = tmp_path / "topic"
+    state = tmp_path / "state"
+    topic.mkdir()
+
+    def produce(fname, rows, mtime):
+        df = spark.createDataFrame(rows, "k long, _offset long, value binary")
+        out = str(topic / fname)
+        df.coalesce(1).write.mode("overwrite").parquet(out)
+        os.utime(out, (mtime, mtime))  # deterministic file->batch order
+
+    def run_round():
+        q = (
+            from_avro_confluent_py(
+                spark.readStream.schema("k long, _offset long, value binary")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(topic) + "/*"),
+                "value", reg, "name string",
+                keep=["k", "_offset"], tombstone_col="__deleted",
+            )
+            .writeStream.outputMode("append")
+            .foreachBatch(keyed_upsert_sink(str(state), keys=["k"],
+                                            offset_col="_offset"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        st = read_state(spark, str(state))
+        return {} if st is None else {r.k: r.name for r in st.collect()}
+
+    enc = lambda rec: encode_confluent(rec, sch, sid)  # noqa: E731
+    produce("seed", [(1, 10, enc({"name": "a"})), (2, 11, enc({"name": "b"}))],
+            1_000_000)
+    assert run_round() == {1: "a", 2: "b"}
+    # round 2: tombstone for key 2, then a re-insert of key 2 later
+    produce("tomb", [(2, 12, None)], 1_000_100)
+    assert run_round() == {1: "a"}  # tombstone deleted the key
+    produce("back", [(2, 13, enc({"name": "b2"}))], 1_000_200)
+    assert run_round() == {1: "a", 2: "b2"}  # later insert resurrects
