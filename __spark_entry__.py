@@ -79,6 +79,23 @@ _CLUSTER_CACHE: dict[tuple[str, str], str] = {}
 _STAGE_CACHE: dict[tuple[str, str, str], str] = {}
 
 
+def _cleanup_stage_snapshots() -> None:
+    """Memo snapshots are keyed by applicationId, so none outlives this
+    process usefully — remove them on exit, or every bench/test session
+    strands a fresh set of /tmp parquet dirs on long-lived hosts."""
+    import shutil
+
+    for path in [*_STAGE_CACHE.values(), *_CLUSTER_CACHE.values()]:
+        shutil.rmtree(path, ignore_errors=True)
+    _STAGE_CACHE.clear()
+    _CLUSTER_CACHE.clear()
+
+
+import atexit as _atexit
+
+_atexit.register(_cleanup_stage_snapshots)
+
+
 def _stage_memo(spark: SparkSession, sf: str, name: str, build) -> DataFrame:
     """Materialize a derived stage ONCE per (Spark application, sf dir)
     as a parquet snapshot and read it back for every consumer — the
@@ -106,20 +123,30 @@ def _stage_memo(spark: SparkSession, sf: str, name: str, build) -> DataFrame:
 def _ann_ivf_assigned(spark: SparkSession, sf: str) -> DataFrame:
     """IVF assignment index (vec_id, embedding, centroid_id), shared by
     ann_ivf_topk / ann_ivf_pq_topk / ann_rank_fusion — previously each
-    re-ran the broadcast-expansion assignment from scratch."""
+    re-ran the broadcast-expansion assignment from scratch.  Index
+    parameters are part of the memo name: a call site wanting a
+    different stride gets a different snapshot, never a silently
+    mismatched one."""
+    stride = 50
     return _stage_memo(
-        spark, sf, "ivf_assigned",
-        lambda: similarity.ivf_assign(_embeddings(spark, sf)),
+        spark, sf, f"ivf_assigned_s{stride}",
+        lambda: similarity.ivf_assign(
+            _embeddings(spark, sf), centroid_stride=stride
+        ),
     )
 
 
 def _ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """LSH bucket index (vec_id, embedding, table_idx, bucket), shared
     by ann_lsh_topk / ann_rank_fusion / recall evals / the pair
-    histogram — previously each re-ran the sign-bit GEMM."""
+    histogram — previously each re-ran the sign-bit GEMM.  n_tables is
+    folded into the memo name (see _ann_ivf_assigned)."""
+    n_tables = similarity.LSH_TABLES
     return _stage_memo(
-        spark, sf, "lsh_buckets",
-        lambda: similarity.lsh_bucketize(_embeddings(spark, sf)),
+        spark, sf, f"lsh_buckets_t{n_tables}",
+        lambda: similarity.lsh_bucketize(
+            _embeddings(spark, sf), n_tables=n_tables
+        ),
     )
 
 
@@ -11531,8 +11558,12 @@ _EMB_BARE = _re.compile(
     rf"FROM embeddings\b(?!\s*(?:AS\s)?[A-Za-z_])|FROM embeddings\b(?=\s*{_EMB_KW})",
     _re.IGNORECASE,
 )
+# Risky = the BARE table name followed by a true alias.  A longer
+# identifier (`FROM embeddings_meta`) is a different table: \b keeps it
+# out of both patterns, so it is simply left untouched rather than
+# crashing the module at import.
 _EMB_RISKY = _re.compile(
-    rf"FROM embeddings(?:\w|\s+(?!{_EMB_KW})(?:AS\s+)?[A-Za-z_])",
+    rf"FROM embeddings\b\s+(?!{_EMB_KW})(?:AS\s+)?[A-Za-z_]",
     _re.IGNORECASE,
 )
 for _name, (_fn, _sql) in list(_REGISTRY.items()):
