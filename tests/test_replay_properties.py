@@ -28,11 +28,9 @@ import pyspark.sql.functions as F  # noqa: F401  (kept for parity with sibling f
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-_SETTINGS = settings(
-    max_examples=10,
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
-)
+from replay_profile import replay_settings
+
+_SETTINGS = replay_settings(10)
 
 
 def _r6(x: float) -> float:

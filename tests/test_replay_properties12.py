@@ -15,16 +15,14 @@ import math
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from replay_profile import replay_settings
+
 from test_replay_properties import _entry, _r6, _write_documents
 from test_replay_properties3 import _cos, _write_embeddings
 from test_replay_properties4 import _bucket
 from test_replay_properties5 import _dedup_docs, _perdoc, _verified_pairs
 
-_SETTINGS = settings(
-    max_examples=10,
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
-)
+_SETTINGS = replay_settings(10)
 
 
 def _lsh_planes(n_tables=4, n_planes=8, dim=64):

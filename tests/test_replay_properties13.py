@@ -17,6 +17,8 @@ import tempfile
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from replay_profile import replay_settings
+
 from test_replay_properties import (
     _entry,
     _mk_events,
@@ -26,11 +28,7 @@ from test_replay_properties import (
 from test_replay_properties4 import _bucket
 from test_replay_properties5 import _components, _perdoc, _verified_pairs
 
-_SETTINGS = settings(
-    max_examples=10,
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
-)
+_SETTINGS = replay_settings(10)
 
 _BASE = dt.datetime(2024, 1, 1)
 
@@ -316,3 +314,27 @@ def test_corpus_build_pipeline_matches_replay(spark, docs):
         for r in _entry("corpus_build_pipeline")(spark, tmp).collect()
     }
     assert got == want, (docs, got, want)
+
+
+@given(raw=_ev_rows)
+@replay_settings(5)
+def test_streaming_avro_tombstone_matches_naive(spark, raw):
+    """The Avro-topic tombstone entry vs a direct changelog fold: per
+    user keep the max-offset row, drop users whose winning row is an
+    'error' (produced on the topic as a tombstone — live key, NULL
+    value).  One pipeline covers topic encode -> per-record Confluent
+    decode (null value = flagged delete) -> keyed upsert MERGE, so a
+    tombstone that fails to delete, deletes the wrong key, or loses a
+    later re-insert shows up as a wrong surviving-key map."""
+    rows = _mk_events(raw)
+    tmp = _write_events(spark, rows)
+    got = {
+        r.user_id: (r.latest_event_type, r.latest_value, r._offset)
+        for r in _entry("streaming_avro_tombstone")(spark, tmp).collect()
+    }
+    latest: dict = {}
+    for i, _ts, u, t, v in rows:
+        if u not in latest or i > latest[u][0]:
+            latest[u] = (i, t, v)
+    want = {u: (t, v, i) for u, (i, t, v) in latest.items() if t != "error"}
+    assert got == want, (got, want)

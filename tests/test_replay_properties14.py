@@ -16,14 +16,12 @@ import math
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from replay_profile import replay_settings
+
 from test_replay_properties import _entry
 from test_replay_properties3 import _write_embeddings
 
-_SETTINGS = settings(
-    max_examples=8,
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
-)
+_SETTINGS = replay_settings(8)
 
 _STRIDE, _NPROBE, _NQ, _K = 50, 2, 10, 5
 _SUBS, _DSUB, _CODES, _CW_STRIDE = 8, 8, 8, 25

@@ -18,14 +18,12 @@ import math
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from replay_profile import replay_settings
+
 from test_replay_properties import _entry, _mk_events, _write_events
 from test_replay_properties4 import _write_docs_src
 
-_SETTINGS = settings(
-    max_examples=5,
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
-)
+_SETTINGS = replay_settings(5)
 
 def _norm(v):
     if isinstance(v, float):

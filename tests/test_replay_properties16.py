@@ -19,16 +19,14 @@ import tempfile
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from replay_profile import replay_settings
+
 from test_replay_properties import _entry, _r6, _write_documents, _write_events
 from test_replay_properties5 import _perdoc, _verified_pairs, _dedup_docs
 from test_replay_properties12 import _cos, _lsh_buckets, _vecs64
 from test_replay_properties3 import _write_embeddings
 
-_SETTINGS = settings(
-    max_examples=5,
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
-)
+_SETTINGS = replay_settings(5)
 
 _BASE = dt.datetime(2024, 1, 1)
 _EPOCH = dt.datetime(1970, 1, 1)

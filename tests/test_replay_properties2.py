@@ -22,6 +22,8 @@ import re
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from replay_profile import replay_settings
+
 from test_replay_properties import (
     _entry,
     _pred_lang,
@@ -31,11 +33,7 @@ from test_replay_properties import (
     _write_orders,
 )
 
-_SETTINGS = settings(
-    max_examples=10,
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
-)
+_SETTINGS = replay_settings(10)
 
 _BASE = dt.datetime(2024, 1, 1)  # a Monday — week truncation lands here
 

@@ -16,6 +16,8 @@ import tempfile
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from replay_profile import replay_settings
+
 from test_replay_properties import (
     _entry,
     _r6,
@@ -23,11 +25,7 @@ from test_replay_properties import (
 )
 from test_replay_properties3 import _cos, _vecs8, _dense, _write_embeddings
 
-_SETTINGS = settings(
-    max_examples=10,
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
-)
+_SETTINGS = replay_settings(10)
 
 _BASE = dt.datetime(2024, 1, 1)
 

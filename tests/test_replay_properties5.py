@@ -17,16 +17,14 @@ import hashlib
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from replay_profile import replay_settings
+
 from test_replay_properties import _entry, _r6, _write_documents
 from test_replay_properties import _quality
 from test_replay_properties2 import _norm
 from test_replay_properties4 import _bucket
 
-_SETTINGS = settings(
-    max_examples=10,
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
-)
+_SETTINGS = replay_settings(10)
 
 # the documented minhash constant recipe (operators/dedup.py docstring):
 # per function i, a = (md5("minhash-a-i")[:8] big-endian % 2^31) | 1,

@@ -14,15 +14,13 @@ import tempfile
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from replay_profile import replay_settings
+
 from test_replay_properties import _entry, _r6
 from test_replay_properties3 import _cos, _write_embeddings
 from test_replay_properties4 import _md5hex, _write_docs_src
 
-_SETTINGS = settings(
-    max_examples=10,
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
-)
+_SETTINGS = replay_settings(10)
 
 
 def _r0(x: float) -> float:

@@ -13,14 +13,12 @@ import math
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from replay_profile import replay_settings
+
 from test_replay_properties import _entry
 from test_replay_properties4 import _write_docs_src
 
-_SETTINGS = settings(
-    max_examples=10,
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
-)
+_SETTINGS = replay_settings(10)
 
 # payloads with shared 64-byte blocks so chunk-level dedup fires:
 # text = block-aligned repeats of a few base blocks
