@@ -1490,6 +1490,90 @@ def q_avro_schema_evolution(spark, sf):
     )
 
 
+@_q(
+    "avro_logical_types",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           max(ts)  AS last_ts,
+           cast(sum(cast(round(value * 1e6) AS BIGINT)) AS BIGINT)
+             AS sum_value_micro
+    FROM events GROUP BY event_type
+    """,
+)
+def q_avro_logical_types(spark, sf):
+    """Debezium-shaped LOGICAL types through the wire: Connect/Debezium
+    emit DECIMAL columns as Avro decimal-logical bytes (two's-complement
+    big-endian unscaled integer) and temporal columns as
+    timestamp-logical longs (org.apache.kafka.connect.data.Decimal /
+    io.debezium.time.*) — the reference's registry schemas are produced
+    by exactly that connector (/root/reference/README.md:331-363), so
+    these encodings, not plain doubles/longs, are what its topics
+    carry.  Here: ts rides timestamp-micros (pandas Timestamp -> exact
+    epoch micros, no float path) and value rides decimal(18,6) bytes —
+    the micro-units are computed JVM-side with the proven
+    round(value*1e6) rule and encoded as the unscaled integer, so the
+    pipeline is integer-exact end to end; the decode converts back to
+    TimestampType/DECIMAL(18,6) columns.  The oracle aggregates the
+    ORIGINAL rows, so a lossy decimal conversion, a dropped microsecond,
+    or a misread two's complement hash-mismatches.  Same mapInPandas
+    plan shape as the other avro entries — value-column CPU, zero extra
+    shuffle."""
+    import json as _json
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.sources.avro_codec import (
+        from_avro_py,
+        to_avro_py,
+    )
+
+    sch = _json.dumps(
+        {
+            "type": "record",
+            "name": "value",
+            "fields": [
+                {"name": "event_type", "type": "string"},
+                {"name": "ts", "type": {"type": "long",
+                                        "logicalType": "timestamp-micros"}},
+                {
+                    "name": "value",
+                    "type": [
+                        "null",
+                        {"type": "bytes", "logicalType": "decimal",
+                         "precision": 18, "scale": 6},
+                    ],
+                },
+            ],
+        }
+    )
+    micro = F.round(F.col("value") * 1e6).cast("bigint")
+    ev = _events(spark, sf).select(
+        "event_type",
+        "ts",
+        # exact DECIMAL(18,6) from the oracle's micro-unit rule:
+        # (18,0) x (7,6) decimal multiply is value-exact, so the Arrow
+        # batch hands the encoder true Decimal objects (a nullable
+        # BIGINT column would arrive as float64 artifacts instead)
+        (
+            micro.cast("decimal(18,0)")
+            * F.lit("0.000001").cast("decimal(7,6)")
+        )
+        .cast("decimal(18,6)")
+        .alias("value"),
+    )
+    enc = to_avro_py(ev, ["event_type", "ts", "value"], sch)
+    dec = from_avro_py(
+        enc, "value", sch,
+        "event_type string, ts timestamp, value decimal(18,6)",
+    )
+    return dec.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("ts").alias("last_ts"),
+        F.sum((F.col("value") * 1000000).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_value_micro"),
+    )
+
+
 # event-shape analytics: pivot, histogram, outliers -------------------------
 
 _ETYPES = ["click", "error", "purchase", "signup", "view"]

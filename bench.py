@@ -147,6 +147,7 @@ HEADLINE = [
     "streaming_avro_evolution",
     # round 7 additions
     "streaming_avro_tombstone",
+    "avro_logical_types",
 ]
 
 

@@ -497,3 +497,72 @@ def test_from_avro_py_tombstones_and_keep_columns(spark):
         from_avro_py(
             df, "value", s, "name string, score double", keep=["k"]
         ).collect()
+
+
+def test_logical_types_golden_bytes_and_roundtrip():
+    """Avro logical types (the encodings Debezium/Connect put on the
+    reference's topics): decimal = minimal two's-complement big-endian
+    unscaled bytes, date = int days, timestamp-micros = long micros.
+    Byte layout pinned by hand against the spec."""
+    import datetime as dt
+    from decimal import Decimal
+
+    s = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "d", "type": {"type": "bytes", "logicalType": "decimal",
+                               "precision": 18, "scale": 2}},
+        {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "ts", "type": {"type": "long",
+                                "logicalType": "timestamp-micros"}},
+        {"name": "tm", "type": {"type": "int",
+                                "logicalType": "time-millis"}},
+        {"name": "u", "type": ["null",
+                               {"type": "bytes", "logicalType": "decimal",
+                                "precision": 18, "scale": 6}]},
+    ]})
+    rec = {"d": Decimal("123.45"), "day": dt.date(1970, 1, 3),
+           "ts": dt.datetime(2024, 1, 1, 12, 30, 0, 123456),
+           "tm": dt.time(1, 2, 3, 456000), "u": None}
+    buf = encode_record(rec, s)
+    # decimal 12345 -> 0x3039 (varint len 2 = 0x04); date 2 days ->
+    # zigzag(2) = 0x04
+    assert buf[:4] == bytes.fromhex("04 3039 04")
+    assert decode_record(buf, s) == rec
+
+    # negative decimal: -1.50 scale 2 -> unscaled -150 -> minimal
+    # two's complement 0xFF6A (Java BigInteger.toByteArray layout)
+    s2 = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "d", "type": {"type": "bytes", "logicalType": "decimal",
+                               "precision": 9, "scale": 2}}]})
+    b2 = encode_record({"d": Decimal("-1.50")}, s2)
+    assert b2 == bytes.fromhex("04 ff6a")
+    assert decode_record(b2, s2) == {"d": Decimal("-1.50")}
+    # an int encodes as the already-unscaled integer (exact micro-unit
+    # arithmetic can stay JVM-side right up to the encode)
+    assert decode_record(encode_record({"d": 12345}, s2), s2) == {
+        "d": Decimal("123.45")}
+    # a decimal that does not fit the schema scale errors rather than
+    # silently truncating
+    with pytest.raises(ValueError, match="scale"):
+        encode_record({"d": Decimal("1.005")}, s2)
+    # union dispatch routes Decimal values to the decimal branch
+    rec2 = dict(rec, u=Decimal("2.000001"))
+    assert decode_record(encode_record(rec2, s), s)["u"] == Decimal(
+        "2.000001")
+
+
+def test_logical_types_resolution_uses_reader_conversion():
+    """Resolution is by BASE type; the READER's logical conversion is
+    applied (writer plain long -> reader timestamp gets converted,
+    writer logical -> plain reader stays a long)."""
+    import datetime as dt
+
+    w = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "t", "type": "long"}]})
+    r = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "t", "type": {"type": "long",
+                               "logicalType": "timestamp-micros"}}]})
+    assert decode_record(encode_record({"t": 1_000_000}, w), w, r) == {
+        "t": dt.datetime(1970, 1, 1, 0, 0, 1)}
+    assert decode_record(
+        encode_record({"t": dt.datetime(1970, 1, 1, 0, 0, 2)}, r), r, w
+    ) == {"t": 2_000_000}

@@ -338,3 +338,33 @@ def test_streaming_avro_tombstone_matches_naive(spark, raw):
             latest[u] = (i, t, v)
     want = {u: (t, v, i) for u, (i, t, v) in latest.items() if t != "error"}
     assert got == want, (got, want)
+
+
+@given(raw=_ev_rows)
+@_SETTINGS
+def test_avro_logical_types_matches_arithmetic(spark, raw):
+    """avro_logical_types vs plain Python folds over the pre-encode
+    rows: the entry routes ts through timestamp-micros and value
+    through decimal(18,6) bytes before aggregating, so a lossy decimal
+    conversion, two's-complement misread, or dropped microsecond shows
+    up as a wrong sum/max here."""
+    rows = _mk_events(raw)
+    tmp = _write_events(spark, rows)
+    cells: dict = {}
+    for _i, ts, _u, t, v in rows:
+        n, micro, seen, mts = cells.get(t, (0, 0, False, None))
+        if v is not None:
+            micro += round(v * 2) * 500000  # value is a half-unit multiple
+            seen = True
+        if mts is None or ts > mts:
+            mts = ts
+        cells[t] = (n + 1, micro, seen, mts)
+    got = {
+        r.event_type: (r.n, r.sum_value_micro, r.last_ts)
+        for r in _entry("avro_logical_types")(spark, tmp).collect()
+    }
+    want = {
+        t: (n, micro if seen else None, mts)
+        for t, (n, micro, seen, mts) in cells.items()
+    }
+    assert got == want, (got, want)

@@ -38,9 +38,11 @@ it is Arrow-batched and touches only the value column.
 from __future__ import annotations
 
 import copy
+import datetime as _dt
 import json
 import struct
 from collections.abc import Callable
+from decimal import Decimal
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -86,6 +88,121 @@ def _norm(schema: Any) -> Any:
     return schema
 
 
+# --------------------------------------------------------------------------
+# logical types (Avro 1.11 spec "Logical Types") — the encodings the
+# reference's topics actually carry: Debezium/Connect emit DECIMAL
+# columns as decimal-logical bytes (two's-complement big-endian
+# unscaled integer) and temporal columns as timestamp/time/date
+# logicals on long/int (org.apache.kafka.connect.data.Decimal /
+# io.debezium.time.*; /root/reference/README.md:331-363 is produced by
+# exactly that connector).  Wire layout is ALWAYS the base type's; the
+# logical layer is a pure value conversion applied at compile time —
+# unknown logical types ride their base encoding, per the spec.
+# --------------------------------------------------------------------------
+
+_EPOCH = _dt.datetime(1970, 1, 1)
+_MIDNIGHT = _dt.time(0)
+
+
+def _logical_of(schema: Any) -> dict | None:
+    if isinstance(schema, dict) and "logicalType" in schema:
+        return schema
+    return None
+
+
+def _unscaled_to_bytes(n: int) -> bytes:
+    """Minimal two's-complement big-endian (Java BigInteger
+    .toByteArray, which is what Connect's Decimal converter writes)."""
+    return n.to_bytes(max(1, n.bit_length() // 8 + 1), "big", signed=True)
+
+
+def _ts_to_micros(v: Any) -> int:
+    if isinstance(v, int):
+        return v
+    nanos = getattr(v, "value", None)  # pandas Timestamp: exact int ns
+    if isinstance(nanos, int):
+        return nanos // 1000
+    if v.tzinfo is not None:
+        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return (v - _EPOCH) // _dt.timedelta(microseconds=1)
+
+
+def _time_to_micros(v: Any) -> int:
+    if isinstance(v, int):
+        return v
+    return (
+        _dt.datetime.combine(_EPOCH.date(), v)
+        - _dt.datetime.combine(_EPOCH.date(), _MIDNIGHT)
+    ) // _dt.timedelta(microseconds=1)
+
+
+def _logical_reader(lt: dict) -> Callable[[Any], Any] | None:
+    """base-decoded value -> logical Python value (None = ride base)."""
+    t = lt["logicalType"]
+    if t == "decimal":
+        scale = int(lt.get("scale", 0))
+
+        def to_decimal(b: bytes) -> Decimal:
+            return Decimal(int.from_bytes(b, "big", signed=True)).scaleb(
+                -scale
+            )
+
+        return to_decimal
+    if t == "date":
+        return lambda d: _EPOCH.date() + _dt.timedelta(days=d)
+    if t == "time-millis":
+        return lambda m: (_EPOCH + _dt.timedelta(milliseconds=m)).time()
+    if t == "time-micros":
+        return lambda m: (_EPOCH + _dt.timedelta(microseconds=m)).time()
+    if t == "timestamp-millis":
+        return lambda m: _EPOCH + _dt.timedelta(milliseconds=m)
+    if t == "timestamp-micros":
+        return lambda m: _EPOCH + _dt.timedelta(microseconds=m)
+    return None  # uuid rides string; unknown logicals ride their base
+
+
+def _logical_writer(lt: dict) -> Callable[[Any], Any] | None:
+    """logical Python value -> base value for the wire.  Integer inputs
+    are passed through as already-converted base values (a decimal
+    column fed as its unscaled int, a timestamp fed as epoch micros),
+    which lets JVM-side micro-unit arithmetic stay exact end to end."""
+    t = lt["logicalType"]
+    if t == "decimal":
+        scale = int(lt.get("scale", 0))
+
+        def from_decimal(v: Any) -> bytes:
+            if isinstance(v, Decimal):
+                unscaled = v.scaleb(scale)
+                n = int(unscaled)
+                if unscaled != n:
+                    raise ValueError(
+                        f"decimal {v} does not fit scale {scale}"
+                    )
+            else:
+                if isinstance(v, float) and not v.is_integer():
+                    raise ValueError(
+                        f"non-integral float {v!r} on a decimal field — "
+                        "pass a Decimal, or the unscaled integer"
+                    )
+                n = int(v)  # already-unscaled integer
+            return _unscaled_to_bytes(n)
+
+        return from_decimal
+    if t == "date":
+        return lambda v: v if isinstance(v, int) else (
+            v - _EPOCH.date()
+        ).days
+    if t == "time-millis":
+        return lambda v: _time_to_micros(v) // 1000
+    if t == "time-micros":
+        return _time_to_micros
+    if t == "timestamp-millis":
+        return lambda v: _ts_to_micros(v) // 1000
+    if t == "timestamp-micros":
+        return _ts_to_micros
+    return None
+
+
 def _np_unwrap(value: Any) -> Any:
     """Collapse numpy scalars (the pandas ``to_dict('records')`` path
     yields np.int64 / np.bool_ / np.float32, which are NOT subclasses
@@ -104,6 +221,28 @@ def _union_branch_matches(value: Any, branch: Any, lenient: bool) -> bool:
     pass is exact-type; the lenient pass additionally lets ints ride
     float/double branches (Avro's own Python binding allows this)."""
     value = _np_unwrap(value)
+    lt = _logical_of(branch)
+    if lt is not None and value is not None:
+        t = lt["logicalType"]
+        is_int = isinstance(value, int) and not isinstance(value, bool)
+        # lenient admits INTEGRAL floats as base-value ints: Spark's
+        # Arrow->pandas conversion turns a nullable long column into
+        # float64, so every non-null value of an int-fed union arrives
+        # as a float artifact (never a fractional one — those raise)
+        if lenient and isinstance(value, float) and value.is_integer():
+            is_int = True
+        if t == "decimal":
+            return isinstance(value, Decimal) or is_int
+        if t in ("timestamp-millis", "timestamp-micros"):
+            return isinstance(value, _dt.datetime) or is_int
+        if t == "date":
+            return (
+                isinstance(value, _dt.date)
+                and not isinstance(value, _dt.datetime)
+            ) or is_int
+        if t in ("time-millis", "time-micros"):
+            return isinstance(value, _dt.time) or is_int
+        # uuid / unknown logicals: fall through to base-type matching
     bn = _norm(branch)
     if bn == "null":
         return value is None
@@ -112,7 +251,11 @@ def _union_branch_matches(value: Any, branch: Any, lenient: bool) -> bool:
     if bn == "boolean":
         return isinstance(value, bool)
     if bn in ("int", "long"):
-        return isinstance(value, int) and not isinstance(value, bool)
+        if isinstance(value, int) and not isinstance(value, bool):
+            return True
+        # the same nullable-long float artifact as above; _write_long's
+        # int() cannot truncate because only integral floats match
+        return lenient and isinstance(value, float) and value.is_integer()
     if bn in ("float", "double"):
         if isinstance(value, float):
             return True
@@ -190,17 +333,28 @@ _ZERO = _zigzag_encode(0)
 def _compile_write(schema: Any) -> Callable[[Any, bytearray], None]:
     """Compile ``schema`` into a closure ``write(value, out)``.  Union
     dispatch order (strict type pass, then the lenient int-on-float
-    pass) is decided per value, but the branch table — normalized
-    branch schema, pre-encoded varint index, compiled branch writer —
-    is built here, once."""
+    pass) is decided per value, but the branch table — branch schema,
+    pre-encoded varint index, compiled branch writer — is built here,
+    once."""
+    lt = _logical_of(schema)
+    if lt is not None:
+        conv = _logical_writer(lt)
+        if conv is not None:
+            base_w = _compile_write(lt["type"])
+
+            def write_logical(value: Any, out: bytearray) -> None:
+                base_w(conv(value), out)
+
+            return write_logical
     schema = _norm(schema)
     if isinstance(schema, list):  # union: varint branch index + value
         # dispatch by the VALUE'S TYPE, not first-non-null: a
         # ["null","long","double"] union must route 2.5 to the double
         # branch, not truncate it through int() on the long branch
+        # (branches kept un-normed so logical types can match)
         branches = tuple(
             (
-                _norm(b),
+                b,
                 _zigzag_encode(i),
                 None if _norm(b) == "null" else _compile_write(b),
             )
@@ -353,6 +507,18 @@ def _block_map_reader(read_value: _Reader) -> _Reader:
 def _compile_read(schema: Any) -> _Reader:
     """Compile ``schema`` into ``read(buf, pos) -> (value, pos)`` with
     no resolution (reader == writer)."""
+    lt = _logical_of(schema)
+    if lt is not None:
+        conv = _logical_reader(lt)
+        base_r = _compile_read(lt["type"])
+        if conv is None:
+            return base_r
+
+        def read_logical(buf: bytes, pos: int) -> tuple[Any, int]:
+            v, pos = base_r(buf, pos)
+            return conv(v), pos
+
+        return read_logical
     schema = _norm(schema)
     if isinstance(schema, list):
         branches = tuple(_compile_read(b) for b in schema)
@@ -477,7 +643,26 @@ def _compile_resolved(writer: Any, reader: Any) -> _Reader:
     """Compile a (writer, reader) schema pair into a resolving reader
     closure.  Every resolution decision — union branch pairing, field
     pairing/discard order, promotions, defaults — happens here, once
-    per schema pair, never per record."""
+    per schema pair, never per record.  Logical types resolve by their
+    BASE types per the spec; the READER's logical conversion is then
+    applied to the base value (as in Avro Java with conversions
+    enabled — no cross-unit translation between differing writer and
+    reader logicals)."""
+    wl, rl = _logical_of(writer), _logical_of(reader)
+    if wl is not None or rl is not None:
+        base_r = _compile_resolved(
+            wl["type"] if wl is not None else writer,
+            rl["type"] if rl is not None else reader,
+        )
+        conv = _logical_reader(rl) if rl is not None else None
+        if conv is None:
+            return base_r
+
+        def read_logical(buf: bytes, pos: int) -> tuple[Any, int]:
+            v, pos = base_r(buf, pos)
+            return conv(v), pos
+
+        return read_logical
     writer, reader = _norm(writer), _norm(reader)
     if isinstance(writer, list):
         branches = []
