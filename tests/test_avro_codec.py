@@ -566,3 +566,90 @@ def test_logical_types_resolution_uses_reader_conversion():
     assert decode_record(
         encode_record({"t": dt.datetime(1970, 1, 1, 0, 0, 2)}, r), r, w
     ) == {"t": 2_000_000}
+
+
+def test_enum_and_fixed_golden_bytes():
+    """enum = zigzag varint of the symbol index; fixed = exactly
+    ``size`` raw bytes; decimal-on-fixed = sign-extended padding to the
+    declared width (Connect writes fixed-width decimals this way)."""
+    from decimal import Decimal
+
+    s = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "c", "type": {"type": "enum", "name": "color",
+                               "symbols": ["RED", "GREEN", "BLUE"]}}]})
+    b = encode_record({"c": "BLUE"}, s)
+    assert b == bytes([0x04])  # zigzag(2)
+    assert decode_record(b, s) == {"c": "BLUE"}
+    with pytest.raises(ValueError, match="symbol"):
+        encode_record({"c": "PINK"}, s)
+
+    s2 = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "f", "type": {"type": "fixed", "name": "md5",
+                               "size": 4}}]})
+    assert encode_record({"f": b"\x01\x02\x03\x04"}, s2) == b"\x01\x02\x03\x04"
+    assert decode_record(b"\xaa\xbb\xcc\xdd", s2) == {"f": b"\xaa\xbb\xcc\xdd"}
+    with pytest.raises(ValueError, match="4 bytes"):
+        encode_record({"f": b"\x01"}, s2)
+
+    s3 = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "d", "type": {"type": "fixed", "name": "amt", "size": 4,
+                               "logicalType": "decimal",
+                               "precision": 9, "scale": 2}}]})
+    assert encode_record({"d": Decimal("1.50")}, s3) == bytes.fromhex(
+        "00000096")
+    assert encode_record({"d": Decimal("-1.50")}, s3) == bytes.fromhex(
+        "ffffff6a")
+    assert decode_record(bytes.fromhex("ffffff6a"), s3) == {
+        "d": Decimal("-1.50")}
+    with pytest.raises(ValueError, match="fit fixed"):
+        encode_record({"d": Decimal("99999999.99")}, s3)
+
+
+def test_enum_resolution_default_and_fixed_size_rules():
+    """Spec resolution: a writer enum symbol absent from the reader
+    falls to the reader's enum default (Avro 1.9+) or errors per
+    datum; fixed requires matching name AND size."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.sources.avro_codec import (
+        IncompatibleSchemaError,
+        check_compatibility,
+    )
+
+    w = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "c", "type": {"type": "enum", "name": "color",
+                               "symbols": ["RED", "GREEN", "BLUE"]}}]})
+    r_def = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "c", "type": {"type": "enum", "name": "color",
+                               "symbols": ["RED", "GREEN"],
+                               "default": "RED"}}]})
+    r_nodef = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "c", "type": {"type": "enum", "name": "color",
+                               "symbols": ["RED", "GREEN"]}}]})
+    buf = encode_record({"c": "BLUE"}, w)
+    assert decode_record(buf, w, r_def) == {"c": "RED"}
+    assert decode_record(encode_record({"c": "GREEN"}, w), w, r_def) == {
+        "c": "GREEN"}
+    with pytest.raises(ValueError, match="absent from"):
+        decode_record(buf, w, r_nodef)
+    # the registration-time gate agrees with the read-time rule
+    check_compatibility(r_def, [w], "BACKWARD")
+    with pytest.raises(IncompatibleSchemaError):
+        check_compatibility(r_nodef, [w], "BACKWARD")
+
+    w2 = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "f", "type": {"type": "fixed", "name": "md5",
+                               "size": 4}}]})
+    r2 = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "f", "type": {"type": "fixed", "name": "md5",
+                               "size": 8}}]})
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_record(encode_record({"f": b"abcd"}, w2), w2, r2)
+
+    # union with enum/fixed branches dispatches by value shape
+    s4 = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "v", "type": ["null",
+                               {"type": "enum", "name": "color",
+                                "symbols": ["RED", "GREEN"]},
+                               {"type": "fixed", "name": "h",
+                                "size": 2}]}]})
+    for v in ("GREEN", b"ab", None):
+        assert decode_record(encode_record({"v": v}, s4), s4) == {"v": v}

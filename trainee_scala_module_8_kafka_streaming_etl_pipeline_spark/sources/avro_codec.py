@@ -110,6 +110,18 @@ def _logical_of(schema: Any) -> dict | None:
     return None
 
 
+def _logical_base(schema: dict) -> Any:
+    """The base schema a logical type rides: the primitive name, or
+    the full fixed schema (decimal-on-fixed keeps name/size)."""
+    if schema["type"] == "fixed":
+        return {
+            "type": "fixed",
+            "name": schema.get("name"),
+            "size": schema["size"],
+        }
+    return schema["type"]
+
+
 def _unscaled_to_bytes(n: int) -> bytes:
     """Minimal two's-complement big-endian (Java BigInteger
     .toByteArray, which is what Connect's Decimal converter writes)."""
@@ -169,6 +181,9 @@ def _logical_writer(lt: dict) -> Callable[[Any], Any] | None:
     t = lt["logicalType"]
     if t == "decimal":
         scale = int(lt.get("scale", 0))
+        # decimal-on-fixed pads to the declared width (sign-extended);
+        # decimal-on-bytes writes the minimal two's complement
+        size = int(lt["size"]) if lt.get("type") == "fixed" else None
 
         def from_decimal(v: Any) -> bytes:
             if isinstance(v, Decimal):
@@ -185,7 +200,14 @@ def _logical_writer(lt: dict) -> Callable[[Any], Any] | None:
                         "pass a Decimal, or the unscaled integer"
                     )
                 n = int(v)  # already-unscaled integer
-            return _unscaled_to_bytes(n)
+            if size is None:
+                return _unscaled_to_bytes(n)
+            try:
+                return n.to_bytes(size, "big", signed=True)
+            except OverflowError:
+                raise ValueError(
+                    f"unscaled {n} does not fit fixed({size})"
+                ) from None
 
         return from_decimal
     if t == "date":
@@ -272,6 +294,13 @@ def _union_branch_matches(value: Any, branch: Any, lenient: bool) -> bool:
             return isinstance(value, dict)
         if t == "array":
             return isinstance(value, (list, tuple))
+        if t == "enum":
+            return isinstance(value, str) and value in bn.get("symbols", ())
+        if t == "fixed":
+            return (
+                isinstance(value, (bytes, bytearray))
+                and len(value) == int(bn.get("size", -1))
+            )
     return False
 
 
@@ -340,7 +369,7 @@ def _compile_write(schema: Any) -> Callable[[Any, bytearray], None]:
     if lt is not None:
         conv = _logical_writer(lt)
         if conv is not None:
-            base_w = _compile_write(lt["type"])
+            base_w = _compile_write(_logical_base(lt))
 
             def write_logical(value: Any, out: bytearray) -> None:
                 base_w(conv(value), out)
@@ -389,6 +418,32 @@ def _compile_write(schema: Any) -> Callable[[Any, bytearray], None]:
                 wfn(value[name], out)
 
         return write_record
+    if isinstance(schema, dict) and schema.get("type") == "enum":
+        index = {s: _zigzag_encode(i) for i, s in enumerate(schema["symbols"])}
+        ename = schema.get("name")
+
+        def write_enum(value: Any, out: bytearray) -> None:
+            enc = index.get(value)
+            if enc is None:
+                raise ValueError(
+                    f"{value!r} is not a symbol of enum {ename!r}"
+                )
+            out += enc
+
+        return write_enum
+    if isinstance(schema, dict) and schema.get("type") == "fixed":
+        size = int(schema["size"])
+        fname = schema.get("name")
+
+        def write_fixed(value: Any, out: bytearray) -> None:
+            raw = bytes(value)
+            if len(raw) != size:
+                raise ValueError(
+                    f"fixed {fname!r} expects {size} bytes, got {len(raw)}"
+                )
+            out += raw
+
+        return write_fixed
     if isinstance(schema, dict) and schema.get("type") == "array":
         item_w = _compile_write(schema["items"])
 
@@ -510,7 +565,7 @@ def _compile_read(schema: Any) -> _Reader:
     lt = _logical_of(schema)
     if lt is not None:
         conv = _logical_reader(lt)
-        base_r = _compile_read(lt["type"])
+        base_r = _compile_read(_logical_base(lt))
         if conv is None:
             return base_r
 
@@ -545,6 +600,22 @@ def _compile_read(schema: Any) -> _Reader:
             return rec, pos
 
         return read_record
+    if isinstance(schema, dict) and schema.get("type") == "enum":
+        symbols = tuple(schema["symbols"])
+
+        def read_enum(buf: bytes, pos: int) -> tuple[str, int]:
+            i, pos = _zigzag_decode(buf, pos)
+            return symbols[i], pos
+
+        return read_enum
+    if isinstance(schema, dict) and schema.get("type") == "fixed":
+        size = int(schema["size"])
+
+        def read_fixed(buf: bytes, pos: int) -> tuple[bytes, int]:
+            end = pos + size
+            return buf[pos:end], end
+
+        return read_fixed
     if isinstance(schema, dict) and schema.get("type") == "array":
         return _block_array_reader(_compile_read(schema["items"]))
     if isinstance(schema, dict) and schema.get("type") == "map":
@@ -602,9 +673,13 @@ def _resolvable(writer: Any, reader: Any) -> bool:
         wt, rt = w.get("type"), r.get("type")
         if wt != rt:
             return False
-        if wt == "record":
+        if wt in ("record", "enum"):
             wn, rn = w.get("name"), r.get("name")
             return wn is None or rn is None or wn == rn
+        if wt == "fixed":
+            wn, rn = w.get("name"), r.get("name")
+            names_ok = wn is None or rn is None or wn == rn
+            return names_ok and int(w["size"]) == int(r["size"])
         if wt == "array":
             return _resolvable(w.get("items"), r.get("items"))
         if wt == "map":
@@ -651,8 +726,8 @@ def _compile_resolved(writer: Any, reader: Any) -> _Reader:
     wl, rl = _logical_of(writer), _logical_of(reader)
     if wl is not None or rl is not None:
         base_r = _compile_resolved(
-            wl["type"] if wl is not None else writer,
-            rl["type"] if rl is not None else reader,
+            _logical_base(wl) if wl is not None else writer,
+            _logical_base(rl) if rl is not None else reader,
         )
         conv = _logical_reader(rl) if rl is not None else None
         if conv is None:
@@ -754,6 +829,45 @@ def _compile_resolved(writer: Any, reader: Any) -> _Reader:
                 return rec, pos
 
             return read_rrecord
+        if wt == "enum":
+            wn, rn = writer.get("name"), reader.get("name")
+            if wn is not None and rn is not None and wn != rn:
+                raise ValueError(
+                    f"cannot resolve enum {wn!r} as {rn!r} (names must match)"
+                )
+            # spec: writer symbol looked up in reader symbols; if
+            # absent, the reader's enum default (1.9+) or an error —
+            # decided here per symbol, raised per datum
+            rsyms = set(reader["symbols"])
+            rdefault = reader.get("default")
+            table = tuple(
+                s if s in rsyms else rdefault for s in writer["symbols"]
+            )
+            wsyms = tuple(writer["symbols"])
+
+            def read_renum(buf: bytes, pos: int) -> tuple[str, int]:
+                i, pos = _zigzag_decode(buf, pos)
+                s = table[i]
+                if s is None:
+                    raise ValueError(
+                        f"writer enum symbol {wsyms[i]!r} absent from "
+                        "reader enum and reader declares no default"
+                    )
+                return s, pos
+
+            return read_renum
+        if wt == "fixed":
+            wn, rn = writer.get("name"), reader.get("name")
+            if wn is not None and rn is not None and wn != rn:
+                raise ValueError(
+                    f"cannot resolve fixed {wn!r} as {rn!r} (names must match)"
+                )
+            if int(writer["size"]) != int(reader["size"]):
+                raise ValueError(
+                    f"fixed size mismatch: writer {writer['size']} != "
+                    f"reader {reader['size']}"
+                )
+            return _compile_read(writer)
         if wt == "array":
             return _block_array_reader(
                 _compile_resolved(writer["items"], reader["items"])
@@ -877,6 +991,19 @@ def _can_read(w: Any, r: Any) -> bool:
             return _can_read(w["items"], r["items"])
         if wt == "map":
             return _can_read(w["values"], r["values"])
+        if wt == "enum":
+            wn, rn = w.get("name"), r.get("name")
+            if wn is not None and rn is not None and wn != rn:
+                return False
+            rsyms = set(r["symbols"])
+            return "default" in r or all(
+                s in rsyms for s in w["symbols"]
+            )
+        if wt == "fixed":
+            wn, rn = w.get("name"), r.get("name")
+            if wn is not None and rn is not None and wn != rn:
+                return False
+            return int(w["size"]) == int(r["size"])
         if wt == "record":
             wn, rn = w.get("name"), r.get("name")
             if wn is not None and rn is not None and wn != rn:
