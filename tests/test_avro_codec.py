@@ -653,3 +653,135 @@ def test_enum_resolution_default_and_fixed_size_rules():
                                 "size": 2}]}]})
     for v in ("GREEN", b"ab", None):
         assert decode_record(encode_record({"v": v}, s4), s4) == {"v": v}
+
+
+def test_decimal_on_fixed_compatibility_and_union_resolution():
+    """Regression (r7 ADVICE, medium): a logical-on-fixed schema must
+    keep its name/size through normalization — re-registering an
+    identical decimal-on-fixed schema is legal under every mode, and a
+    reader union containing a logical-fixed branch resolves."""
+    from decimal import Decimal
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.sources.avro_codec import (
+        SchemaRegistry,
+        check_compatibility,
+    )
+
+    s = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "d", "type": {"type": "fixed", "name": "amt", "size": 4,
+                               "logicalType": "decimal",
+                               "precision": 9, "scale": 2}}]})
+    # identical re-registration is compatible under every mode
+    for mode in ("BACKWARD", "FORWARD", "FULL", "FULL_TRANSITIVE"):
+        check_compatibility(s, [s], mode)
+    reg = SchemaRegistry(mode="BACKWARD")
+    sid = reg.register("t-value", s)
+    assert reg.register("t-value", s) == sid  # idempotent, no raise
+
+    # a reader union with a logical-fixed branch accepts the writer's
+    # bare decimal-on-fixed datum (resolution by base fixed name/size)
+    r = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "d", "type": ["null",
+                               {"type": "fixed", "name": "amt", "size": 4,
+                                "logicalType": "decimal",
+                                "precision": 9, "scale": 2}]}]})
+    buf = encode_record({"d": Decimal("1.50")}, s)
+    assert decode_record(buf, s, r) == {"d": Decimal("1.50")}
+    # and size still discriminates: a mismatched fixed finds no branch
+    r_bad = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "d", "type": [{"type": "fixed", "name": "amt", "size": 8,
+                                "logicalType": "decimal",
+                                "precision": 9, "scale": 2}]}]})
+    with pytest.raises(ValueError, match="no reader union branch"):
+        decode_record(buf, s, r_bad)
+
+
+def test_decimal_minimal_bytes_at_byte_boundaries():
+    """Regression (r7 ADVICE, low): -2^(8k-1) must encode to exactly k
+    bytes (Java BigInteger.toByteArray parity: -128 -> 80, not ff80)."""
+    from decimal import Decimal
+
+    s = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "d", "type": {"type": "bytes", "logicalType": "decimal",
+                               "precision": 18, "scale": 0}}]})
+    cases = {
+        -128: "02 80",          # varint len 1
+        -32768: "04 8000",      # varint len 2
+        127: "02 7f",
+        128: "04 0080",         # positive needs the sign byte
+        -129: "04 ff7f",
+        0: "02 00",
+    }
+    for n, hexpect in cases.items():
+        buf = encode_record({"d": Decimal(n)}, s)
+        assert buf == bytes.fromhex(hexpect), (n, buf.hex())
+        assert decode_record(buf, s) == {"d": Decimal(n)}
+
+
+def test_millis_logical_int_passthrough():
+    """Regression (r7 ADVICE, low): an integer fed to a -millis logical
+    field is the already-converted BASE value (millis), exactly as an
+    int fed to -micros is micros — encode_record({'t': 5000}) writes
+    5000 ms, not 5."""
+    import datetime as dt
+
+    ts_ms = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "t", "type": {"type": "long",
+                               "logicalType": "timestamp-millis"}}]})
+    buf = encode_record({"t": 5000}, ts_ms)
+    assert decode_record(buf, ts_ms) == {
+        "t": dt.datetime(1970, 1, 1, 0, 0, 5)}
+    tm_ms = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "t", "type": {"type": "int",
+                               "logicalType": "time-millis"}}]})
+    assert decode_record(encode_record({"t": 5000}, tm_ms), tm_ms) == {
+        "t": dt.time(0, 0, 5)}
+    # datetime/time objects still convert through the unit divide
+    assert decode_record(
+        encode_record({"t": dt.datetime(1970, 1, 1, 0, 0, 7)}, ts_ms), ts_ms
+    ) == {"t": dt.datetime(1970, 1, 1, 0, 0, 7)}
+
+
+def test_uuid_logical_rides_string():
+    """uuid is annotation-only per the spec: the wire layout is the
+    plain string encoding, values round-trip as strings, and
+    string <-> uuid resolves both ways."""
+    u = "123e4567-e89b-12d3-a456-426614174000"
+    s_uuid = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "u", "type": {"type": "string", "logicalType": "uuid"}}]})
+    s_str = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "u", "type": "string"}]})
+    buf = encode_record({"u": u}, s_uuid)
+    assert buf == encode_record({"u": u}, s_str)  # identical wire bytes
+    assert decode_record(buf, s_uuid) == {"u": u}
+    assert decode_record(buf, s_uuid, s_str) == {"u": u}
+    assert decode_record(buf, s_str, s_uuid) == {"u": u}
+    # uuid inside a nullable union dispatches as a string value
+    s_un = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "u", "type": ["null",
+                               {"type": "string", "logicalType": "uuid"}]}]})
+    for v in (u, None):
+        assert decode_record(encode_record({"u": v}, s_un), s_un) == {"u": v}
+
+
+def test_unknown_logical_type_rides_base():
+    """Spec: an unknown logicalType is IGNORED — the value rides the
+    base encoding untouched, on primitives and on named bases alike."""
+    s = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "t", "type": {"type": "long",
+                               "logicalType": "timestamp-nanos"}}]})
+    plain = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "t", "type": "long"}]})
+    buf = encode_record({"t": 123456789}, s)
+    assert buf == encode_record({"t": 123456789}, plain)
+    assert decode_record(buf, s) == {"t": 123456789}  # raw long out
+    # unknown logical on a FIXED base keeps name/size (the _norm rule)
+    sf = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "f", "type": {"type": "fixed", "name": "h", "size": 3,
+                               "logicalType": "duration-ish"}}]})
+    assert decode_record(encode_record({"f": b"abc"}, sf), sf) == {
+        "f": b"abc"}
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.sources.avro_codec import (
+        check_compatibility,
+    )
+    check_compatibility(sf, [sf], "FULL")

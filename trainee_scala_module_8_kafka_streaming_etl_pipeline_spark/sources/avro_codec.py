@@ -30,6 +30,15 @@ path.  At 100 TB the decode stage is per-record CPU paid fleet-wide,
 so the compile/execute split is the difference between paying JSON
 schema traversal per record and paying it once per (schema, task).
 
+The DataFrame hot path goes one step further: top-level record
+schemas compile into STRUCTURE-OF-ARRAYS codecs (``_compile_soa_read``
+/ ``_compile_soa_write``) whose per-record closures append decoded
+fields directly into per-column lists (and encode directly from row
+tuples) — one pass per Arrow batch, zero intermediate per-record
+dicts.  ``decode_record``/``encode_record`` keep the dict-shaped
+reference semantics for tests; the differential property pins the two
+paths to each other.
+
 On a cluster the decode stage is the same ``mapInPandas`` shape with
 ``from_avro`` substituting for the Python codec — or this codec as-is:
 it is Arrow-batched and touches only the value column.
@@ -43,6 +52,7 @@ import json
 import struct
 from collections.abc import Callable
 from decimal import Decimal
+from functools import partial
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -54,6 +64,10 @@ from pyspark.sql import DataFrame
 
 def _zigzag_encode(n: int) -> bytes:
     z = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    if z < 0x80:
+        return _VARINT1[z]  # 1-byte fast path (the overwhelming case)
+    if z < 0x4000:
+        return bytes(((z & 0x7F) | 0x80, z >> 7))
     out = bytearray()
     while True:
         b = z & 0x7F
@@ -63,6 +77,9 @@ def _zigzag_encode(n: int) -> bytes:
         else:
             out.append(b)
             return bytes(out)
+
+
+_VARINT1 = tuple(bytes((i,)) for i in range(0x80))
 
 
 def _zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
@@ -78,13 +95,24 @@ def _zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
     return (acc >> 1) ^ -(acc & 1), pos
 
 
+_PRIMITIVES = frozenset(
+    ("null", "boolean", "int", "long", "float", "double", "string", "bytes")
+)
+
+
 def _norm(schema: Any) -> Any:
     """Collapse {"type": "string"}-style wrappers to the bare name (but
     keep records/arrays/maps/logical types as dicts)."""
     if isinstance(schema, dict) and set(schema) == {"type"}:
         return schema["type"]
     if isinstance(schema, dict) and "logicalType" in schema:
-        return schema["type"]  # logical types ride their base encoding
+        base = schema["type"]
+        if isinstance(base, str) and base in _PRIMITIVES:
+            return base  # logical types ride their base encoding
+        # logical on a NAMED type (decimal-on-fixed): strip only the
+        # logical layer — collapsing to the bare name 'fixed' would
+        # lose name/size and break resolution/compatibility checks
+        return {k: v for k, v in schema.items() if k != "logicalType"}
     return schema
 
 
@@ -124,13 +152,17 @@ def _logical_base(schema: dict) -> Any:
 
 def _unscaled_to_bytes(n: int) -> bytes:
     """Minimal two's-complement big-endian (Java BigInteger
-    .toByteArray, which is what Connect's Decimal converter writes)."""
-    return n.to_bytes(max(1, n.bit_length() // 8 + 1), "big", signed=True)
+    .toByteArray, which is what Connect's Decimal converter writes).
+    The minimal signed width counts magnitude bits of ``~n`` for
+    negatives so -2^(8k-1) (e.g. -128, -32768) stays k bytes."""
+    return n.to_bytes(
+        ((n if n >= 0 else ~n).bit_length() + 8) // 8, "big", signed=True
+    )
 
 
 def _ts_to_micros(v: Any) -> int:
-    if isinstance(v, int):
-        return v
+    if isinstance(v, (int, float)):
+        return int(v)  # already epoch micros (float = nullable-long artifact)
     nanos = getattr(v, "value", None)  # pandas Timestamp: exact int ns
     if isinstance(nanos, int):
         return nanos // 1000
@@ -140,8 +172,8 @@ def _ts_to_micros(v: Any) -> int:
 
 
 def _time_to_micros(v: Any) -> int:
-    if isinstance(v, int):
-        return v
+    if isinstance(v, (int, float)):
+        return int(v)
     return (
         _dt.datetime.combine(_EPOCH.date(), v)
         - _dt.datetime.combine(_EPOCH.date(), _MIDNIGHT)
@@ -211,26 +243,56 @@ def _logical_writer(lt: dict) -> Callable[[Any], Any] | None:
 
         return from_decimal
     if t == "date":
-        return lambda v: v if isinstance(v, int) else (
+        return lambda v: int(v) if isinstance(v, (int, float)) else (
             v - _EPOCH.date()
         ).days
     if t == "time-millis":
-        return lambda v: _time_to_micros(v) // 1000
+        # integer inputs pass through unchanged for EVERY temporal
+        # logical — an int fed to a -millis field is already millis
+        # (base value), just as an int fed to -micros is already micros
+        return lambda v: int(v) if isinstance(v, (int, float)) else (
+            _time_to_micros(v) // 1000
+        )
     if t == "time-micros":
         return _time_to_micros
     if t == "timestamp-millis":
-        return lambda v: _ts_to_micros(v) // 1000
+        return lambda v: int(v) if isinstance(v, (int, float)) else (
+            _ts_to_micros(v) // 1000
+        )
     if t == "timestamp-micros":
         return _ts_to_micros
     return None
 
 
+_PLAIN_CLASSES = frozenset(
+    (
+        type(None),
+        bool,
+        int,
+        float,
+        str,
+        bytes,
+        bytearray,
+        dict,
+        list,
+        tuple,
+        Decimal,
+        _dt.datetime,
+        _dt.date,
+        _dt.time,
+    )
+)
+
+
 def _np_unwrap(value: Any) -> Any:
-    """Collapse numpy scalars (the pandas ``to_dict('records')`` path
-    yields np.int64 / np.bool_ / np.float32, which are NOT subclasses
-    of int / bool / float) to plain Python values so union-branch type
-    dispatch sees the logical type, not the container type."""
-    if value is None or isinstance(
+    """Collapse numpy scalars (np.int64 / np.bool_ / np.float32, which
+    are NOT subclasses of int / bool / float) to plain Python values so
+    union-branch type dispatch sees the logical type, not the container
+    type.  Exact-class set first: the hot path (already-plain values)
+    is one frozenset hit."""
+    if value.__class__ in _PLAIN_CLASSES:
+        return value
+    if isinstance(
         value, (bool, int, float, str, bytes, bytearray, dict, list, tuple)
     ):
         return value
@@ -304,6 +366,87 @@ def _union_branch_matches(value: Any, branch: Any, lenient: bool) -> bool:
     return False
 
 
+def _is_integral_float(v: Any) -> bool:
+    """The Arrow->pandas nullable-long artifact: Spark hands a nullable
+    BIGINT column to mapInPandas as float64, so int-fed union branches
+    see integral floats (never fractional ones — those raise)."""
+    return isinstance(v, float) and v.is_integer()
+
+
+def _is_plain_int(v: Any) -> bool:
+    return isinstance(v, int) and not isinstance(v, bool)
+
+
+def _compile_union_pred(
+    branch: Any,
+) -> tuple[Callable[[Any], bool], Callable[[Any], bool] | None]:
+    """Compile a non-null union branch into (strict, extra_lenient)
+    value predicates — the COMPILED form of
+    :func:`_union_branch_matches`, so per-value dispatch never walks a
+    schema dict.  ``extra_lenient`` is only the lenient pass's ADDED
+    condition (the strict pass has already failed when it runs), or
+    None when the lenient pass adds nothing for this branch."""
+    lt = _logical_of(branch)
+    if lt is not None:
+        t = lt["logicalType"]
+        if t == "decimal":
+            return (
+                lambda v: isinstance(v, Decimal) or _is_plain_int(v),
+                _is_integral_float,
+            )
+        if t in ("timestamp-millis", "timestamp-micros"):
+            return (
+                lambda v: isinstance(v, _dt.datetime) or _is_plain_int(v),
+                _is_integral_float,
+            )
+        if t == "date":
+            return (
+                lambda v: (
+                    isinstance(v, _dt.date)
+                    and not isinstance(v, _dt.datetime)
+                )
+                or _is_plain_int(v),
+                _is_integral_float,
+            )
+        if t in ("time-millis", "time-micros"):
+            return (
+                lambda v: isinstance(v, _dt.time) or _is_plain_int(v),
+                _is_integral_float,
+            )
+        # uuid / unknown logicals: fall through to base-type matching
+    bn = _norm(branch)
+    if bn == "boolean":
+        return (lambda v: isinstance(v, bool), None)
+    if bn in ("int", "long"):
+        return (_is_plain_int, _is_integral_float)
+    if bn in ("float", "double"):
+        return (lambda v: isinstance(v, float), _is_plain_int)
+    if bn == "string":
+        return (lambda v: isinstance(v, str), None)
+    if bn == "bytes":
+        return (lambda v: isinstance(v, (bytes, bytearray)), None)
+    if isinstance(bn, dict):
+        t = bn.get("type")
+        if t in ("record", "map"):
+            return (lambda v: isinstance(v, dict), None)
+        if t == "array":
+            return (lambda v: isinstance(v, (list, tuple)), None)
+        if t == "enum":
+            symbols = frozenset(bn.get("symbols", ()))
+            return (
+                lambda v: isinstance(v, str) and v in symbols,
+                None,
+            )
+        if t == "fixed":
+            size = int(bn.get("size", -1))
+            return (
+                lambda v: isinstance(v, (bytes, bytearray))
+                and len(v) == size,
+                None,
+            )
+    return (lambda v: False, None)
+
+
 _F32 = struct.Struct("<f")
 _F64 = struct.Struct("<d")
 
@@ -322,7 +465,9 @@ def _write_boolean(value: Any, out: bytearray) -> None:
 
 
 def _write_long(value: Any, out: bytearray) -> None:
-    out += _zigzag_encode(int(value))
+    out += _zigzag_encode(
+        value if value.__class__ is int else int(value)
+    )
 
 
 def _write_float(value: Any, out: bytearray) -> None:
@@ -372,33 +517,52 @@ def _compile_write(schema: Any) -> Callable[[Any, bytearray], None]:
             base_w = _compile_write(_logical_base(lt))
 
             def write_logical(value: Any, out: bytearray) -> None:
-                base_w(conv(value), out)
+                # unwrap numpy scalars here too: non-union logical
+                # fields reach conv() without write_union's unwrap
+                base_w(conv(_np_unwrap(value)), out)
 
             return write_logical
     schema = _norm(schema)
     if isinstance(schema, list):  # union: varint branch index + value
         # dispatch by the VALUE'S TYPE, not first-non-null: a
         # ["null","long","double"] union must route 2.5 to the double
-        # branch, not truncate it through int() on the long branch
-        # (branches kept un-normed so logical types can match)
-        branches = tuple(
-            (
-                b,
-                _zigzag_encode(i),
-                None if _norm(b) == "null" else _compile_write(b),
-            )
-            for i, b in enumerate(schema)
-        )
+        # branch, not truncate it through int() on the long branch.
+        # Branch predicates are COMPILED (strict pass, then the lenient
+        # int-on-float pass) so no schema dict is walked per value.
+        null_idx: bytes | None = None
+        strict_tab = []
+        lenient_tab = []
+        for i, b in enumerate(schema):
+            if _norm(b) == "null":
+                if null_idx is None:
+                    null_idx = _zigzag_encode(i)
+                continue
+            strict, extra = _compile_union_pred(b)
+            wfn = _compile_write(b)
+            idx = _zigzag_encode(i)
+            strict_tab.append((strict, idx, wfn))
+            if extra is not None:
+                lenient_tab.append((extra, idx, wfn))
+        strict_t = tuple(strict_tab)
+        lenient_t = tuple(lenient_tab)
         full = list(schema)
 
         def write_union(value: Any, out: bytearray) -> None:
             value = _np_unwrap(value)
-            for lenient in (False, True):
-                for bn, idx, wfn in branches:
-                    if _union_branch_matches(value, bn, lenient):
+            if value is None:
+                if null_idx is not None:
+                    out += null_idx
+                    return
+            else:
+                for pred, idx, wfn in strict_t:
+                    if pred(value):
                         out += idx
-                        if wfn is not None:
-                            wfn(value, out)
+                        wfn(value, out)
+                        return
+                for pred, idx, wfn in lenient_t:
+                    if pred(value):
+                        out += idx
+                        wfn(value, out)
                         return
             raise ValueError(f"no union branch for {value!r} in {full!r}")
 
@@ -914,6 +1078,257 @@ def _decoder(
 
 
 # --------------------------------------------------------------------------
+# structure-of-arrays codecs — the Arrow-batch hot path.  A top-level
+# record schema compiles into a reader that appends each decoded field
+# DIRECTLY into its per-column output list (and a writer that encodes
+# straight from a row tuple), so one pass per batch produces the
+# pandas frame with zero intermediate per-record dicts.  The row-level
+# decode_record/encode_record API stays the spec-readable reference
+# implementation; fixtures and the differential property pin the two
+# paths to each other.  Non-record top-level schemas fall back to the
+# dict path behind the same interface.
+# --------------------------------------------------------------------------
+
+
+_TS_UNITS = {"timestamp-micros": "us", "timestamp-millis": "ms"}
+_NAT_SENTINEL = -(2**63)  # numpy NaT as int64
+
+
+def _split_ts_logical(schema: Any) -> tuple[Any, str | None]:
+    """(schema with a top-level timestamp logical stripped, numpy time
+    unit or None).  The SoA reader then appends RAW epoch ints and the
+    whole column is reinterpreted as datetime64[unit] once per batch —
+    vectorized, full int64 range (per-value ``_EPOCH + timedelta``
+    construction was the decode hot spot).  Applied only when the
+    column is homogeneously temporal: a bare timestamp logical or a
+    ["null", timestamp] union."""
+    lt = _logical_of(schema)
+    if lt is not None and lt.get("logicalType") in _TS_UNITS:
+        return (
+            {k: v for k, v in schema.items() if k != "logicalType"},
+            _TS_UNITS[lt["logicalType"]],
+        )
+    if isinstance(schema, list):
+        non_null = [b for b in schema if _norm(b) != "null"]
+        if len(non_null) == 1:
+            stripped, unit = _split_ts_logical(non_null[0])
+            if unit is not None:
+                return (
+                    [stripped if b is non_null[0] else b for b in schema],
+                    unit,
+                )
+    return schema, None
+
+
+def _unwrap_record(schema: Any) -> dict | None:
+    """The top-level plain record schema, or None (union / logical /
+    primitive top levels take the generic dict fallback)."""
+    if isinstance(schema, dict) and set(schema) == {"type"}:
+        schema = schema["type"]
+    if (
+        isinstance(schema, dict)
+        and schema.get("type") == "record"
+        and "logicalType" not in schema
+    ):
+        return schema
+    return None
+
+
+def _compile_soa_read(
+    writer: Any, reader: Any | None, names: tuple[str, ...]
+) -> Callable:
+    """Compile a (writer[, reader]) pair into
+    ``read_row(buf, appends, pos=0)``: decode one record appending one
+    value per ``names`` slot, then error on trailing bytes.  All
+    pairing/promotion/default decisions happen here, once."""
+    slot_of = {n: i for i, n in enumerate(names)}
+    post: list[tuple[int, str]] = []
+    wrec = _unwrap_record(writer)
+    rrec = _unwrap_record(reader) if reader is not None else None
+    if wrec is not None and reader is None:
+        # no resolution: writer field order IS the wire order; fields
+        # outside `names` (undeclared in the output DDL) are discarded
+        steps = []
+        for f in wrec["fields"]:
+            slot = slot_of.get(f["name"], -1)
+            ftype = f["type"]
+            if slot >= 0:
+                ftype, unit = _split_ts_logical(ftype)
+                if unit is not None:
+                    post.append((slot, unit))
+            steps.append((slot, _compile_read(ftype)))
+        step_tab = tuple(steps)
+        default_tab: tuple = ()
+    elif wrec is not None and rrec is not None:
+        wn, rn = wrec.get("name"), rrec.get("name")
+        if wn is not None and rn is not None and wn != rn:
+            raise ValueError(
+                f"cannot resolve record {wn!r} as {rn!r} (names must match)"
+            )
+        steps = []
+        rfields = {f["name"]: f for f in rrec["fields"]}
+        for wf in wrec["fields"]:  # wire order = writer order
+            rf = rfields.get(wf["name"])
+            if rf is None:  # writer-only: decode and discard
+                steps.append((-1, _compile_read(wf["type"])))
+            else:
+                slot = slot_of.get(wf["name"], -1)
+                rtype = rf["type"]
+                if slot >= 0:
+                    rtype, unit = _split_ts_logical(rtype)
+                    if unit is not None:
+                        post.append((slot, unit))
+                steps.append(
+                    (slot, _compile_resolved(wf["type"], rtype))
+                )
+        wnames = {f["name"] for f in wrec["fields"]}
+        defaults = []
+        for rf in rrec["fields"]:  # reader-only: defaults
+            if rf["name"] in wnames or rf["name"] not in slot_of:
+                continue
+            if "default" not in rf:
+                raise ValueError(
+                    f"reader field {rf['name']!r} absent from writer "
+                    "schema and has no default"
+                )
+            dv = _default_value(rf["type"], rf["default"])
+            _, unit = _split_ts_logical(rf["type"])
+            if unit is not None:  # raw int/None default; post converts
+                post.append((slot_of[rf["name"]], unit))
+            defaults.append(
+                (slot_of[rf["name"]], dv, isinstance(dv, (list, dict)))
+            )
+        step_tab = tuple(steps)
+        default_tab = tuple(defaults)
+    else:
+        # generic fallback: dict-decode then scatter (top-level union /
+        # logical / primitive schemas — never the registry entries)
+        dec = (
+            _compile_read(writer)
+            if reader is None
+            else _compile_resolved(writer, reader)
+        )
+
+        def read_row_generic(
+            buf: bytes, appends: list, pos: int = 0
+        ) -> None:
+            rec, end = dec(buf, pos)
+            if end != len(buf):
+                raise ValueError(
+                    f"trailing {len(buf) - end} bytes after record"
+                )
+            for n, i in slot_of.items():
+                appends[i](rec[n])
+
+        read_row_generic.post = ()
+        return read_row_generic
+
+    def read_row(buf: bytes, appends: list, pos: int = 0) -> None:
+        for slot, rfn in step_tab:
+            v, pos = rfn(buf, pos)
+            if slot >= 0:
+                appends[slot](v)
+        for slot, dv, needs_copy in default_tab:
+            appends[slot](copy.deepcopy(dv) if needs_copy else dv)
+        if pos != len(buf):
+            raise ValueError(f"trailing {len(buf) - pos} bytes after record")
+
+    read_row.post = tuple(post)
+    return read_row
+
+
+_SOA_READ_CACHE: dict[tuple, Callable] = {}
+_SOA_WRITE_CACHE: dict[tuple, Callable] = {}
+
+
+def _soa_decoder(
+    schema_json: str,
+    reader_schema_json: str | None,
+    names: tuple[str, ...],
+) -> Callable:
+    key = (schema_json, reader_schema_json, names)
+    fn = _SOA_READ_CACHE.get(key)
+    if fn is None:
+        fn = _compile_soa_read(
+            json.loads(schema_json),
+            None
+            if reader_schema_json is None
+            else json.loads(reader_schema_json),
+            names,
+        )
+        _SOA_READ_CACHE[key] = fn
+    return fn
+
+
+def _soa_confluent_decoder(
+    registry: dict[int, str],
+    reader_schema_json: str | None,
+    names: tuple[str, ...],
+) -> Callable:
+    """Registry-framed SoA reader: the writer schema is dispatched per
+    record by the embedded id; each (id, reader) pair compiles once per
+    process and is table-looked-up thereafter."""
+    compiled: dict[int, Callable] = {}
+
+    def read_row(buf: bytes, appends: list) -> None:
+        if len(buf) < 5 or buf[0] != _MAGIC:
+            raise ValueError("not a Schema-Registry framed record")
+        sid = int.from_bytes(buf[1:5], "big")
+        rr = compiled.get(sid)
+        if rr is None:
+            writer = registry.get(sid)
+            if writer is None:
+                raise KeyError(f"schema id {sid} not in registry")
+            rr = _soa_decoder(writer, reader_schema_json, names)
+            post = getattr(rr, "post", ())
+            prev = getattr(read_row, "post", None)
+            if prev is None:
+                read_row.post = post  # lazily adopted from the 1st id
+            elif tuple(prev) != tuple(post):
+                # one output column can't be half raw-int, half object
+                raise ValueError(
+                    "writer schemas in one topic disagree on temporal "
+                    "column layout; pass reader_schema_json to fix one"
+                )
+            compiled[sid] = rr
+        rr(buf, appends, 5)
+
+    return read_row
+
+
+def _compile_soa_write(schema: Any, cols: tuple[str, ...]) -> Callable:
+    """Compile ``schema`` into ``write_row(row, out)`` encoding one row
+    tuple (aligned to ``cols``) in schema field order."""
+    rec = _unwrap_record(schema)
+    if rec is None:
+        enc = _compile_write(schema)
+
+        def write_row_generic(row: tuple, out: bytearray) -> None:
+            enc(dict(zip(cols, row)), out)
+
+        return write_row_generic
+    idx = {c: i for i, c in enumerate(cols)}
+    fields = tuple(
+        (idx[f["name"]], _compile_write(f["type"])) for f in rec["fields"]
+    )
+
+    def write_row(row: tuple, out: bytearray) -> None:
+        for i, wfn in fields:
+            wfn(row[i], out)
+
+    return write_row
+
+
+def _soa_encoder(schema_json: str, cols: tuple[str, ...]) -> Callable:
+    key = (schema_json, cols)
+    fn = _SOA_WRITE_CACHE.get(key)
+    if fn is None:
+        fn = _compile_soa_write(json.loads(schema_json), cols)
+        _SOA_WRITE_CACHE[key] = fn
+    return fn
+
+
+# --------------------------------------------------------------------------
 # row-level API (the pure-Python reference codec)
 # --------------------------------------------------------------------------
 
@@ -1116,34 +1531,51 @@ class SchemaRegistry:
 # --------------------------------------------------------------------------
 
 
+def _encode_batches_fn(
+    cols: list[str], schema_json: str, out_col: str, prefix: bytes
+):
+    """Shared mapInPandas generator for the to_avro variants: rows are
+    encoded straight from zipped column iterators by the compiled SoA
+    writer (no per-record dict), nulls normalized per cell exactly as
+    pandas sees them (None/NaN/NaT)."""
+    cols_t = tuple(cols)
+
+    def _batches(iterator):
+        write_row = _soa_encoder(schema_json, cols_t)
+        for pdf in iterator:
+            vals = []
+            append = vals.append
+            # vectorized null normalization: one astype(object)+where
+            # per COLUMN turns NaN/NaT into None and numpy scalars into
+            # plain Python values, so the per-cell path below does no
+            # isna() calls and _np_unwrap is a frozenset hit
+            arrs = [
+                pdf[c].astype(object).where(pdf[c].notna(), None).to_numpy()
+                for c in cols_t
+            ]
+            for row in zip(*arrs):
+                out = bytearray(prefix)
+                write_row(row, out)
+                append(bytes(out))
+            # drop BEFORE assign: out_col may shadow one of the encoded
+            # input columns (e.g. encoding a column literally named
+            # "value" into the "value" payload column)
+            yield pdf.drop(columns=list(cols_t)).assign(**{out_col: vals})
+
+    return _batches
+
+
 def to_avro_py(
     df: DataFrame, cols: list[str], schema_json: str, out_col: str = "value"
 ) -> DataFrame:
     """Encode ``cols`` of every row into one Avro binary value column —
     Arrow-batched; only the listed columns cross into Python."""
-
-    def _batches(iterator):
-        import pandas as pd
-
-        write = _encoder(schema_json)
-        for pdf in iterator:
-            vals = []
-            for rec in pdf[cols].to_dict("records"):
-                out = bytearray()
-                write(
-                    {c: (None if pd.isna(rec[c]) else rec[c]) for c in cols},
-                    out,
-                )
-                vals.append(bytes(out))
-            # drop BEFORE assign: out_col may shadow one of the encoded
-            # input columns (e.g. encoding a column literally named
-            # "value" into the "value" payload column)
-            yield pdf.drop(columns=cols).assign(**{out_col: vals})
-
     keep = [c for c in df.columns if c not in cols]
     fields = ", ".join(f"{c} {t}" for c, t in df.dtypes if c in keep)
     schema = (fields + ", " if fields else "") + f"{out_col} binary"
-    return df.mapInPandas(_batches, schema=schema)
+    return df.mapInPandas(
+        _encode_batches_fn(cols, schema_json, out_col, b""), schema=schema
+    )
 
 
 def _decode_batches_fn(
@@ -1151,33 +1583,48 @@ def _decode_batches_fn(
     names: list[str],
     keep: list[str],
     tombstone_col: str | None,
-    decode_one,
+    make_read_row,
 ):
     """Shared mapInPandas generator for the from_avro variants.
-    ``decode_one`` maps one non-null binary value to a record dict.
-    With ``tombstone_col``, null values become all-NULL rows flagged
-    true — Kafka tombstone semantics on the value column — instead of
-    an error; ``keep`` columns pass through beside the decoded fields
+    ``make_read_row()`` is called lazily INSIDE the generator — i.e. on
+    the executor — and returns ``read_row(buf, appends)`` appending one
+    decoded value per output column (so compiled closure trees never
+    cross the pickle boundary; only schema strings do).  With
+    ``tombstone_col``, null values become all-NULL rows flagged true —
+    Kafka tombstone semantics on the value column — instead of an
+    error; ``keep`` columns pass through beside the decoded fields
     (the topic's key/offset metadata)."""
+    names = tuple(names)
 
     def _batches(iterator):
+        import numpy as np
         import pandas as pd
 
+        read_row = make_read_row()
         for pdf in iterator:
-            decoded: dict[str, list] = {n: [] for n in names}
+            columns: list = [[] for _ in names]
+            appends = [c.append for c in columns]
             tombs: list[bool] = []
             for b in pdf[value_col]:
                 if b is None and tombstone_col is not None:
-                    for n in names:
-                        decoded[n].append(None)
+                    for a in appends:
+                        a(None)
                     tombs.append(True)
                 else:
-                    rec = decode_one(b)
-                    for n in names:
-                        decoded[n].append(rec[n])
+                    read_row(bytes(b), appends)
                     tombs.append(False)
+            # read post AFTER the loop: the confluent dispatcher adopts
+            # it lazily from the first writer id it compiles
+            for slot, unit in getattr(read_row, "post", ()):
+                col = columns[slot]
+                columns[slot] = pd.Series(
+                    np.array(
+                        [_NAT_SENTINEL if v is None else v for v in col],
+                        dtype="int64",
+                    ).view(f"datetime64[{unit}]")
+                )
             data = {c: pdf[c].to_numpy() for c in keep}
-            data.update(decoded)
+            data.update(zip(names, columns))
             if tombstone_col is not None:
                 data[tombstone_col] = tombs
             yield pd.DataFrame(data)
@@ -1221,14 +1668,13 @@ def from_avro_py(
 
     # parse the DDL properly: splitting on "," mangles nested types
     # like map<string,int> or decimal(10,2)
-    names = [f.name for f in StructType.fromDDL(field_types).fields]
+    names = tuple(f.name for f in StructType.fromDDL(field_types).fields)
     keep = list(keep or [])
-
-    def decode_one(b):
-        return decode_record(b, schema_json, reader_schema_json)
-
+    make_read_row = partial(_soa_decoder, schema_json, reader_schema_json, names)
     return df.mapInPandas(
-        _decode_batches_fn(value_col, names, keep, tombstone_col, decode_one),
+        _decode_batches_fn(
+            value_col, names, keep, tombstone_col, make_read_row
+        ),
         schema=_decoded_ddl(df, field_types, keep, tombstone_col),
     )
 
@@ -1282,26 +1728,12 @@ def to_avro_confluent_py(
 ) -> DataFrame:
     """Registry-framed variant of :func:`to_avro_py`."""
     prefix = bytes([_MAGIC]) + int(schema_id).to_bytes(4, "big")
-
-    def _batches(iterator):
-        import pandas as pd
-
-        write = _encoder(schema_json)
-        for pdf in iterator:
-            vals = []
-            for rec in pdf[cols].to_dict("records"):
-                out = bytearray(prefix)
-                write(
-                    {c: (None if pd.isna(rec[c]) else rec[c]) for c in cols},
-                    out,
-                )
-                vals.append(bytes(out))
-            yield pdf.drop(columns=cols).assign(**{out_col: vals})
-
     keep = [c for c in df.columns if c not in cols]
     fields = ", ".join(f"{c} {t}" for c, t in df.dtypes if c in keep)
     schema = (fields + ", " if fields else "") + f"{out_col} binary"
-    return df.mapInPandas(_batches, schema=schema)
+    return df.mapInPandas(
+        _encode_batches_fn(cols, schema_json, out_col, prefix), schema=schema
+    )
 
 
 def from_avro_confluent_py(
@@ -1322,15 +1754,16 @@ def from_avro_confluent_py(
     metadata remain)."""
     from pyspark.sql.types import StructType
 
-    names = [f.name for f in StructType.fromDDL(field_types).fields]
+    names = tuple(f.name for f in StructType.fromDDL(field_types).fields)
     keep = list(keep or [])
     if isinstance(registry, SchemaRegistry):
         registry = registry.registry_dict()  # plain dict pickles lean
-
-    def decode_one(b):
-        return decode_confluent(b, registry, reader_schema_json)
-
+    make_read_row = partial(
+        _soa_confluent_decoder, registry, reader_schema_json, names
+    )
     return df.mapInPandas(
-        _decode_batches_fn(value_col, names, keep, tombstone_col, decode_one),
+        _decode_batches_fn(
+            value_col, names, keep, tombstone_col, make_read_row
+        ),
         schema=_decoded_ddl(df, field_types, keep, tombstone_col),
     )
