@@ -785,3 +785,478 @@ def test_unknown_logical_type_rides_base():
         check_compatibility,
     )
     check_compatibility(sf, [sf], "FULL")
+
+
+# ---------------------------------------------------------------------------
+# Differential property: the COMPILED codec vs a spec-literal INTERPRETED
+# decoder kept here in the test file (the mirrored-oracle lesson, SURVEY §5,
+# applied to the codec itself).  Random (writer, reader) schema pairs and
+# conforming records; the interpreter walks schema dicts per datum and makes
+# every resolution decision independently of avro_codec's compile step.
+# ---------------------------------------------------------------------------
+
+import datetime as _ddt
+from decimal import Decimal as _Dec
+
+from replay_profile import replay_settings
+
+from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.sources.avro_codec import (  # noqa: E501
+    _soa_decoder,
+)
+
+_SPEC_EPOCH = _ddt.datetime(1970, 1, 1)
+
+
+def _spec_varint(buf, pos):
+    shift = acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return (acc >> 1) ^ -(acc & 1), pos
+        shift += 7
+
+
+def _spec_simplify(s):
+    if isinstance(s, dict) and set(s) == {"type"}:
+        return _spec_simplify(s["type"])
+    return s
+
+
+def _spec_kind(s):
+    """'null'/'boolean'/.../'record'/'enum'/'fixed'/'array'/'map'/'union'"""
+    s = _spec_simplify(s)
+    if isinstance(s, list):
+        return "union"
+    if isinstance(s, str):
+        return s
+    return s["type"]
+
+
+def _spec_logical_conv(s):
+    """Per the spec's Logical Types section: decoded base value ->
+    logical value, or None (unknown logicals/uuid ride the base)."""
+    if not (isinstance(s, dict) and "logicalType" in s):
+        return None
+    t = s["logicalType"]
+    if t == "decimal":
+        sc = int(s.get("scale", 0))
+        return lambda b: _Dec(int.from_bytes(bytes(b), "big", signed=True)) / (
+            _Dec(10) ** sc
+        )
+    if t == "date":
+        return lambda d: _SPEC_EPOCH.date() + _ddt.timedelta(days=d)
+    if t == "time-millis":
+        return lambda m: (_SPEC_EPOCH + _ddt.timedelta(milliseconds=m)).time()
+    if t == "time-micros":
+        return lambda m: (_SPEC_EPOCH + _ddt.timedelta(microseconds=m)).time()
+    if t == "timestamp-millis":
+        return lambda m: _SPEC_EPOCH + _ddt.timedelta(milliseconds=m)
+    if t == "timestamp-micros":
+        return lambda m: _SPEC_EPOCH + _ddt.timedelta(microseconds=m)
+    return None
+
+
+def _spec_read_base(s, buf, pos):
+    """Interpreted decode of the BASE layout of schema ``s``."""
+    import struct as _struct
+
+    s = _spec_simplify(s)
+    k = _spec_kind(s)
+    if k == "null":
+        return None, pos
+    if k == "boolean":
+        return buf[pos] != 0, pos + 1
+    if k in ("int", "long"):
+        return _spec_varint(buf, pos)
+    if k == "float":
+        return _struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if k == "double":
+        return _struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if k in ("bytes", "string"):
+        n, pos = _spec_varint(buf, pos)
+        raw = buf[pos:pos + n]
+        return (raw.decode("utf-8") if k == "string" else raw), pos + n
+    if k == "fixed":
+        n = int(s["size"])
+        return buf[pos:pos + n], pos + n
+    if k == "enum":
+        i, pos = _spec_varint(buf, pos)
+        return s["symbols"][i], pos
+    if k == "union":
+        i, pos = _spec_varint(buf, pos)
+        return _spec_read(s[i], buf, pos)
+    if k == "array":
+        items = []
+        while True:
+            n, pos = _spec_varint(buf, pos)
+            if n == 0:
+                return items, pos
+            if n < 0:
+                _, pos = _spec_varint(buf, pos)
+                n = -n
+            for _ in range(n):
+                v, pos = _spec_read(s["items"], buf, pos)
+                items.append(v)
+    if k == "map":
+        kv = {}
+        while True:
+            n, pos = _spec_varint(buf, pos)
+            if n == 0:
+                return kv, pos
+            if n < 0:
+                _, pos = _spec_varint(buf, pos)
+                n = -n
+            for _ in range(n):
+                klen, pos = _spec_varint(buf, pos)
+                key = buf[pos:pos + klen].decode("utf-8")
+                pos += klen
+                kv[key], pos = _spec_read(s["values"], buf, pos)
+    if k == "record":
+        rec = {}
+        for f in s["fields"]:
+            rec[f["name"]], pos = _spec_read(f["type"], buf, pos)
+        return rec, pos
+    raise TypeError(f"spec interpreter: unsupported {s!r}")
+
+
+def _spec_read(s, buf, pos):
+    conv = _spec_logical_conv(_spec_simplify(s))
+    v, pos = _spec_read_base(s, buf, pos)
+    return (conv(v) if conv is not None and v is not None else v), pos
+
+
+_SPEC_PROMO = {
+    "int": {"int", "long", "float", "double"},
+    "long": {"long", "float", "double"},
+    "float": {"float", "double"},
+    "double": {"double"},
+    "string": {"string", "bytes"},
+    "bytes": {"bytes", "string"},
+    "boolean": {"boolean"},
+    "null": {"null"},
+}
+
+
+def _spec_can_read(w, r):
+    w, r = _spec_simplify(w), _spec_simplify(r)
+    if isinstance(r, list):
+        return any(_spec_can_read(w, rb) for rb in r)
+    if isinstance(w, list):
+        return any(_spec_can_read(wb, r) for wb in w)
+    wk, rk = _spec_kind(w), _spec_kind(r)
+    if wk in _SPEC_PROMO and rk in _SPEC_PROMO:
+        return rk in _SPEC_PROMO[wk]
+    if wk != rk:
+        return False
+    if wk in ("record", "enum", "fixed"):
+        wn, rn = w.get("name"), r.get("name")
+        if wn is not None and rn is not None and wn != rn:
+            return False
+        return wk != "fixed" or int(w["size"]) == int(r["size"])
+    if wk == "array":
+        return _spec_can_read(w["items"], r["items"])
+    if wk == "map":
+        return _spec_can_read(w["values"], r["values"])
+    return True
+
+
+def _spec_default(s, d):
+    s = _spec_simplify(s)
+    if isinstance(s, list):
+        return _spec_default(s[0], d)
+    conv = _spec_logical_conv(s)
+    k = _spec_kind(s)
+    if isinstance(d, str) and k in ("bytes", "fixed"):
+        d = d.encode("latin-1")
+    if conv is not None and d is not None:
+        return conv(d)
+    if k in ("float", "double") and d is not None:
+        return float(d)
+    return d
+
+
+def _spec_resolved(w, r, buf, pos):
+    """Interpreted Schema Resolution (Avro 1.11 'Schema Resolution'):
+    per-datum decisions, no compilation anywhere."""
+    w, r = _spec_simplify(w), _spec_simplify(r)
+    if isinstance(w, list):  # writer union: index picks written schema
+        i, pos = _spec_varint(buf, pos)
+        return _spec_resolved(w[i], r, buf, pos)
+    if isinstance(r, list):  # reader union: first matching branch
+        for rb in r:
+            if _spec_can_read(w, rb):
+                return _spec_resolved(w, rb, buf, pos)
+        raise ValueError("spec: no reader union branch")
+    wk, rk = _spec_kind(w), _spec_kind(r)
+    rconv = _spec_logical_conv(r)
+    if wk in _SPEC_PROMO:  # primitive-based (incl. logical bases)
+        if rk not in _SPEC_PROMO[wk]:
+            raise ValueError(f"spec: cannot promote {wk} to {rk}")
+        v, pos = _spec_read_base(wk, buf, pos)
+        if wk in ("int", "long") and rk in ("float", "double"):
+            v = float(v)
+        if wk == "bytes" and rk == "string":
+            v = v.decode("utf-8")
+        if wk == "string" and rk == "bytes":
+            v = v.encode("utf-8")
+        return (rconv(v) if rconv is not None and v is not None else v), pos
+    if wk != rk:
+        raise ValueError(f"spec: cannot resolve {wk} as {rk}")
+    if wk == "record":
+        rfields = {f["name"]: f for f in r["fields"]}
+        rec = {}
+        for wf in w["fields"]:
+            rf = rfields.get(wf["name"])
+            if rf is None:
+                _, pos = _spec_read(wf["type"], buf, pos)  # discard
+            else:
+                rec[rf["name"]], pos = _spec_resolved(
+                    wf["type"], rf["type"], buf, pos
+                )
+        wnames = {f["name"] for f in w["fields"]}
+        for rf in r["fields"]:
+            if rf["name"] not in wnames:
+                rec[rf["name"]] = _spec_default(rf["type"], rf["default"])
+        return rec, pos
+    if wk == "enum":
+        i, pos = _spec_varint(buf, pos)
+        sym = w["symbols"][i]
+        if sym in r["symbols"]:
+            return sym, pos
+        if "default" in r:
+            return r["default"], pos
+        raise ValueError("spec: enum symbol absent")
+    if wk == "fixed":
+        n = int(w["size"])
+        v = buf[pos:pos + n]
+        pos += n
+        return (rconv(v) if rconv is not None else v), pos
+    if wk == "array":
+        items = []
+        while True:
+            n, pos = _spec_varint(buf, pos)
+            if n == 0:
+                return items, pos
+            if n < 0:
+                _, pos = _spec_varint(buf, pos)
+                n = -n
+            for _ in range(n):
+                v, pos = _spec_resolved(w["items"], r["items"], buf, pos)
+                items.append(v)
+    if wk == "map":
+        kv = {}
+        while True:
+            n, pos = _spec_varint(buf, pos)
+            if n == 0:
+                return kv, pos
+            if n < 0:
+                _, pos = _spec_varint(buf, pos)
+                n = -n
+            for _ in range(n):
+                klen, pos = _spec_varint(buf, pos)
+                key = buf[pos:pos + klen].decode("utf-8")
+                pos += klen
+                kv[key], pos = _spec_resolved(
+                    w["values"], r["values"], buf, pos
+                )
+    raise TypeError(f"spec interpreter: unsupported {w!r}")
+
+
+# ----- schema / value / evolution generators -------------------------------
+
+_GEN_PRIMS = ("boolean", "int", "long", "float", "double", "string", "bytes")
+
+
+@st.composite
+def _gen_leaf(draw):
+    kind = draw(st.sampled_from(
+        ("prim", "prim", "prim", "logical", "enum", "fixed")))
+    if kind == "prim":
+        return draw(st.sampled_from(_GEN_PRIMS))
+    if kind == "enum":
+        syms = draw(st.lists(
+            st.sampled_from(("RED", "GREEN", "BLUE", "AMBER")),
+            min_size=2, max_size=4, unique=True))
+        return {"type": "enum", "name": "en", "symbols": syms}
+    if kind == "fixed":
+        return {"type": "fixed", "name": "fx",
+                "size": draw(st.integers(1, 4))}
+    which = draw(st.sampled_from((
+        "dec_bytes", "dec_fixed", "date", "time-millis", "time-micros",
+        "timestamp-millis", "timestamp-micros", "uuid", "unknown")))
+    if which == "dec_bytes":
+        return {"type": "bytes", "logicalType": "decimal",
+                "precision": 18, "scale": draw(st.integers(0, 4))}
+    if which == "dec_fixed":
+        return {"type": "fixed", "name": "dfx", "size": 6,
+                "logicalType": "decimal", "precision": 12,
+                "scale": draw(st.integers(0, 4))}
+    if which == "uuid":
+        return {"type": "string", "logicalType": "uuid"}
+    if which == "unknown":
+        return {"type": "long", "logicalType": "nanos-of-something"}
+    base = "int" if which in ("date", "time-millis") else "long"
+    return {"type": base, "logicalType": which}
+
+
+@st.composite
+def _gen_field_type(draw):
+    kind = draw(st.sampled_from((
+        "leaf", "leaf", "leaf", "null_union", "union3", "array", "map",
+        "record")))
+    if kind == "leaf":
+        return draw(_gen_leaf())
+    if kind == "null_union":
+        return ["null", draw(_gen_leaf())]
+    if kind == "union3":
+        return ["null", "long", "string"]
+    if kind == "array":
+        return {"type": "array", "items": draw(_gen_leaf())}
+    if kind == "map":
+        return {"type": "map", "values": draw(_gen_leaf())}
+    return {"type": "record", "name": "nr", "fields": [
+        {"name": "x", "type": draw(_gen_leaf())},
+        {"name": "y", "type": "long"}]}
+
+
+def _gen_value(draw, s):
+    s = _spec_simplify(s)
+    if isinstance(s, list):
+        return _gen_value(draw, draw(st.sampled_from(s)))
+    lt = s.get("logicalType") if isinstance(s, dict) else None
+    if lt == "decimal":
+        sc = int(s.get("scale", 0))
+        size = int(s["size"]) if s.get("type") == "fixed" else None
+        bound = (1 << (8 * size - 1)) - 1 if size else 10 ** 12
+        n = draw(st.integers(-bound, bound))
+        if draw(st.booleans()):
+            return _Dec(n).scaleb(-sc)
+        return n  # already-unscaled int passthrough
+    if lt == "date":
+        d = draw(st.integers(-40000, 40000))
+        return (_SPEC_EPOCH.date() + _ddt.timedelta(days=d)
+                if draw(st.booleans()) else d)
+    if lt in ("time-millis", "time-micros"):
+        us = draw(st.integers(0, 86_399_999_999))
+        if lt == "time-millis":
+            us = (us // 1000) * 1000
+        if draw(st.booleans()):
+            return (_SPEC_EPOCH + _ddt.timedelta(microseconds=us)).time()
+        return us // 1000 if lt == "time-millis" else us
+    if lt in ("timestamp-millis", "timestamp-micros"):
+        us = draw(st.integers(-10 ** 15, 10 ** 15))
+        if lt == "timestamp-millis":
+            us = (us // 1000) * 1000
+        if draw(st.booleans()):
+            return _SPEC_EPOCH + _ddt.timedelta(microseconds=us)
+        return us // 1000 if lt == "timestamp-millis" else us
+    k = _spec_kind(s)
+    if k == "null":
+        return None
+    if k == "boolean":
+        return draw(st.booleans())
+    if k == "int":
+        return draw(st.integers(-(2 ** 31), 2 ** 31 - 1))
+    if k == "long":
+        return draw(st.integers(-(2 ** 62), 2 ** 62))
+    if k == "float":
+        return draw(st.floats(allow_nan=False, allow_infinity=False,
+                              width=32))
+    if k == "double":
+        return draw(st.floats(allow_nan=False, allow_infinity=False))
+    if k == "string":
+        return draw(st.text(max_size=8))
+    if k == "bytes":
+        return draw(st.binary(max_size=8))
+    if k == "fixed":
+        return draw(st.binary(min_size=int(s["size"]),
+                              max_size=int(s["size"])))
+    if k == "enum":
+        return draw(st.sampled_from(s["symbols"]))
+    if k == "array":
+        return [_gen_value(draw, s["items"])
+                for _ in range(draw(st.integers(0, 3)))]
+    if k == "map":
+        keys = draw(st.lists(st.sampled_from("pqrs"), max_size=3,
+                             unique=True))
+        return {key: _gen_value(draw, s["values"]) for key in keys}
+    if k == "record":
+        return {f["name"]: _gen_value(draw, f["type"])
+                for f in s["fields"]}
+    raise TypeError(f"no generator for {s!r}")
+
+
+_GEN_PROMO = {"int": ("int", "long", "float", "double"),
+              "long": ("long", "float", "double"),
+              "float": ("float", "double"),
+              "string": ("string", "bytes")}
+
+_GEN_ADDS = (
+    ("extra_l", "long", 7),
+    ("extra_s", "string", "dflt"),
+    ("extra_n", ["null", "long"], None),
+    ("extra_d", "double", 1.5),
+    ("extra_b", "bytes", "ÿ"),
+    ("extra_ts", {"type": "long", "logicalType": "timestamp-micros"},
+     86_400_000_000),
+)
+
+
+@st.composite
+def _gen_pair(draw):
+    nf = draw(st.integers(1, 4))
+    wfields = [{"name": f"f{i}", "type": draw(_gen_field_type())}
+               for i in range(nf)]
+    writer = {"type": "record", "name": "r", "fields": wfields}
+    rfields = []
+    for f in wfields:
+        if len(wfields) > 1 and draw(st.integers(0, 4)) == 0:
+            continue  # dropped in the reader (decode-and-discard)
+        t = f["type"]
+        if isinstance(t, str) and t in _GEN_PROMO:
+            t = draw(st.sampled_from(_GEN_PROMO[t]))
+            if draw(st.integers(0, 3)) == 0:
+                t = ["null", t]  # non-union writer -> reader union
+        rfields.append({"name": f["name"], "type": t})
+    rfields = list(draw(st.permutations(rfields))) if rfields else []
+    for add in draw(st.lists(st.sampled_from(_GEN_ADDS), max_size=2,
+                             unique_by=lambda a: a[0])):
+        rfields.append({"name": add[0], "type": add[1], "default": add[2]})
+    reader = {"type": "record", "name": "r", "fields": rfields}
+    value = {f["name"]: _gen_value(draw, f["type"]) for f in wfields}
+    return writer, reader, value
+
+
+@given(st.data())
+@replay_settings(60)
+def test_codec_differential_vs_spec_interpreter(data):
+    writer, reader, value = data.draw(_gen_pair())
+    wj, rj = json.dumps(writer), json.dumps(reader)
+    enc = encode_record(value, wj)
+
+    # 1. plain decode == interpreted decode of the same bytes
+    spec_plain, pos = _spec_read(writer, enc, 0)
+    assert pos == len(enc)
+    assert decode_record(enc, wj) == spec_plain
+
+    # 2. compiled resolution == interpreted resolution
+    spec_res, pos = _spec_resolved(writer, reader, enc, 0)
+    assert pos == len(enc)
+    got = decode_record(enc, wj, rj)
+    assert got == spec_res
+
+    # 3. the SoA hot path agrees with the dict path field-for-field
+    names = tuple(f["name"] for f in reader["fields"])
+    rr = _soa_decoder(wj, rj, names)
+    cols = [[] for _ in names]
+    rr(enc, [c.append for c in cols])
+    post = dict(getattr(rr, "post", ()))
+    for i, n in enumerate(names):
+        v = cols[i][0]
+        if i in post and v is not None:  # raw epoch int: apply the
+            v = _SPEC_EPOCH + _ddt.timedelta(  # batch-level conversion
+                **{("microseconds" if post[i] == "us" else "milliseconds"): v}
+            )
+        assert v == got[n], (n, v, got[n])

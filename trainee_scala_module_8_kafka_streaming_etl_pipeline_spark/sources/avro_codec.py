@@ -855,10 +855,24 @@ def _resolvable(writer: Any, reader: Any) -> bool:
 def _default_value(schema: Any, default: Any) -> Any:
     """Coerce an Avro JSON default to the Python value space (spec: a
     union's default is typed by its FIRST branch; bytes defaults are
-    latin-1-escaped JSON strings)."""
+    latin-1-escaped JSON strings; logical fields get the reader's
+    logical conversion, as in Avro Java with conversions enabled)."""
+    if isinstance(schema, dict) and set(schema) == {"type"}:
+        schema = schema["type"]
+    if isinstance(schema, list):
+        return _default_value(schema[0] if schema else "null", default)
+    lt = _logical_of(schema)
+    if lt is not None and default is not None:
+        conv = _logical_reader(lt)
+        if conv is not None:
+            base = _norm(_logical_base(lt))
+            if isinstance(default, str) and (
+                base == "bytes"
+                or (isinstance(base, dict) and base.get("type") == "fixed")
+            ):
+                default = default.encode("latin-1")
+            return conv(default)
     s = _norm(schema)
-    if isinstance(s, list):
-        return _default_value(s[0], default)
     if s == "bytes" and isinstance(default, str):
         return default.encode("latin-1")
     if s in ("float", "double") and default is not None:
@@ -1191,10 +1205,12 @@ def _compile_soa_read(
                     f"reader field {rf['name']!r} absent from writer "
                     "schema and has no default"
                 )
-            dv = _default_value(rf["type"], rf["default"])
             _, unit = _split_ts_logical(rf["type"])
-            if unit is not None:  # raw int/None default; post converts
-                post.append((slot_of[rf["name"]], unit))
+            if unit is not None:  # keep the RAW epoch int (or None):
+                post.append((slot_of[rf["name"]], unit))  # post converts
+                dv = rf["default"]
+            else:
+                dv = _default_value(rf["type"], rf["default"])
             defaults.append(
                 (slot_of[rf["name"]], dv, isinstance(dv, (list, dict)))
             )
