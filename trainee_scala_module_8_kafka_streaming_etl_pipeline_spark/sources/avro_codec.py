@@ -300,72 +300,6 @@ def _np_unwrap(value: Any) -> Any:
     return item() if callable(item) else value
 
 
-def _union_branch_matches(value: Any, branch: Any, lenient: bool) -> bool:
-    """Does ``value``'s Python type select this union branch?  Strict
-    pass is exact-type; the lenient pass additionally lets ints ride
-    float/double branches (Avro's own Python binding allows this)."""
-    value = _np_unwrap(value)
-    lt = _logical_of(branch)
-    if lt is not None and value is not None:
-        t = lt["logicalType"]
-        is_int = isinstance(value, int) and not isinstance(value, bool)
-        # lenient admits INTEGRAL floats as base-value ints: Spark's
-        # Arrow->pandas conversion turns a nullable long column into
-        # float64, so every non-null value of an int-fed union arrives
-        # as a float artifact (never a fractional one — those raise)
-        if lenient and isinstance(value, float) and value.is_integer():
-            is_int = True
-        if t == "decimal":
-            return isinstance(value, Decimal) or is_int
-        if t in ("timestamp-millis", "timestamp-micros"):
-            return isinstance(value, _dt.datetime) or is_int
-        if t == "date":
-            return (
-                isinstance(value, _dt.date)
-                and not isinstance(value, _dt.datetime)
-            ) or is_int
-        if t in ("time-millis", "time-micros"):
-            return isinstance(value, _dt.time) or is_int
-        # uuid / unknown logicals: fall through to base-type matching
-    bn = _norm(branch)
-    if bn == "null":
-        return value is None
-    if value is None:
-        return False
-    if bn == "boolean":
-        return isinstance(value, bool)
-    if bn in ("int", "long"):
-        if isinstance(value, int) and not isinstance(value, bool):
-            return True
-        # the same nullable-long float artifact as above; _write_long's
-        # int() cannot truncate because only integral floats match
-        return lenient and isinstance(value, float) and value.is_integer()
-    if bn in ("float", "double"):
-        if isinstance(value, float):
-            return True
-        return lenient and isinstance(value, int) and not isinstance(value, bool)
-    if bn == "string":
-        return isinstance(value, str)
-    if bn == "bytes":
-        return isinstance(value, (bytes, bytearray))
-    if isinstance(bn, dict):
-        t = bn.get("type")
-        if t == "record":
-            return isinstance(value, dict)
-        if t == "map":
-            return isinstance(value, dict)
-        if t == "array":
-            return isinstance(value, (list, tuple))
-        if t == "enum":
-            return isinstance(value, str) and value in bn.get("symbols", ())
-        if t == "fixed":
-            return (
-                isinstance(value, (bytes, bytearray))
-                and len(value) == int(bn.get("size", -1))
-            )
-    return False
-
-
 def _is_integral_float(v: Any) -> bool:
     """The Arrow->pandas nullable-long artifact: Spark hands a nullable
     BIGINT column to mapInPandas as float64, so int-fed union branches
@@ -381,11 +315,17 @@ def _compile_union_pred(
     branch: Any,
 ) -> tuple[Callable[[Any], bool], Callable[[Any], bool] | None]:
     """Compile a non-null union branch into (strict, extra_lenient)
-    value predicates — the COMPILED form of
-    :func:`_union_branch_matches`, so per-value dispatch never walks a
-    schema dict.  ``extra_lenient`` is only the lenient pass's ADDED
-    condition (the strict pass has already failed when it runs), or
-    None when the lenient pass adds nothing for this branch."""
+    value predicates: does a value's Python type select this branch?
+    The strict pass is exact-type; the lenient pass additionally lets
+    ints ride float/double branches (Avro's own Python binding allows
+    this) and admits INTEGRAL floats as base-value ints — Spark's
+    Arrow->pandas conversion turns a nullable long column into
+    float64, so every non-null value of an int-fed union arrives as a
+    float artifact (never a fractional one — those raise; _write_long
+    cannot truncate because only integral floats match).
+    ``extra_lenient`` is only the lenient pass's ADDED condition (the
+    strict pass has already failed when it runs), or None when the
+    lenient pass adds nothing for this branch."""
     lt = _logical_of(branch)
     if lt is not None:
         t = lt["logicalType"]
