@@ -1260,3 +1260,110 @@ def test_codec_differential_vs_spec_interpreter(data):
                 **{("microseconds" if post[i] == "us" else "milliseconds"): v}
             )
         assert v == got[n], (n, v, got[n])
+
+
+def test_confluent_soa_mixed_writers_with_temporal_columns(spark):
+    """Two writer schema versions on one framed topic, both carrying a
+    timestamp-micros column, decoded through the SoA dispatcher with
+    tombstones: per-record writer dispatch, the lazily-adopted
+    batch-level datetime64 conversion, and NULL-value tombstone rows
+    must all compose."""
+    import datetime as dt
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.sources.avro_codec import (
+        SchemaRegistry,
+        encode_confluent,
+        from_avro_confluent_py,
+    )
+
+    v1 = json.dumps({"type": "record", "name": "v", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "ts", "type": {"type": "long",
+                                "logicalType": "timestamp-micros"}}]})
+    v2 = json.dumps({"type": "record", "name": "v", "fields": [
+        {"name": "ts", "type": {"type": "long",
+                                "logicalType": "timestamp-micros"}},
+        {"name": "k", "type": "long"},
+        {"name": "note", "type": "string", "default": "v2"}]})
+    reg = SchemaRegistry(mode="BACKWARD")
+    id1 = reg.register("t-value", v1)
+    id2 = reg.register("t-value", v2)
+
+    t1 = dt.datetime(2024, 3, 1, 10, 0, 0, 123456)
+    t2 = dt.datetime(2024, 3, 2, 11, 30, 0)
+    rows = [
+        (1, 10, encode_confluent({"k": 1, "ts": t1}, v1, id1)),
+        (2, 11, None),  # tombstone
+        (3, 12, encode_confluent(
+            {"k": 3, "ts": t2, "note": "n3"}, v2, id2)),
+    ]
+    df = spark.createDataFrame(rows, "key long, _offset long, value binary")
+    out = from_avro_confluent_py(
+        df, "value", reg, "k long, ts timestamp, note string",
+        reader_schema_json=v2, keep=["key", "_offset"],
+        tombstone_col="__deleted",
+    ).collect()
+    got = {r._offset: (r.key, r.k, r.ts, r.note, r["__deleted"])
+           for r in out}
+    assert got == {
+        10: (1, 1, t1, "v2", False),   # v1 record: default fills note
+        11: (2, None, None, None, True),
+        12: (3, 3, t2, "n3", False),
+    }
+
+
+def test_confluent_soa_temporal_layout_disagreement_raises():
+    """Without a reader schema, one framed topic whose writer ids
+    disagree on a column's temporal-ness (ts-micros vs plain long)
+    cannot produce a homogeneous output column — the dispatcher must
+    raise, not mix raw ints and datetimes."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.sources.avro_codec import (
+        _soa_confluent_decoder,
+        encode_confluent,
+    )
+
+    w_ts = json.dumps({"type": "record", "name": "v", "fields": [
+        {"name": "ts", "type": {"type": "long",
+                                "logicalType": "timestamp-micros"}}]})
+    w_plain = json.dumps({"type": "record", "name": "v", "fields": [
+        {"name": "ts", "type": "long"}]})
+    registry = {1: w_ts, 2: w_plain}
+    rr = _soa_confluent_decoder(registry, None, ("ts",))
+    cols = [[]]
+    appends = [cols[0].append]
+    rr(encode_confluent({"ts": 5}, w_ts, 1), appends)
+    with pytest.raises(ValueError, match="temporal column layout"):
+        rr(encode_confluent({"ts": 5}, w_plain, 2), appends)
+    # with a reader schema the layout is fixed by the reader: both ids
+    # decode (the plain-long writer resolves to the reader's logical)
+    rr2 = _soa_confluent_decoder(registry, w_ts, ("ts",))
+    cols2 = [[]]
+    ap2 = [cols2[0].append]
+    rr2(encode_confluent({"ts": 5}, w_ts, 1), ap2)
+    rr2(encode_confluent({"ts": 7}, w_plain, 2), ap2)
+    assert cols2[0] == [5, 7]  # raw micros; the batch layer converts
+
+
+def test_from_avro_tombstone_only_batch_keeps_schema(spark):
+    """A micro-batch containing ONLY tombstones never compiles a
+    writer schema (no post converters) — the all-NULL object columns
+    must still convert to the declared output types."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.sources.avro_codec import (
+        from_avro_py,
+    )
+
+    s = json.dumps({"type": "record", "name": "v", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "ts", "type": {"type": "long",
+                                "logicalType": "timestamp-micros"}}]})
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "key long, value binary")
+    out = from_avro_py(
+        df, "value", s, "k long, ts timestamp",
+        keep=["key"], tombstone_col="__deleted",
+    )
+    rows = out.collect()
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "bigint", "bigint", "timestamp", "boolean"]
+    assert all(r.k is None and r.ts is None and r["__deleted"]
+               for r in rows)
