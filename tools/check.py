@@ -30,12 +30,22 @@ TABLES = (
 ).split()
 
 
+_SIG_DIGITS = None  # None = the driver's exact rule (9 decimal PLACES)
+
+
 def _norm(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if _SIG_DIGITS is not None:
+            # significant-digit norm (--sigdigits N): 9 decimal places
+            # cannot absorb one-ULP summation-order noise once double
+            # sums reach ~1e10 magnitude (the synthesized sf~1 corpus);
+            # 12 significant digits absorbs ULP order while any real
+            # formula error (relative >> 1e-12) still mismatches
+            return f"{v:.{_SIG_DIGITS}g}"
         return repr(round(v, 9))
     if isinstance(v, bool):
         return str(v).lower()
@@ -65,6 +75,11 @@ def main():
             )
             return 2
         out_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    if "--sigdigits" in args:
+        global _SIG_DIGITS
+        i = args.index("--sigdigits")
+        _SIG_DIGITS = int(args[i + 1])
         args = args[:i] + args[i + 2:]
     sf = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
