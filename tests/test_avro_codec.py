@@ -1367,3 +1367,178 @@ def test_from_avro_tombstone_only_batch_keeps_schema(spark):
         "bigint", "bigint", "timestamp", "boolean"]
     assert all(r.k is None and r.ts is None and r["__deleted"]
                for r in rows)
+
+
+# ----- spec-literal interpreted ENCODER (closes the differential loop:
+# the decode properties above read bytes produced by the compiled
+# encoder; this pins those bytes themselves against an independent
+# per-datum interpretation of the spec's encodings + union dispatch) --
+
+
+def _spec_zigzag_bytes(n):
+    z = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _spec_value_matches(v, s, lenient):
+    """Independent union-dispatch rule: spec unions are resolved by the
+    value's type; the lenient pass admits int<->float riding."""
+    s = _spec_simplify(s)
+    lt = s.get("logicalType") if isinstance(s, dict) else None
+    is_int = isinstance(v, int) and not isinstance(v, bool)
+    int_ish = is_int or (
+        lenient and isinstance(v, float) and v.is_integer()
+    )
+    if lt == "decimal":
+        return isinstance(v, _Dec) or int_ish
+    if lt in ("timestamp-millis", "timestamp-micros"):
+        return isinstance(v, _ddt.datetime) or int_ish
+    if lt == "date":
+        return (
+            isinstance(v, _ddt.date) and not isinstance(v, _ddt.datetime)
+        ) or int_ish
+    if lt in ("time-millis", "time-micros"):
+        return isinstance(v, _ddt.time) or int_ish
+    k = _spec_kind(s)
+    if k == "null":
+        return v is None
+    if v is None:
+        return False
+    if k == "boolean":
+        return isinstance(v, bool)
+    if k in ("int", "long"):
+        return int_ish
+    if k in ("float", "double"):
+        return isinstance(v, float) or (lenient and is_int)
+    if k == "string":
+        return isinstance(v, str)
+    if k == "bytes":
+        return isinstance(v, (bytes, bytearray))
+    if k == "fixed":
+        return isinstance(v, (bytes, bytearray)) and len(v) == int(s["size"])
+    if k == "enum":
+        return isinstance(v, str) and v in s["symbols"]
+    if k in ("record", "map"):
+        return isinstance(v, dict)
+    if k == "array":
+        return isinstance(v, (list, tuple))
+    return False
+
+
+def _spec_logical_to_base(v, s):
+    """logical value -> base value, interpreted per datum."""
+    lt = s.get("logicalType") if isinstance(s, dict) else None
+    if lt is None or v is None:
+        return v
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        if lt == "decimal" and isinstance(v, float):
+            return int(v)
+        if lt != "decimal":
+            return int(v)  # already a base value
+    if lt == "decimal":
+        sc = int(s.get("scale", 0))
+        if isinstance(v, _Dec):
+            n = int(v.scaleb(sc))
+        else:
+            n = int(v)
+        size = int(s["size"]) if s.get("type") == "fixed" else None
+        if size is not None:
+            return n.to_bytes(size, "big", signed=True)
+        nb = ((n if n >= 0 else ~n).bit_length() + 8) // 8
+        return n.to_bytes(nb, "big", signed=True)
+    if lt == "date":
+        return (v - _SPEC_EPOCH.date()).days
+    if lt in ("time-millis", "time-micros"):
+        us = (
+            _ddt.datetime.combine(_SPEC_EPOCH.date(), v) - _SPEC_EPOCH
+        ) // _ddt.timedelta(microseconds=1)
+        return us // 1000 if lt == "time-millis" else us
+    if lt in ("timestamp-millis", "timestamp-micros"):
+        us = (v - _SPEC_EPOCH) // _ddt.timedelta(microseconds=1)
+        return us // 1000 if lt == "timestamp-millis" else us
+    return v
+
+
+def _spec_encode(v, s, out):
+    import struct as _struct
+
+    s = _spec_simplify(s)
+    if isinstance(s, list):  # union: value-type dispatch, strict first
+        for lenient in (False, True):
+            for i, b in enumerate(s):
+                if _spec_value_matches(v, b, lenient):
+                    out += _spec_zigzag_bytes(i)
+                    return _spec_encode(v, b, out)
+        raise ValueError(f"spec encoder: no branch for {v!r}")
+    if isinstance(s, dict) and "logicalType" in s and _spec_logical_conv(
+        s
+    ) is not None:
+        v = _spec_logical_to_base(v, s)
+        base = (
+            {"type": "fixed", "name": s.get("name"), "size": s["size"]}
+            if s["type"] == "fixed"
+            else s["type"]
+        )
+        return _spec_encode(v, base, out)
+    k = _spec_kind(s)
+    if k == "null":
+        return
+    if k == "boolean":
+        out.append(1 if v else 0)
+    elif k in ("int", "long"):
+        out += _spec_zigzag_bytes(int(v))
+    elif k == "float":
+        out += _struct.pack("<f", float(v))
+    elif k == "double":
+        out += _struct.pack("<d", float(v))
+    elif k == "string":
+        raw = v.encode("utf-8")
+        out += _spec_zigzag_bytes(len(raw))
+        out += raw
+    elif k == "bytes":
+        raw = bytes(v)
+        out += _spec_zigzag_bytes(len(raw))
+        out += raw
+    elif k == "fixed":
+        out += bytes(v)
+    elif k == "enum":
+        out += _spec_zigzag_bytes(s["symbols"].index(v))
+    elif k == "array":
+        if v:
+            out += _spec_zigzag_bytes(len(v))
+            for it in v:
+                _spec_encode(it, s["items"], out)
+        out += _spec_zigzag_bytes(0)
+    elif k == "map":
+        if v:
+            out += _spec_zigzag_bytes(len(v))
+            for key, val in v.items():
+                raw = key.encode("utf-8")
+                out += _spec_zigzag_bytes(len(raw))
+                out += raw
+                _spec_encode(val, s["values"], out)
+        out += _spec_zigzag_bytes(0)
+    elif k == "record":
+        for f in s["fields"]:
+            _spec_encode(v[f["name"]], f["type"], out)
+    else:
+        raise TypeError(f"spec encoder: unsupported {s!r}")
+
+
+@given(st.data())
+@replay_settings(60)
+def test_encoder_differential_vs_spec_interpreter(data):
+    writer, _, value = data.draw(_gen_pair())
+    wj = json.dumps(writer)
+    compiled = encode_record(value, wj)
+    out = bytearray()
+    _spec_encode(value, writer, out)
+    assert compiled == bytes(out)
