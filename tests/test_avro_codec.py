@@ -1113,9 +1113,15 @@ def _gen_field_type(draw):
     if kind == "union3":
         return ["null", "long", "string"]
     if kind == "array":
-        return {"type": "array", "items": draw(_gen_leaf())}
+        items = draw(_gen_leaf())
+        if draw(st.booleans()):
+            items = ["null", items]  # union-typed array items are legal
+        return {"type": "array", "items": items}
     if kind == "map":
-        return {"type": "map", "values": draw(_gen_leaf())}
+        values = draw(_gen_leaf())
+        if draw(st.booleans()):
+            values = ["null", values]
+        return {"type": "map", "values": values}
     return {"type": "record", "name": "nr", "fields": [
         {"name": "x", "type": draw(_gen_leaf())},
         {"name": "y", "type": "long"}]}
