@@ -1179,6 +1179,17 @@ def _compile_soa_read(
         read_row_generic.post = ()
         return read_row_generic
 
+    # every output slot must be fed by a decoded field or a default —
+    # otherwise the columns would silently drift out of alignment
+    covered = {slot for slot, _ in step_tab if slot >= 0}
+    covered.update(slot for slot, _, _ in default_tab)
+    missing = [n for i, n in enumerate(names) if i not in covered]
+    if missing:
+        raise ValueError(
+            f"output fields {missing} are absent from the "
+            "writer/reader schema and have no default"
+        )
+
     def read_row(buf: bytes, appends: list, pos: int = 0) -> None:
         for slot, rfn in step_tab:
             v, pos = rfn(buf, pos)
