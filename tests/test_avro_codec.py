@@ -1225,6 +1225,10 @@ def _gen_pair(draw):
             t = draw(st.sampled_from(_GEN_PROMO[t]))
             if draw(st.integers(0, 3)) == 0:
                 t = ["null", t]  # non-union writer -> reader union
+        elif isinstance(t, list) and draw(st.booleans()):
+            # branch-REORDERED reader union: the writer's branch index
+            # must remap through resolution, not carry over positionally
+            t = list(reversed(t))
         rfields.append({"name": f["name"], "type": t})
     rfields = list(draw(st.permutations(rfields))) if rfields else []
     for add in draw(st.lists(st.sampled_from(_GEN_ADDS), max_size=2,
