@@ -7,7 +7,14 @@ types (via DuckDB DESCRIBE vs Spark dtypes — catches HUGEINT/DECIMAL
 divergences that hash identically here but differently in the driver's
 serializer; see tools/typecheck.py).
 
-Usage: python tools/check.py [sf_dir] [query ...]
+Usage: python tools/check.py [--out report.json] [--sigdigits N]
+                             [sf_dir] [query ...]
+
+--sigdigits N normalizes floats to N significant digits instead of the
+driver's 9-decimal-PLACE rule — needed for corpora where double sums
+reach ~1e10 magnitude (the synthesized sf~1) and parallel-vs-serial
+summation order leaves 1-ULP differences the place-based rounding
+cannot absorb.  Default (no flag) stays byte-identical to the driver.
 """
 
 from __future__ import annotations
