@@ -1552,3 +1552,44 @@ def test_encoder_differential_vs_spec_interpreter(data):
     out = bytearray()
     _spec_encode(value, writer, out)
     assert compiled == bytes(out)
+
+
+def test_corrupt_wire_bytes_fail_loudly():
+    """A corrupt record must raise, never desync the cursor, silently
+    truncate, or loop on an absurd block count — at 100 TB one bad
+    record must not hang an executor or misparse into plausible rows."""
+    s_str = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "v", "type": "string"}]})
+    # negative string length (zigzag of -5 = 0x09): cursor would move
+    # BACKWARD without the guard
+    with pytest.raises(ValueError, match="corrupt string"):
+        decode_record(bytes([0x09]) + b"xxxxx", s_str)
+    # length overruns the buffer: slice would silently truncate
+    with pytest.raises(ValueError, match="corrupt string"):
+        decode_record(bytes([0x20]) + b"abc", s_str)
+
+    s_bytes = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "v", "type": "bytes"}]})
+    with pytest.raises(ValueError, match="corrupt bytes"):
+        decode_record(bytes([0x09]), s_bytes)
+
+    s_fix = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "v", "type": {"type": "fixed", "name": "f8",
+                               "size": 8}}]})
+    with pytest.raises(ValueError, match="corrupt fixed"):
+        decode_record(b"abc", s_fix)
+
+    # absurd array block count (varint ~2^40): would allocate/loop
+    # without the remaining-bytes bound
+    s_arr = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "v", "type": {"type": "array", "items": "long"}}]})
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.sources.avro_codec import (
+        _zigzag_encode,
+    )
+    with pytest.raises(ValueError, match="corrupt block count"):
+        decode_record(_zigzag_encode(1 << 40) + bytes([0x02, 0x00]), s_arr)
+    # legal arrays (including an empty one) still decode
+    ok = encode_record({"v": [1, 2, 3]}, s_arr)
+    assert decode_record(ok, s_arr) == {"v": [1, 2, 3]}
+    assert decode_record(encode_record({"v": []}, s_arr), s_arr) == {
+        "v": []}

@@ -600,12 +600,19 @@ def _read_double(buf: bytes, pos: int) -> tuple[float, int]:
 def _read_bytes(buf: bytes, pos: int) -> tuple[bytes, int]:
     n, pos = _zigzag_decode(buf, pos)
     end = pos + n
+    if n < 0 or end > len(buf):
+        # corrupt wire bytes: a negative length would silently move the
+        # cursor BACKWARD and an over-long one would silently truncate
+        # (Python slices never raise) — fail loudly instead
+        raise ValueError(f"corrupt bytes length {n} at offset {pos}")
     return buf[pos:end], end
 
 
 def _read_string(buf: bytes, pos: int) -> tuple[str, int]:
     n, pos = _zigzag_decode(buf, pos)
     end = pos + n
+    if n < 0 or end > len(buf):
+        raise ValueError(f"corrupt string length {n} at offset {pos}")
     return buf[pos:end].decode("utf-8"), end
 
 
@@ -623,6 +630,16 @@ _PRIMITIVE_READERS: dict[str, Callable[[bytes, int], tuple[Any, int]]] = {
 _Reader = Callable[[bytes, int], tuple[Any, int]]
 
 
+def _block_count(n: int, buf: bytes, pos: int) -> int:
+    """Sanity-bound a block count from the wire: a corrupt varint must
+    not allocate/loop for 2^60 items.  Legal counts are bounded by the
+    remaining bytes (every item is >= 1 wire byte except arrays of the
+    bare ``null`` type, which the slack term covers)."""
+    if n > 8 * (len(buf) - pos) + 16:
+        raise ValueError(f"corrupt block count {n} at offset {pos}")
+    return n
+
+
 def _block_array_reader(read_item: _Reader) -> _Reader:
     """Array block framing (varint count, items, ..., zero terminator;
     negative count = block with byte-size prefix, spec-permitted)."""
@@ -637,7 +654,7 @@ def _block_array_reader(read_item: _Reader) -> _Reader:
             if n < 0:
                 _, pos = _zigzag_decode(buf, pos)
                 n = -n
-            for _ in range(n):
+            for _ in range(_block_count(n, buf, pos)):
                 it, pos = read_item(buf, pos)
                 append(it)
         return items, pos
@@ -655,7 +672,7 @@ def _block_map_reader(read_value: _Reader) -> _Reader:
             if n < 0:
                 _, pos = _zigzag_decode(buf, pos)
                 n = -n
-            for _ in range(n):
+            for _ in range(_block_count(n, buf, pos)):
                 k, pos = _read_string(buf, pos)
                 kv[k], pos = read_value(buf, pos)
         return kv, pos
@@ -717,6 +734,11 @@ def _compile_read(schema: Any) -> _Reader:
 
         def read_fixed(buf: bytes, pos: int) -> tuple[bytes, int]:
             end = pos + size
+            if end > len(buf):
+                raise ValueError(
+                    f"corrupt fixed: {size} bytes at offset {pos} "
+                    "overruns the record"
+                )
             return buf[pos:end], end
 
         return read_fixed
