@@ -1574,6 +1574,79 @@ def q_avro_logical_types(spark, sf):
     )
 
 
+@_q(
+    "avro_ocf_roundtrip",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           cast(sum(cast(round(value * 1e6) AS BIGINT)) AS BIGINT)
+             AS sum_value_micro
+    FROM events GROUP BY event_type
+    """,
+)
+def q_avro_ocf_roundtrip(spark, sf):
+    """Avro Object Container Files EXECUTED end to end — the file-at-
+    rest companion to the topic transport (bulk interchange: Connect
+    S3-sink exports, Sqoop/NiFi dumps arrive as OCF, not as framed
+    topic values).  Events are packed DISTRIBUTEDLY into one deflate-
+    compressed OCF file per bucket (applyInPandas: header, metadata
+    map carrying the writer schema, sync-delimited blocks per the
+    public Avro 1.11 OCF spec), then decoded back through the binary-
+    column mapInPandas path, each file's writer schema taken from its
+    own header.  The oracle aggregates the ORIGINAL rows, so a framing
+    bug, a broken deflate roundtrip, a sync misalignment, or a lossy
+    record codec all hash-mismatch.  Scale shape: files are the unit
+    of parallelism (exactly how an OCF lake arrives — many bounded
+    files via binaryFile), blocks decode sequentially within a file,
+    zero extra shuffle beyond the pack's bucket exchange."""
+    import json as _json
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.sources.avro_ocf import (
+        from_ocf_py,
+        write_ocf,
+    )
+
+    sch = _json.dumps(
+        {
+            "type": "record",
+            "name": "ev",
+            "fields": [
+                {"name": "user_id", "type": "long"},
+                {"name": "event_type", "type": "string"},
+                {"name": "value", "type": ["null", "double"]},
+            ],
+        }
+    )
+    cols = ["user_id", "event_type", "value"]
+
+    def _pack(pdf):
+        import pandas as pd
+
+        arrs = [
+            pdf[c].astype(object).where(pdf[c].notna(), None) for c in cols
+        ]
+        recs = [dict(zip(cols, row)) for row in zip(*arrs)]
+        return pd.DataFrame(
+            {"content": [write_ocf(recs, sch, codec="deflate")]}
+        )
+
+    ev = _events(spark, sf).select(*cols)
+    files = (
+        ev.withColumn("bucket", F.pmod(F.col("user_id"), F.lit(8)))
+        .groupBy("bucket")
+        .applyInPandas(_pack, schema="content binary")
+    )
+    dec = from_ocf_py(
+        files, "content", "user_id long, event_type string, value double"
+    )
+    return dec.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 1e6).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_value_micro"),
+    )
+
+
 # event-shape analytics: pivot, histogram, outliers -------------------------
 
 _ETYPES = ["click", "error", "purchase", "signup", "view"]

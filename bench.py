@@ -148,6 +148,7 @@ HEADLINE = [
     # round 7 additions
     "streaming_avro_tombstone",
     "avro_logical_types",
+    "avro_ocf_roundtrip",
 ]
 
 

@@ -1114,8 +1114,10 @@ def _compile_soa_read(
     writer: Any, reader: Any | None, names: tuple[str, ...]
 ) -> Callable:
     """Compile a (writer[, reader]) pair into
-    ``read_row(buf, appends, pos=0)``: decode one record appending one
-    value per ``names`` slot, then error on trailing bytes.  All
+    ``read_row(buf, appends, pos=0) -> end``: decode one record
+    appending one value per ``names`` slot and return the cursor (the
+    caller owns the trailing-bytes check — a topic value must END
+    there; an OCF block body continues with the next record).  All
     pairing/promotion/default decisions happen here, once."""
     slot_of = {n: i for i, n in enumerate(names)}
     post: list[tuple[int, str]] = []
@@ -1189,14 +1191,11 @@ def _compile_soa_read(
 
         def read_row_generic(
             buf: bytes, appends: list, pos: int = 0
-        ) -> None:
+        ) -> int:
             rec, end = dec(buf, pos)
-            if end != len(buf):
-                raise ValueError(
-                    f"trailing {len(buf) - end} bytes after record"
-                )
             for n, i in slot_of.items():
                 appends[i](rec[n])
+            return end
 
         read_row_generic.post = ()
         return read_row_generic
@@ -1212,15 +1211,14 @@ def _compile_soa_read(
             "writer/reader schema and have no default"
         )
 
-    def read_row(buf: bytes, appends: list, pos: int = 0) -> None:
+    def read_row(buf: bytes, appends: list, pos: int = 0) -> int:
         for slot, rfn in step_tab:
             v, pos = rfn(buf, pos)
             if slot >= 0:
                 appends[slot](v)
         for slot, dv, needs_copy in default_tab:
             appends[slot](copy.deepcopy(dv) if needs_copy else dv)
-        if pos != len(buf):
-            raise ValueError(f"trailing {len(buf) - pos} bytes after record")
+        return pos
 
     read_row.post = tuple(post)
     return read_row
@@ -1259,7 +1257,7 @@ def _soa_confluent_decoder(
     process and is table-looked-up thereafter."""
     compiled: dict[int, Callable] = {}
 
-    def read_row(buf: bytes, appends: list) -> None:
+    def read_row(buf: bytes, appends: list) -> int:
         if len(buf) < 5 or buf[0] != _MAGIC:
             raise ValueError("not a Schema-Registry framed record")
         sid = int.from_bytes(buf[1:5], "big")
@@ -1280,7 +1278,7 @@ def _soa_confluent_decoder(
                     "column layout; pass reader_schema_json to fix one"
                 )
             compiled[sid] = rr
-        rr(buf, appends, 5)
+        return rr(buf, appends, 5)
 
     return read_row
 
@@ -1600,7 +1598,12 @@ def _decode_batches_fn(
                         a(None)
                     tombs.append(True)
                 else:
-                    read_row(bytes(b), appends)
+                    b = bytes(b)
+                    end = read_row(b, appends)
+                    if end != len(b):
+                        raise ValueError(
+                            f"trailing {len(b) - end} bytes after record"
+                        )
                     tombs.append(False)
             # read post AFTER the loop: the confluent dispatcher adopts
             # it lazily from the first writer id it compiles
