@@ -117,3 +117,64 @@ def test_from_ocf_py_dataframe_path(spark):
         2: ("file1", t.replace(hour=9), "v2"),
         3: ("file2", t.replace(hour=10), "n3"),
     }
+
+
+# ----- replay property: the "avro_ocf_roundtrip" entry's contract -----------
+
+from hypothesis import given
+from hypothesis import strategies as st
+from replay_profile import replay_settings
+
+_ETYPES = ("click", "view", "purchase")
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 50),                      # user_id
+            st.sampled_from(_ETYPES),                # event_type
+            st.one_of(st.none(), st.integers(0, 500_000)),  # value micros
+        ),
+        max_size=60,
+    ),
+    st.integers(1, 5),   # records per block
+    st.sampled_from(("null", "deflate")),
+)
+@replay_settings(25)
+def test_ocf_roundtrip_entry_contract_replay(rows, per_block, codec):
+    """Pure-Python replay of the `avro_ocf_roundtrip` registry entry:
+    bucket by user_id % 8, pack each bucket into one OCF (random block
+    size + codec), decode EVERY file, and compare the per-event_type
+    (count, micro-sum) aggregate against direct aggregation of the
+    original rows — any framing, compression, block-boundary, or
+    record-codec loss shows up as an aggregate mismatch."""
+    recs = [
+        {"user_id": u, "event_type": t,
+         "value": None if v is None else v / 1e6}
+        for u, t, v in rows
+    ]
+    buckets: dict[int, list] = {}
+    for r in recs:
+        buckets.setdefault(r["user_id"] % 8, []).append(r)
+    files = [
+        write_ocf(b, SCHEMA_EV, codec=codec, records_per_block=per_block)
+        for b in buckets.values()
+    ]
+    decoded = [r for f in files for r in read_ocf(f)]
+
+    def agg(rs):
+        out: dict[str, list] = {}
+        for r in rs:
+            n, s = out.setdefault(r["event_type"], [0, 0])
+            out[r["event_type"]][0] = n + 1
+            if r["value"] is not None:
+                out[r["event_type"]][1] = s + round(r["value"] * 1e6)
+        return {k: tuple(v) for k, v in out.items()}
+
+    assert agg(decoded) == agg(recs)
+
+
+SCHEMA_EV = json.dumps({"type": "record", "name": "ev", "fields": [
+    {"name": "user_id", "type": "long"},
+    {"name": "event_type", "type": "string"},
+    {"name": "value", "type": ["null", "double"]}]})
