@@ -129,8 +129,10 @@ def pagerank_fixed(
     # loop's shuffles to the graph and pin the plan (AQE's per-stage
     # re-planning is pure latency on the small per-iteration exchanges;
     # same measured effect as the dedup CC loop: ~3x on wall time).
-    # Each iteration materializes its rank vector so the final action
-    # never replays the unrolled 3-deep lineage.
+    # Each iteration materializes its rank vector; an unrolled lazy
+    # chain was A/B-measured (7-pass min, quiet host) at no better than
+    # the materialized loop, and the per-iteration barrier keeps peak
+    # concurrent state to one iteration's shuffles.
     aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("rank"))
@@ -207,20 +209,22 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
     # coalesce: an edgeless graph has ZERO triangles, not NULL — the
     # DuckDB oracle's count(*) form already says 0, and the hypothesis
-    # triple-enumeration reference caught the sum-over-empty NULL here
+    # triple-enumeration reference caught the sum-over-empty NULL here.
+    # per_edge has exactly one row per oriented edge, so the edge count
+    # rides the same aggregate — one pass instead of two.
     tri = per_edge.agg(
-        F.coalesce(F.sum("t"), F.lit(0)).cast("bigint").alias("n_triangles")
+        F.count(F.lit(1)).alias("n_edges"),
+        F.coalesce(F.sum("t"), F.lit(0)).cast("bigint").alias("n_triangles"),
     )
-    # node/edge counts come from the CACHED oriented edges (same edge
-    # set, possibly swapped endpoints) — recomputing them from `edges`
-    # would re-run the whole upstream edge-construction pipeline twice.
+    # node count comes from the CACHED oriented edges (same edge set,
+    # possibly swapped endpoints) — recomputing it from `edges` would
+    # re-run the whole upstream edge-construction pipeline again.
     nodes = (
         o.select(F.col("src").alias("n"))
         .unionAll(o.select(F.col("dst").alias("n")))
         .agg(F.countDistinct("n").alias("n_nodes"))
     )
-    n_edges = o.agg(F.count(F.lit(1)).alias("n_edges"))
-    return nodes.crossJoin(n_edges).crossJoin(tri)
+    return nodes.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
 
 
 def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
@@ -239,11 +243,13 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     Plan per round: two LEFT SEMI joins restrict the (cached,
     bidirectional) edge list to surviving endpoints — hash joins on the
     node id, skew-tolerant because survivors only shrink — then ONE
-    map-side-combinable count per node.  Driver sees only the survivor
-    COUNT per round (one scalar) for the convergence flag; node rows
-    never leave the executors.  Intermediate survivor sets are cached
-    per round and unpersisted as soon as the next round lands; the
-    returned frame is computed before the caches drop.
+    map-side-combinable count per node.  The convergence flag is
+    computed IN-PLAN (the last two rounds' survivor counts cross-joined
+    as broadcast scalars), so the whole peel executes as a single job —
+    node rows never leave the executors and the driver launches no
+    per-round actions.  Per-round caches stop branch references from
+    duplicating a round's subtree; they populate lazily inside that one
+    job and are unpersisted when the returned frame lands.
     """
     sym = (
         edges.select(F.col("u").alias("n"), F.col("v").alias("m"))
@@ -255,7 +261,7 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     try:
         e = sym
         alive: DataFrame | None = None
-        counts: list[int] = []
+        prev_alive: DataFrame | None = None
         for r in range(rounds):
             if alive is not None:
                 an = alive.select(F.col("node").alias("n"))
@@ -271,13 +277,28 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
             deg = e.groupBy(F.col("n").alias("node")).agg(
                 F.count(F.lit(1)).alias("core_degree")
             )
+            prev_alive = alive
             alive = deg.filter(F.col("core_degree") >= k).cache()
             cached.append(alive)
-            counts.append(alive.count())
         # Survivor sets shrink monotonically, so equal consecutive counts
         # means equal sets means fixpoint.  rounds == 1 -> unknown -> False.
-        converged = len(counts) >= 2 and counts[-1] == counts[-2]
-        out = alive.withColumn("converged", F.lit(converged)).cache()
+        # Both counts ride the plan as broadcast one-row scalars, so the
+        # flag costs no extra driver action.
+        if prev_alive is None:
+            flag = F.lit(False)
+            out = alive.withColumn("converged", flag).cache()
+        else:
+            c_last = alive.agg(F.count(F.lit(1)).alias("_c_last"))
+            c_prev = prev_alive.agg(F.count(F.lit(1)).alias("_c_prev"))
+            scalars = F.broadcast(c_last.crossJoin(c_prev))
+            out = (
+                alive.crossJoin(scalars)
+                .withColumn(
+                    "converged", F.col("_c_last") == F.col("_c_prev")
+                )
+                .drop("_c_last", "_c_prev")
+                .cache()
+            )
         out.count()  # materialize before the loop caches drop (caller-owned)
         return out
     finally:

@@ -46,6 +46,12 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays at its default (true): measured A/B at
+        # sf0.1 showed byte-sized coalescing (`parallelismFirst=false`)
+        # starves CPU-bound post-shuffle stages (triangle_count's
+        # array-intersect pass regressed 5.3s -> 7.4s) while saving
+        # nothing on scan-bound entries — this engine's small shuffles
+        # are compute-heavy, not task-launch-heavy.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
