@@ -170,12 +170,15 @@ def test_sequence_pack_partitions_by_source(spark):
     assert win_line and "source" in win_line[0]
 
 
-def test_dup_ngram_joins_on_hashed_key(spark):
-    """The gram-frequency join must key on the xxhash64 gram, not the
-    gram string (shuffle bytes argument in the docstring)."""
+def test_dup_ngram_counts_df_over_hashed_key_window(spark):
+    """Gram shuffles must key on the xxhash64 gram, not the gram string
+    (shuffle bytes argument in the docstring), and document frequency
+    must come from ONE gram-keyed window over occ — not a second full
+    gram pass joined back (scale argument in the docstring)."""
     plan = _plan(spark, "dup_ngram_coverage")
     assert "xxhash64" in plan
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" in plan
+    assert "Join" not in plan
 
 
 def test_semantic_decontaminate_broadcasts_benchmark(spark):
