@@ -867,9 +867,20 @@ def test_kcore_peel_cascades_and_flags_convergence(spark):
     assert all(c for _, c in by_node.values())
 
     # one round only: leaves are gone but the hub (still deg-3 in round
-    # 1's input) survives; convergence is unknown -> False
-    partial = {r.node for r in kcore_peel(edges, k=2, rounds=1).collect()}
-    assert partial == {1, 2, 3, 10}
+    # 1's input) survives; convergence is unknown -> False (the in-plan
+    # flag has no previous round to compare against)
+    partial = {
+        r.node: r.converged for r in kcore_peel(edges, k=2, rounds=1).collect()
+    }
+    assert set(partial) == {1, 2, 3, 10}
+    assert not any(partial.values())
+
+    # two rounds on this graph still shrink (hub drops in round 2), so
+    # the last two survivor counts differ -> converged False even
+    # though the SETS after round 2 happen to be the final core
+    two = kcore_peel(edges, k=2, rounds=2).collect()
+    assert {r.node for r in two} == {1, 2, 3}
+    assert not any(r.converged for r in two)
 
 
 def test_pq_topk_exact_duplicate_ranks_first(spark):
