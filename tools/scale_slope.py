@@ -70,22 +70,26 @@ def main() -> int:
 
     small = bench_dir(spark, queries, names, SF01, passes)
     big = bench_dir(spark, queries, names, SF1, passes)
-    out = {
-        "sf_small": SF01,
-        "sf_big": SF1,
-        "passes": passes,
-        "queries": {
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_SLOPE.json",
+    )
+    # Merge into the existing table so a subset re-measurement (after a
+    # plan change) refreshes only its own rows.
+    out = {"sf_small": SF01, "sf_big": SF1, "passes": passes, "queries": {}}
+    if os.path.exists(path):
+        with open(path) as fh:
+            prior = json.load(fh)
+        out["queries"] = prior.get("queries", {})
+    out["queries"].update(
+        {
             n: {
                 "sf0.1_sec": round(small[n], 3),
                 "sf1_sec": round(big[n], 3),
                 "slope_10x": round(big[n] / small[n], 2),
             }
             for n in names
-        },
-    }
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "SCALE_SLOPE.json",
+        }
     )
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
