@@ -6138,6 +6138,102 @@ def q_streaming_avro_tombstone(spark, sf):
     )
 
 
+@_q(
+    "streaming_avro_ocf",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           cast(sum(cast(round(value * 1e6) AS BIGINT)) AS BIGINT)
+             AS sum_value_micro
+    FROM events GROUP BY event_type
+    """,
+)
+def q_streaming_avro_ocf(spark, sf):
+    """The OCF lake consumed as a STREAM — the continuous companion to
+    avro_ocf_roundtrip (an S3-sink/NiFi drop folder where deflate-
+    compressed .avro containers keep arriving and a standing query
+    maintains the aggregate).  Events are packed distributedly into 8
+    OCF files (each applyInPandas group writes its own container to
+    the landing dir — at cluster scale, a DFS path), file mtimes are
+    staggered so maxFilesPerTrigger=3 slices the availableNow run into
+    several micro-batches, and the binaryFile file-stream feeds the
+    same header-resolved structure-of-arrays decode as the batch
+    entry; the complete-mode aggregate is revised across batches.  The
+    oracle aggregates the ORIGINAL rows, so framing, deflate, sync
+    alignment, multi-batch revision, or decode bugs all
+    hash-mismatch.  Scale shape: files are the unit of parallelism,
+    decode is Arrow-batched CPU with zero extra shuffle, state is
+    O(groups)."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.sources.avro_ocf import (
+        from_ocf_py,
+        write_ocf,
+    )
+
+    sch = _json.dumps(
+        {
+            "type": "record",
+            "name": "ev",
+            "fields": [
+                {"name": "user_id", "type": "long"},
+                {"name": "event_type", "type": "string"},
+                {"name": "value", "type": ["null", "double"]},
+            ],
+        }
+    )
+    cols = ["user_id", "event_type", "value"]
+    lake = tempfile.mkdtemp(prefix="ocf_lake_")
+
+    def _pack(pdf):
+        import pandas as pd
+
+        arrs = [
+            pdf[c].astype(object).where(pdf[c].notna(), None) for c in cols
+        ]
+        recs = [dict(zip(cols, row)) for row in zip(*arrs)]
+        bucket = int(pdf["bucket"].iloc[0])
+        path = f"{lake}/part-{bucket:02d}.avro"
+        with open(path, "wb") as fh:
+            fh.write(write_ocf(recs, sch, codec="deflate"))
+        return pd.DataFrame({"path": [path], "n": [len(recs)]})
+
+    ev = _events(spark, sf).select(*cols)
+    (
+        ev.withColumn("bucket", F.pmod(F.col("user_id"), F.lit(8)))
+        .groupBy("bucket")
+        .applyInPandas(_pack, schema="path string, n long")
+        .write.format("noop").mode("overwrite").save()
+    )
+    # Distinct mtimes give the file source a deterministic arrival
+    # order (same-mtime files batch arbitrarily); 8 files at
+    # maxFilesPerTrigger=3 -> 3 micro-batches in one availableNow run.
+    for i, fname in enumerate(sorted(_os.listdir(lake))):
+        _os.utime(f"{lake}/{fname}", (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("maxFilesPerTrigger", "3")
+        .format("binaryFile")
+        .load(lake)
+    )
+    dec = from_ocf_py(
+        stream, "content", "user_id long, event_type string, value double"
+    )
+    agg = dec.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 1e6).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_value_micro"),
+    )
+    _run_to_memory(agg, "streaming_avro_ocf", "complete")
+    return spark.table("streaming_avro_ocf")
+
+
 _PULL_KEYS = [3, 17, 42, 88, 131]
 
 

@@ -149,6 +149,8 @@ HEADLINE = [
     "streaming_avro_tombstone",
     "avro_logical_types",
     "avro_ocf_roundtrip",
+    # round 8 additions
+    "streaming_avro_ocf",
 ]
 
 

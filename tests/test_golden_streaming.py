@@ -641,3 +641,60 @@ def test_avro_tombstone_deletes_key_through_topic(spark, tmp_path):
     assert run_round() == {1: "a"}  # tombstone deleted the key
     produce("back", [(2, 13, enc({"name": "b2"}))], 1_000_200)
     assert run_round() == {1: "a", 2: "b2"}  # later insert resurrects
+
+
+def test_ocf_lake_streams_in_micro_batches(spark, tmp_path):
+    """The binaryFile stream over an OCF landing dir decodes each
+    container through its own header and revises the complete-mode
+    aggregate across micro-batches: 3 staggered-mtime files at
+    maxFilesPerTrigger=1 must execute as (at least) 3 batches and
+    land on the same totals as a batch pass over the original rows."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.sources.avro_ocf import (
+        from_ocf_py,
+        write_ocf,
+    )
+
+    sch = _json.dumps({"type": "record", "name": "ev", "fields": [
+        {"name": "k", "type": "string"}, {"name": "v", "type": "long"}]})
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    files = [
+        [{"k": "a", "v": 1}, {"k": "b", "v": 10}],
+        [{"k": "a", "v": 2}],
+        [{"k": "b", "v": 20}, {"k": "a", "v": 4}],
+    ]
+    for i, recs in enumerate(files):
+        p = lake / f"part-{i}.avro"
+        p.write_bytes(write_ocf(recs, sch, codec="deflate"))
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .format("binaryFile")
+        .load(str(lake))
+    )
+    agg = (
+        from_ocf_py(stream, "content", "k string, v long")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ocf_lake_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batches = {p["batchId"] for p in q.recentProgress}
+    assert len(batches) >= 3, f"expected >=3 micro-batches, got {batches}"
+    out = {r.k: (r.n, r.s) for r in spark.table("ocf_lake_t").collect()}
+    assert out == {"a": (3, 7), "b": (2, 30)}

@@ -92,6 +92,7 @@ def test_streaming_equals_batch_on_events(spark, raw):
             ("streaming_psi_drift", "psi_drift"),
             ("streaming_gap_fill", "gap_fill_locf"),
             ("streaming_avro_topic", "avro_roundtrip"),
+            ("streaming_avro_ocf", "avro_ocf_roundtrip"),
         ],
     )
 
