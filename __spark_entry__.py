@@ -7713,10 +7713,12 @@ def q_dup_ngram_coverage(spark, sf):
     "fraction of n-grams appearing elsewhere" quality signal). Grams
     are generated as a narrow in-partition explode (functions/text.py:
     word_ngrams), then ONE shuffle keyed on the gram computes global
-    document frequency, and the per-doc rollup re-keys on doc_id. The
-    gram-keyed join is the scale-critical step: df counts are
-    map-side-combinable and the join never moves document text, only
-    (doc_id, gram-hash-sized strings, counts)."""
+    document frequency as a COUNT window over the per-(doc, gram)
+    occurrence rows, and the per-doc rollup re-keys on doc_id. The
+    single gram-keyed window shuffle is the scale-critical step: it
+    never moves document text, only (doc_id, 8-byte gram hash, count)
+    triples, and it replaces the join-back form's second full gram
+    pass (see the inline comment below for the A/B and skew caveat)."""
     d = load(spark, sf, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     # Shuffle 8-byte xxhash64 gram keys, not gram strings: the gram
@@ -7740,7 +7742,13 @@ def q_dup_ngram_coverage(spark, sf):
     # reuse hides the second pass locally); the window form is kept for
     # the 100 TB shape, where the df side is far too big to broadcast
     # and the join would force two sorted gram-keyed exchanges against
-    # the window's one.
+    # the window's one.  Skew caveat: the window funnels each gram's
+    # whole occ partition through one task's buffer and AQE's skew-join
+    # splitter cannot break a window partition, so a pathologically
+    # frequent gram (repeated boilerplate at corpus scale) serializes
+    # on one task.  If a real corpus shows heavy-hitter grams, fall
+    # back to the two-level aggregate: groupBy(gram) df counts (map-
+    # side-combinable, optionally salted) joined back to occ.
     dfreq = occ.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("gram"))
     )

@@ -203,6 +203,31 @@ def bench_sf(
 
 SECONDARY_SF = "/root/testdata/sf0.01"
 
+# Host-noise canary: cross-hour campaign totals on this shared host have
+# drifted ~20% with zero plan changes (SCALING.md), so every campaign
+# measures a fixed single-core numpy workload (sort + reduce over a
+# seeded 60M-float64 array — CPU *and* memory-bandwidth sensitive,
+# Spark-independent) before and after the Spark runs.  A campaign is
+# flagged comparable_to_prior only when its canary is within 10% of the
+# canary recorded in the previous BENCH_DETAIL.json; outside that band,
+# total-vs-total deltas measure the host, not the code.
+_CANARY_TOL = 1.10
+
+
+def canary_sec(passes: int = 3) -> float:
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.random(60_000_000)  # ~480 MB: big enough to probe bandwidth,
+    # and ~1s/pass so scheduler jitter stays well under the 10% band
+    best = float("inf")
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        np.sort(a)  # numpy is eager; the sorted copy itself is the work
+        float(a.sum())
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -214,7 +239,27 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    prior_canary = None
+    if os.path.exists(detail_path):
+        try:
+            with open(detail_path) as fh:
+                prior_canary = json.load(fh).get("canary", {}).get("sec")
+        except Exception:  # noqa: BLE001 - a corrupt prior detail is not fatal
+            prior_canary = None
+
+    canary_start = canary_sec()
     timings, failures = bench_sf(spark, sf_dir, passes=3)
+
+    canary_end = canary_sec()
+    canary = min(canary_start, canary_end)
+    comparable = (
+        prior_canary is not None
+        and max(canary, prior_canary) / min(canary, prior_canary)
+        <= _CANARY_TOL
+    )
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -223,6 +268,19 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf_dir,
+        "canary": {
+            "sec": canary,
+            "start_sec": canary_start,
+            "end_sec": canary_end,
+            "prior_sec": prior_canary,
+            "comparable_to_prior": comparable,
+            "rule": (
+                "single-core numpy sort+sum canary (min-of-3, before and"
+                " after the campaign); totals are A/B-comparable to the"
+                " prior BENCH_DETAIL.json only when the canaries agree"
+                f" within {round((_CANARY_TOL - 1) * 100)}%"
+            ),
+        },
     }
     if failures:
         payload["failures"] = failures
@@ -250,9 +308,6 @@ def main() -> int:
     # Downstream tooling captures a bounded tail of stdout and parses the
     # last JSON line; one line per query keeps each line short, and the
     # full payload also lands in BENCH_DETAIL.json next to this script.
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
     with open(detail_path, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
     for name, sec in timings.items():
@@ -282,6 +337,8 @@ def main() -> int:
         "n_failures": len(failures),
         "detail": "BENCH_DETAIL.json",
         "sf": sf_dir,
+        "canary_sec": canary,
+        "comparable_to_prior": comparable,
     }
     print(json.dumps(summary))
     spark.stop()

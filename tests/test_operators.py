@@ -434,6 +434,29 @@ def test_triangle_count_known_graph(spark):
     assert (r.n_nodes, r.n_edges, r.n_triangles) == (5, 7, 4)
 
 
+def test_orient_by_degree_shuffle_fallback(spark):
+    """Above the size gate, orient_by_degree must drop the broadcast
+    hint (shuffle-join fallback) and still orient identically."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        graph,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)], ["u", "v"]
+    )
+    hinted = graph.orient_by_degree(edges, n_edges=7)
+    # claim a count past the gate -> hint dropped, plan has no forced
+    # broadcast of the degree table
+    fallback = graph.orient_by_degree(
+        edges, n_edges=graph._BCAST_DEGREE_MAX_NODES
+    )
+    assert "ResolvedHint" not in fallback._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" in hinted._jdf.queryExecution().logical().toString()
+    assert sorted(map(tuple, fallback.collect())) == sorted(
+        map(tuple, hinted.collect())
+    )
+
+
 def test_cooccurrence_edges_distinct_and_ordered(spark):
     from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
         graph,

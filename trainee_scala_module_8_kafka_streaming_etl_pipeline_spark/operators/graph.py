@@ -46,12 +46,31 @@ def cooccurrence_edges(df: DataFrame, group_col: str, item_col: str) -> DataFram
     return pairs.select("e.u", "e.v").distinct()
 
 
-def orient_by_degree(edges: DataFrame) -> DataFrame:
+# The degree table a broadcast-orientation ships is two bigints per
+# node plus hash-relation overhead — call it ~48 bytes/row built.  Cap
+# the forced broadcast at ~256 MiB of build size (≈5M nodes), well
+# inside executor/driver budgets; past that, fall back to a plain
+# shuffle join and let AQE convert it back to broadcast at runtime if
+# the *actual* stage output turns out small.
+_BCAST_DEGREE_MAX_NODES = 5_000_000
+
+
+def orient_by_degree(edges: DataFrame, n_edges: int | None = None) -> DataFrame:
     """Orient each undirected edge from lower (degree, id) to higher.
 
     The (degree, id) tuple is a total order, so orientation is
     deterministic and acyclic. One aggregate for degrees, two
     broadcast-or-shuffle joins to attach them, one projection to flip.
+
+    ``n_edges``, when the caller already knows it (triangle_count has
+    just materialized its edge cache with a count), size-gates the
+    broadcast hint on the degree table: |nodes| <= 2*|edges|, so a
+    known-small edge set proves the degree table broadcastable without
+    an extra job, while a huge one (2*n_edges above
+    ``_BCAST_DEGREE_MAX_NODES``) drops the hint — a forced broadcast of
+    an O(nodes) table OOMs the driver at 100x scale.  ``n_edges=None``
+    (unknown) keeps the hint for backward compatibility at tested
+    scales.
     """
     deg = (
         edges.select(F.col("u").alias("n"))
@@ -59,11 +78,14 @@ def orient_by_degree(edges: DataFrame) -> DataFrame:
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    # degree table is O(nodes) — tiny next to O(edges); broadcast both
-    # attaches so the edge set never shuffles to pick up degrees
+    # degree table is O(nodes) — tiny next to O(edges) at tested scales;
+    # broadcast both attaches so the edge set never shuffles to pick up
+    # degrees.  Size-gated: see the module constant above.
     du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
-    e = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    if n_edges is None or 2 * n_edges <= _BCAST_DEGREE_MAX_NODES:
+        du, dv = F.broadcast(du), F.broadcast(dv)
+    e = edges.join(du, "u").join(dv, "v")
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
@@ -189,8 +211,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     # materialized edge list, the standard first step of any graph
     # algorithm over derived edges.
     edges = edges.cache()
-    edges.count()  # materialize before the degree/orient branches race
-    o = orient_by_degree(edges).cache()
+    # Materialize before the degree/orient branches race; the count also
+    # feeds orient_by_degree's broadcast size gate for free.
+    n_edges = edges.count()
+    o = orient_by_degree(edges, n_edges=n_edges).cache()
     o.count()  # materialize before the self-join branches race the cache
     edges.unpersist()  # orientation holds everything downstream needs
     adj = o.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
