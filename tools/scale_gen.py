@@ -19,8 +19,13 @@ and generator rules as TESTDATA.md's corpus:
   label), keeping the 10-cluster structure without cross-copy
   near-identical vectors.
 
-Deterministic (seed 42).  Output: $OUT (default /root/repo/.scale/sf1)
-— gitignored; ~400 MB.  Usage: python tools/scale_gen.py [factor]
+Deterministic (seed 42).  Output: $SCALE_OUT (default
+/root/repo/.scale/sf1) — gitignored.  Usage:
+  python tools/scale_gen.py [factor]            # sf~1 (factor 10)
+  SCALE_OUT=/root/repo/.scale/sf10 python tools/scale_gen.py 100
+Big tables stream copy-by-copy through a ParquetWriter; factor > 10
+switches document synthesis to one vectorized token draw per copy
+(identical construction, hours -> seconds at 99 copies).
 """
 
 from __future__ import annotations
@@ -63,18 +68,28 @@ def _write(table: str, tbl: pa.Table) -> None:
 
 
 def _shift_replicate(table: str, factor: int) -> None:
+    """Write base + (factor-1) key-shifted copies INCREMENTALLY — at
+    factor 100 (the sf~10 decade) materializing all copies before one
+    concat would hold ~10 GB of arrow buffers."""
     base = _read(table)
     shifts = _SHIFTS[table]
-    copies = [base]
-    for i in range(1, factor):
-        cols = []
-        for name in base.column_names:
-            col = base.column(name)
-            if name in shifts:
-                col = pa.compute.add(col, i * shifts[name])
-            cols.append(col)
-        copies.append(pa.table(cols, names=base.column_names))
-    _write(table, pa.concat_tables(copies))
+    os.makedirs(OUT, exist_ok=True)
+    n = 0
+    with pq.ParquetWriter(f"{OUT}/{table}.parquet", base.schema) as w:
+        for i in range(factor):
+            if i == 0:
+                copy = base
+            else:
+                cols = []
+                for name in base.column_names:
+                    col = base.column(name)
+                    if name in shifts:
+                        col = pa.compute.add(col, i * shifts[name])
+                    cols.append(col)
+                copy = pa.table(cols, names=base.column_names)
+            w.write_table(copy)
+            n += copy.num_rows
+    print(f"{table}: {n} rows")
 
 
 def _scale_documents(factor: int) -> None:
@@ -97,29 +112,46 @@ def _scale_documents(factor: int) -> None:
     probs /= probs.sum()
     dup_pairs = n - len(set(texts))  # planted exact-dup mass per copy
 
-    copies = [base]
-    for i in range(1, factor):
-        rng = np.random.default_rng(42 + i)
-        lens = rng.choice(lengths, size=n)
-        new_texts = [
-            " ".join(rng.choice(words_arr, size=ln, p=probs))
-            for ln in lens
-        ]
-        # plant the base corpus's dup rate within this copy: exact
-        # dups, plus the same number of 2-word-mutated near dups
-        for _ in range(dup_pairs):
-            a, b = rng.integers(0, n, size=2)
-            new_texts[a] = new_texts[b]
-        for _ in range(dup_pairs):
-            a, b = rng.integers(0, n, size=2)
-            w = new_texts[b].split()
-            for _ in range(min(2, len(w))):
-                w[int(rng.integers(0, len(w)))] = str(
-                    words_arr[int(rng.integers(0, len(words_arr)))]
-                )
-            new_texts[a] = " ".join(w)
-        copies.append(
-            pa.table(
+    # factor <= 10 keeps the original per-doc sampling loop so the
+    # committed sf~1 corpus regenerates byte-identically; the third
+    # decade (factor 100) draws each copy's full token mass in ONE
+    # rng.choice call (the per-doc loop rebuilds the vocab cumsum 5000x
+    # per copy — hours at 99 copies, seconds vectorized).
+    vectorized = factor > 10
+
+    os.makedirs(OUT, exist_ok=True)
+    writer = None
+    for i in range(factor):
+        if i == 0:
+            copy = base
+        else:
+            rng = np.random.default_rng(42 + i)
+            lens = rng.choice(lengths, size=n)
+            if vectorized:
+                flat = rng.choice(words_arr, size=int(lens.sum()), p=probs)
+                bounds = np.cumsum(lens)[:-1]
+                new_texts = [
+                    " ".join(chunk) for chunk in np.split(flat, bounds)
+                ]
+            else:
+                new_texts = [
+                    " ".join(rng.choice(words_arr, size=ln, p=probs))
+                    for ln in lens
+                ]
+            # plant the base corpus's dup rate within this copy: exact
+            # dups, plus the same number of 2-word-mutated near dups
+            for _ in range(dup_pairs):
+                a, b = rng.integers(0, n, size=2)
+                new_texts[a] = new_texts[b]
+            for _ in range(dup_pairs):
+                a, b = rng.integers(0, n, size=2)
+                w = new_texts[b].split()
+                for _ in range(min(2, len(w))):
+                    w[int(rng.integers(0, len(w)))] = str(
+                        words_arr[int(rng.integers(0, len(words_arr)))]
+                    )
+                new_texts[a] = " ".join(w)
+            copy = pa.table(
                 {
                     "doc_id": pa.array(
                         np.arange(n, dtype="int64") + i * n
@@ -132,8 +164,11 @@ def _scale_documents(factor: int) -> None:
                     ),
                 }
             )
-        )
-    _write("documents", pa.concat_tables(copies))
+        if writer is None:
+            writer = pq.ParquetWriter(f"{OUT}/documents.parquet", copy.schema)
+        writer.write_table(copy)
+    writer.close()
+    print(f"documents: {n * factor} rows")
     del langs, sources
 
 
@@ -149,17 +184,20 @@ def _scale_embeddings(factor: int) -> None:
         )
         for lab in np.unique(labels)
     }
-    copies = [base]
-    for i in range(1, factor):
-        rng = np.random.default_rng(1042 + i)
-        new = np.empty_like(vecs)
-        for lab, (mu, sd) in stats.items():
-            mask = labels == lab
-            new[mask] = mu + sd * rng.standard_normal(
-                (int(mask.sum()), dim)
-            ).astype("float32")
-        copies.append(
-            pa.table(
+    os.makedirs(OUT, exist_ok=True)
+    writer = None
+    for i in range(factor):
+        if i == 0:
+            copy = base
+        else:
+            rng = np.random.default_rng(1042 + i)
+            new = np.empty_like(vecs)
+            for lab, (mu, sd) in stats.items():
+                mask = labels == lab
+                new[mask] = mu + sd * rng.standard_normal(
+                    (int(mask.sum()), dim)
+                ).astype("float32")
+            copy = pa.table(
                 {
                     "vec_id": pa.array(np.arange(n, dtype="int64") + i * n),
                     "embedding": pa.array(
@@ -169,8 +207,11 @@ def _scale_embeddings(factor: int) -> None:
                     "label": base.column("label"),
                 }
             )
-        )
-    _write("embeddings", pa.concat_tables(copies))
+        if writer is None:
+            writer = pq.ParquetWriter(f"{OUT}/embeddings.parquet", copy.schema)
+        writer.write_table(copy)
+    writer.close()
+    print(f"embeddings: {n * factor} rows")
 
 
 def main() -> None:
