@@ -421,6 +421,26 @@ def test_bloom_no_false_negatives(spark):
     assert hits == 50  # every build key must probe positive
 
 
+def test_bloom_semi_join_shuffle_fallback(spark):
+    """Past the size gate the exact-join side loses its forced
+    broadcast hint but the semi join stays exact."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        bloom,
+    )
+
+    fact = spark.createDataFrame([(i,) for i in range(100)], ["fk"])
+    dim = spark.createDataFrame([(i * 3,) for i in range(20)], ["dk"])
+    hinted = bloom.bloom_semi_join(fact, dim, "fk", "dk", n_dim=20)
+    fallback = bloom.bloom_semi_join(
+        fact, dim, "fk", "dk", n_dim=bloom._BCAST_DIM_MAX_KEYS + 1
+    )
+    assert "ResolvedHint" in hinted._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in fallback._jdf.queryExecution().logical().toString()
+    expected = sorted(i for i in range(100) if i % 3 == 0 and i < 60)
+    assert sorted(r.fk for r in fallback.collect()) == expected
+    assert sorted(r.fk for r in hinted.collect()) == expected
+
+
 def test_triangle_count_known_graph(spark):
     from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
         graph,

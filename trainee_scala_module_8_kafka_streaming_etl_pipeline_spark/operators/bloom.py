@@ -79,6 +79,13 @@ def might_contain(
     return F.expr(" AND ".join(probes))
 
 
+# Forced-broadcast cap for the exact-join side: past ~5M distinct dim
+# keys (two longs + hash-relation overhead, ~256 MiB built) drop the
+# hint and let AQE decide from runtime stats — same policy as
+# operators/graph.py's degree-table gate.
+_BCAST_DIM_MAX_KEYS = 5_000_000
+
+
 def bloom_semi_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -86,6 +93,7 @@ def bloom_semi_join(
     dim_key: str,
     m: int = BLOOM_M,
     k: int = BLOOM_K,
+    n_dim: int | None = None,
 ) -> DataFrame:
     """Exact semi join with bloom pre-pruning.
 
@@ -93,11 +101,20 @@ def bloom_semi_join(
     dimension before the exchange) → exact left-semi join removes the
     bloom's false positives. Result rows are exactly
     ``fact SEMI JOIN dim``.
+
+    ``n_dim`` (distinct dim keys, when the caller knows it) size-gates
+    the broadcast hint on the exact-join side: the bloom bitmap is
+    fixed-size however big the dimension, but the key list is O(dim) —
+    forcing it broadcast at 100x dimension scale OOMs the driver.
+    ``None`` keeps the hint (tested scales).
     """
     bitmap = build_bloom(dim, dim_key, m, k)
     pruned = fact.filter(might_contain(bitmap, fact_key, m, k))
+    keys = dim.select(dim_key).distinct()
+    if n_dim is None or n_dim <= _BCAST_DIM_MAX_KEYS:
+        keys = F.broadcast(keys)
     return pruned.join(
-        F.broadcast(dim.select(dim_key).distinct()),
+        keys,
         F.col(fact_key) == F.col(dim_key),
         "left_semi",
     )
