@@ -1198,7 +1198,9 @@ def _exact_pairs_04(ctx, threshold=0.4):
         for a0 in range(0, n, step):
             A = Vn[a0 : a0 + step]
             s = A @ Vn.T
-            r, c = np.nonzero(s >= threshold - 1e-9)
+            # pre-filter must admit everything that ROUNDS to the
+            # threshold: raw values in [t - 5e-7, t) round up to t
+            r, c = np.nonzero(s >= threshold - 5.1e-7)
             for i, j in zip(r, c):
                 gi, gj = a0 + int(i), int(j)
                 if gi >= gj:
