@@ -4004,7 +4004,7 @@ def q_doc_chunk_split(spark, sf):
     result stays verifiable without materializing spans.  The trailing
     fragment shorter than the overlap is emitted, not dropped — the
     caller's packer decides its fate."""
-    d = load(spark, sf, "documents")
+    d = _spread(load(spark, sf, "documents"))
     toks = F.split(F.trim(F.col("text")), r"\s+")
     w = d.select("doc_id", toks.alias("ws")).withColumn("n", F.size("ws"))
     ch = w.select(
@@ -4372,7 +4372,7 @@ def q_tfidf_top_terms(spark, sf):
     table collapses to vocabulary size and is broadcast back, so the
     only fact-sized shuffle is the (doc, term) groupBy.  idf is rounded
     to 6 dp before the multiply so the ranking key is engine-exact."""
-    d = load(spark, sf, "documents")
+    d = _spread(load(spark, sf, "documents"))
     toks = (
         d.select("doc_id", dedup.normalize_text("text").alias("n"))
         .filter(F.length("n") > 0)
@@ -4425,7 +4425,7 @@ def q_vocab_coverage(spark, sf):
     combined; everything after it operates on vocabulary-cardinality
     data, so the single-partition ranking window is over tiny input
     (the global sort only ever sees |vocab| rows, not |corpus|)."""
-    d = load(spark, sf, "documents")
+    d = _spread(load(spark, sf, "documents"))
     cnt = (
         d.select("doc_id", dedup.normalize_text("text").alias("n"))
         .filter(F.length("n") > 0)
@@ -4468,11 +4468,27 @@ _NGRAM_CTE = f"""
 """
 
 
+def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Under-parallel input guard (same rule as dedup.shingles): a
+    corpus arriving as one file — or one parquet ROW GROUP, which caps
+    usable scan parallelism at 1 task however the file is size-split —
+    serializes the explode-heavy gram/token stages on one core
+    (measured at sf~1: dup_ngram_coverage spent 36s single-core on a
+    1-row-group documents file; the 10x sf~10 corpus with 100 row
+    groups ran the SAME wall).  Repartition by the key when the file
+    count is clearly under the session parallelism; a well-partitioned
+    production corpus never triggers this."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if len(df.inputFiles()) < max(2, target // 2):
+        return df.repartition(target, F.col(key))
+    return df
+
+
 def _doc_ngrams(spark, sf) -> DataFrame:
     """Distinct (doc_id, word-trigram) pairs — shared subtree of the
     boilerplate queries.  DISTINCT here is the one corpus-scale shuffle;
     both consumers aggregate off its partitioning."""
-    d = load(spark, sf, "documents")
+    d = _spread(load(spark, sf, "documents"))
     toks = (
         d.select("doc_id", dedup.normalize_text("text").alias("n"))
         .filter(F.length("n") > 0)
@@ -4715,7 +4731,7 @@ def q_bigram_pmi(spark, sf):
     scalar totals ride in as a broadcast cross join.  PMI is computed
     from exact integer counts with one 6-dp-rounded ln — identical in
     both engines; ranking ties break on the gram text."""
-    d = load(spark, sf, "documents")
+    d = _spread(load(spark, sf, "documents"))
     toks = (
         d.select(dedup.normalize_text("text").alias("n"))
         .filter(F.length("n") > 0)
@@ -7789,7 +7805,7 @@ def q_inverted_index(spark, sf):
     the output row stays bounded by the slice. At index scale the
     posting lists would go to a bucketed sink keyed on term; the
     bounded sample keeps this oracle-checkable."""
-    d = load(spark, sf, "documents")
+    d = _spread(load(spark, sf, "documents"))
     tok = d.select(
         "doc_id",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
@@ -7852,7 +7868,9 @@ def q_bm25_topk(spark, sf):
         retrieval,
     )
 
-    return retrieval.bm25_topk(load(spark, sf, "documents"), _BM25_TERMS)
+    return retrieval.bm25_topk(
+        _spread(load(spark, sf, "documents")), _BM25_TERMS
+    )
 
 
 @_q("streaming_bm25", _REGISTRY["bm25_topk"][1])

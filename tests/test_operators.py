@@ -465,14 +465,19 @@ def test_orient_by_degree_shuffle_fallback(spark):
         [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)], ["u", "v"]
     )
     hinted = graph.orient_by_degree(edges, n_edges=7)
-    # claim a count past the gate -> hint dropped, plan has no forced
-    # broadcast of the degree table
-    fallback = graph.orient_by_degree(
-        edges, n_edges=graph._BCAST_DEGREE_MAX_NODES
-    )
+    # inconclusive bound + real node count (5) past a tiny cap ->
+    # hint dropped, plan has no forced broadcast of the degree table
+    fallback = graph.orient_by_degree(edges, n_edges=7, max_broadcast_nodes=3)
+    # inconclusive bound but measured node count (5) under the cap ->
+    # the one-job count path restores the broadcast hint
+    counted = graph.orient_by_degree(edges, n_edges=7, max_broadcast_nodes=5)
     assert "ResolvedHint" not in fallback._jdf.queryExecution().logical().toString()
     assert "ResolvedHint" in hinted._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" in counted._jdf.queryExecution().logical().toString()
     assert sorted(map(tuple, fallback.collect())) == sorted(
+        map(tuple, hinted.collect())
+    )
+    assert sorted(map(tuple, counted.collect())) == sorted(
         map(tuple, hinted.collect())
     )
 

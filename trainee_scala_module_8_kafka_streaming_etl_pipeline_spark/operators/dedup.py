@@ -352,6 +352,11 @@ def word_gram_hashes(
         f"transform(sequence(1, size(_w) - {n_words - 1}),"
         f" i -> concat_ws(' ', slice(_w, i, {n_words})))"
     )
+    # same under-parallel-input guard as shingles(): don't serialize
+    # the gram explode on a one-file (or one-row-group) corpus
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if len(df.inputFiles()) < max(2, target // 2):
+        df = df.repartition(target, F.col(id_col))
     return (
         df.select(F.col(id_col), words.alias("_w"))
         .filter(F.size("_w") >= n_words)

@@ -55,22 +55,32 @@ def cooccurrence_edges(df: DataFrame, group_col: str, item_col: str) -> DataFram
 _BCAST_DEGREE_MAX_NODES = 5_000_000
 
 
-def orient_by_degree(edges: DataFrame, n_edges: int | None = None) -> DataFrame:
+def orient_by_degree(
+    edges: DataFrame,
+    n_edges: int | None = None,
+    max_broadcast_nodes: int = _BCAST_DEGREE_MAX_NODES,
+) -> DataFrame:
     """Orient each undirected edge from lower (degree, id) to higher.
 
     The (degree, id) tuple is a total order, so orientation is
     deterministic and acyclic. One aggregate for degrees, two
     broadcast-or-shuffle joins to attach them, one projection to flip.
 
-    ``n_edges``, when the caller already knows it (triangle_count has
-    just materialized its edge cache with a count), size-gates the
-    broadcast hint on the degree table: |nodes| <= 2*|edges|, so a
-    known-small edge set proves the degree table broadcastable without
-    an extra job, while a huge one (2*n_edges above
-    ``_BCAST_DEGREE_MAX_NODES``) drops the hint — a forced broadcast of
-    an O(nodes) table OOMs the driver at 100x scale.  ``n_edges=None``
-    (unknown) keeps the hint for backward compatibility at tested
-    scales.
+    Broadcast gating (the degree table is O(nodes); forcing it
+    broadcast at 100x scale OOMs the driver):
+
+    - ``n_edges`` unknown (None): keep the hint — legacy small-scale
+      behavior.
+    - ``2 * n_edges <= max_broadcast_nodes``: nodes are provably under
+      the cap (each edge introduces at most 2), broadcast with zero
+      extra jobs — the common case; triangle_count passes the count it
+      just materialized.
+    - bound inconclusive: the 2x-edges proxy overestimates nodes by
+      edges/nodes (~60x on the sf~10 co-purchase graph, where dropping
+      the hint cost 4x on the orientation), so spend ONE cheap
+      aggregation job counting the cached degree table and gate on the
+      REAL node count.  Past the cap the hint is dropped and AQE may
+      still convert back from runtime stats.
     """
     deg = (
         edges.select(F.col("u").alias("n"))
@@ -78,12 +88,16 @@ def orient_by_degree(edges: DataFrame, n_edges: int | None = None) -> DataFrame:
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    # degree table is O(nodes) — tiny next to O(edges) at tested scales;
-    # broadcast both attaches so the edge set never shuffles to pick up
-    # degrees.  Size-gated: see the module constant above.
+    if n_edges is None or 2 * n_edges <= max_broadcast_nodes:
+        small = True
+    else:
+        # cache: the count below and both attach joins reuse the one
+        # degree aggregation (O(nodes) rows — two longs per node)
+        deg = deg.cache()
+        small = deg.count() <= max_broadcast_nodes
     du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
-    if n_edges is None or 2 * n_edges <= _BCAST_DEGREE_MAX_NODES:
+    if small:
         du, dv = F.broadcast(du), F.broadcast(dv)
     e = edges.join(du, "u").join(dv, "v")
     u_first = (F.col("du") < F.col("dv")) | (
