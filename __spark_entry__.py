@@ -7735,7 +7735,7 @@ def q_dup_ngram_coverage(spark, sf):
     never moves document text, only (doc_id, 8-byte gram hash, count)
     triples, and it replaces the join-back form's second full gram
     pass (see the inline comment below for the A/B and skew caveat)."""
-    d = load(spark, sf, "documents")
+    d = _spread(load(spark, sf, "documents"))
     toks = F.split(F.trim(F.col("text")), r"\s+")
     # Shuffle 8-byte xxhash64 gram keys, not gram strings: the gram
     # text never reaches the output, so the aggregation keys are free
