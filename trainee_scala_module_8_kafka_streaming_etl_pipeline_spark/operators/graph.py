@@ -216,6 +216,13 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     O(|E|) rows, and the per-edge intersection of two sorted-bounded
     arrays (out-degree ≤ O(√E) by orientation) runs inside codegen.
     Returns one row: n_nodes, n_edges, n_triangles.
+
+    Shuffle sizing at scale: the wedge join moves E × avg-degree bytes
+    of adjacency arrays — the wedge-check mass any edge-iterator must
+    touch.  Size ``spark.sql.shuffle.partitions`` to ~1-2M edges per
+    task so per-task sorts stay under spill (measured at sf~10, 120M
+    edges on one 24g JVM: 128 partitions ran the wedge 28% faster than
+    32; see SCALING.md "third decade").
     """
     # Cache the EDGE SET, not just the orientation: the degree count,
     # both degree-attach joins, and the orientation all re-derive
