@@ -4477,10 +4477,13 @@ def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     1-row-group documents file; the 10x sf~10 corpus with 100 row
     groups ran the SAME wall).  Repartition by the key when the file
     count is clearly under the session parallelism; a well-partitioned
-    production corpus never triggers this."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if len(df.inputFiles()) < max(2, target // 2):
-        return df.repartition(target, F.col(key))
+    production corpus never triggers this, and non-scan inputs
+    (``inputFiles() == []``) are left alone — they already carry their
+    upstream plan's parallelism (dedup.under_parallel)."""
+    if dedup.under_parallel(df):
+        return df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col(key)
+        )
     return df
 
 

@@ -242,11 +242,20 @@ def main() -> int:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    # Comparability baseline: the canary of the last COMPARABLE run
+    # ("baseline_sec"), not merely the previous run's reading — each run
+    # overwrites BENCH_DETAIL.json, so comparing against the immediate
+    # prior would let the baseline drift run-over-run through a noisy
+    # campaign (three successive 9%-slower runs would each read
+    # "comparable" while the host degraded 30% overall).  A run that IS
+    # comparable advances the baseline to its own canary; a flagged run
+    # carries the old baseline forward untouched.
     prior_canary = None
     if os.path.exists(detail_path):
         try:
             with open(detail_path) as fh:
-                prior_canary = json.load(fh).get("canary", {}).get("sec")
+                prior = json.load(fh).get("canary", {})
+                prior_canary = prior.get("baseline_sec", prior.get("sec"))
         except Exception:  # noqa: BLE001 - a corrupt prior detail is not fatal
             prior_canary = None
 
@@ -260,6 +269,7 @@ def main() -> int:
         and max(canary, prior_canary) / min(canary, prior_canary)
         <= _CANARY_TOL
     )
+    baseline = canary if (comparable or prior_canary is None) else prior_canary
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -273,12 +283,16 @@ def main() -> int:
             "start_sec": canary_start,
             "end_sec": canary_end,
             "prior_sec": prior_canary,
+            "baseline_sec": baseline,
             "comparable_to_prior": comparable,
             "rule": (
                 "single-core numpy sort+sum canary (min-of-3, before and"
-                " after the campaign); totals are A/B-comparable to the"
-                " prior BENCH_DETAIL.json only when the canaries agree"
-                f" within {round((_CANARY_TOL - 1) * 100)}%"
+                " after the campaign); totals are A/B-comparable only"
+                " when this run's canary is within"
+                f" {round((_CANARY_TOL - 1) * 100)}% of baseline_sec —"
+                " the canary of the last comparable run, carried forward"
+                " unchanged through flagged runs so the baseline cannot"
+                " drift through a noisy campaign"
             ),
         },
     }

@@ -787,3 +787,96 @@ def test_encode_raw_col_roundtrips_through_decoder(spark):
         True, 3, 2, 1, 6,
     )
     assert r.pixel_sum == sum(b"abcdef")
+
+
+def test_under_parallel_guard_skips_non_scan_inputs(spark, tmp_path):
+    """ADVICE r9: inputFiles() == [] means a non-scan (in-memory or
+    post-shuffle) input — the guard must not inject a repartition for
+    those; a genuine one-file scan under session parallelism still
+    trips it."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        dedup,
+    )
+
+    mem = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    assert mem.inputFiles() == []
+    assert dedup.under_parallel(mem) is False
+
+    p = str(tmp_path / "one.parquet")
+    mem.coalesce(1).write.parquet(p)
+    scan = spark.read.parquet(p)
+    assert len(scan.inputFiles()) == 1
+    # local[4] -> threshold max(2, 2) = 2 > 1 file
+    assert dedup.under_parallel(scan) is True
+
+
+def test_bloom_semi_join_self_estimates_dim_size(spark, monkeypatch):
+    """ADVICE r9: n_dim=None must not keep the forced broadcast
+    unconditionally — the join self-counts the distinct dim keys and
+    applies the same gate."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        bloom,
+    )
+
+    fact = spark.createDataFrame([(i,) for i in range(100)], ["fk"])
+    dim = spark.createDataFrame([(i * 3,) for i in range(20)], ["dk"])
+    expected = sorted(i for i in range(100) if i % 3 == 0 and i < 60)
+
+    # 20 distinct keys, default cap: self-estimate keeps the hint
+    hinted = bloom.bloom_semi_join(fact, dim, "fk", "dk")
+    assert "ResolvedHint" in hinted._jdf.queryExecution().logical().toString()
+    assert sorted(r.fk for r in hinted.collect()) == expected
+
+    # cap below the measured count: self-estimate drops the hint
+    monkeypatch.setattr(bloom, "_BCAST_DIM_MAX_KEYS", 10)
+    gated = bloom.bloom_semi_join(fact, dim, "fk", "dk")
+    assert "ResolvedHint" not in gated._jdf.queryExecution().logical().toString()
+    assert sorted(r.fk for r in gated.collect()) == expected
+
+
+def test_orient_by_degree_cleanup_list_collects_deg_cache(spark):
+    """ADVICE r9: the inconclusive-bound branch caches the degree
+    table; callers passing a cleanup list get it back for unpersist
+    (triangle_count does this after materializing the orientation)."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        graph,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)], ["u", "v"]
+    )
+    aux: list = []
+    # conclusive small bound: nothing cached
+    graph.orient_by_degree(edges, n_edges=2, cleanup=aux)
+    assert aux == []
+    # inconclusive bound: the cached degree table is handed back
+    out = graph.orient_by_degree(
+        edges, n_edges=7, max_broadcast_nodes=5, cleanup=aux
+    )
+    assert len(aux) == 1 and aux[0].is_cached
+    out.collect()
+    aux[0].unpersist()
+    assert not aux[0].is_cached
+
+
+def test_scale_slope_flag_and_legacy_row_handling():
+    """ADVICE r9: a flag at end-of-args errors cleanly, and pre-r9
+    flat-format rows are dropped during merge."""
+    import pytest as _pytest
+
+    sys_path_probe = __import__("sys").path
+    assert "/root/repo" in sys_path_probe or any(
+        p.endswith("repo") for p in sys_path_probe
+    )
+    from tools import scale_slope
+
+    args = ["--stamp", "s1", "--decade", "d1"]
+    assert scale_slope._flag(args, "--stamp", None) == "s1"
+    with _pytest.raises(SystemExit):
+        scale_slope._flag(["--decade"], "--decade", None)
+
+    new_row = {"sf0.1_to_sf1": {"small_sec": 1.0, "big_sec": 2.0}}
+    legacy_row = {"sf0.1_sec": 1.0, "sf1_sec": 2.0, "slope": 2.0}
+    assert scale_slope._is_decade_row(new_row) is True
+    assert scale_slope._is_decade_row(legacy_row) is False
+    assert scale_slope._is_decade_row({}) is False

@@ -69,10 +69,23 @@ def bench_dir(spark, queries, names, sf_dir, passes):
 def _flag(args: list[str], name: str, default: str | None) -> str | None:
     if name in args:
         i = args.index(name)
+        if i + 1 >= len(args):
+            raise SystemExit(f"{name} requires a value (got end of args)")
         val = args[i + 1]
         del args[i : i + 2]
         return val
     return default
+
+
+def _is_decade_row(rows) -> bool:
+    """True for the per-decade row shape this script writes: a dict of
+    decade-name -> measurement dicts carrying small_sec/big_sec.  Rows
+    from the pre-round-9 flat format (sf0.1_sec keys at top level) are
+    dropped during merge rather than mixed in."""
+    return isinstance(rows, dict) and all(
+        isinstance(v, dict) and "small_sec" in v and "big_sec" in v
+        for v in rows.values()
+    ) and bool(rows)
 
 
 def main() -> int:
@@ -110,7 +123,7 @@ def main() -> int:
         out["queries"] = {
             q: rows
             for q, rows in prior.get("queries", {}).items()
-            if q in registry
+            if q in registry and _is_decade_row(rows)
         }
     for n in names:
         row = out["queries"].setdefault(n, {})

@@ -106,12 +106,19 @@ def bloom_semi_join(
     the broadcast hint on the exact-join side: the bloom bitmap is
     fixed-size however big the dimension, but the key list is O(dim) —
     forcing it broadcast at 100x dimension scale OOMs the driver.
-    ``None`` keeps the hint (tested scales).
+    ``None`` self-estimates with one ``count()`` over the distinct key
+    projection — a map-side-combined aggregate over a scan the bloom
+    build already pays, so the gate holds even when the caller cannot
+    bound the dimension (the earlier behavior kept the forced
+    broadcast for ``None``, which is exactly the OOM the gate exists
+    to prevent).
     """
     bitmap = build_bloom(dim, dim_key, m, k)
     pruned = fact.filter(might_contain(bitmap, fact_key, m, k))
     keys = dim.select(dim_key).distinct()
-    if n_dim is None or n_dim <= _BCAST_DIM_MAX_KEYS:
+    if n_dim is None:
+        n_dim = keys.count()
+    if n_dim <= _BCAST_DIM_MAX_KEYS:
         keys = F.broadcast(keys)
     return pruned.join(
         keys,

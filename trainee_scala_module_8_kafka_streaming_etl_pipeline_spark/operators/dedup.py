@@ -94,6 +94,23 @@ def normalize_text(col: str = "text") -> F.Column:
     return F.trim(F.regexp_replace(F.lower(F.col(col)), "[^a-z0-9]+", " "))
 
 
+def under_parallel(df: DataFrame) -> bool:
+    """True when ``df`` is a file-backed scan whose file count clearly
+    caps task parallelism below the session's (a one-file — or, after
+    the round-9 finding, one-ROW-GROUP — corpus serializes every
+    explode-heavy stage on one core however the file is size-split).
+
+    File count is pure metadata: no ``.rdd`` plan conversion, no job.
+    ``inputFiles()`` returns ``[]`` for non-scan inputs (in-memory
+    fixtures, post-shuffle frames) — those already carry whatever
+    parallelism their upstream plan produced, so the guard must NOT
+    fire and inject a gratuitous full shuffle for them.
+    """
+    files = df.inputFiles()
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return 0 < len(files) < max(2, target // 2)
+
+
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Char-N-gram shingle *occurrences* per document with their hashes —
     a fully narrow pipeline (explode + projections, NO shuffle).
@@ -114,11 +131,11 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
     # which would serialize the ~300x explode and the per-shingle md5
     # onto a single core.  Repartition only when the input is clearly
     # under-parallel — a well-partitioned 100 TB corpus must NOT pay a
-    # full-text shuffle here.  (File count is metadata — no .rdd plan
-    # conversion, no job.)
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if len(df.inputFiles()) < max(2, target // 2):
-        base = base.repartition(target, F.col(id_col))
+    # full-text shuffle here (see under_parallel()).
+    if under_parallel(df):
+        base = base.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        )
     pos = F.explode(F.sequence(F.lit(1), F.length("_norm") - (SHINGLE_LEN - 1)))
     sh = base.select(
         F.col(id_col), pos.alias("_pos"), F.col("_norm")
@@ -354,9 +371,10 @@ def word_gram_hashes(
     )
     # same under-parallel-input guard as shingles(): don't serialize
     # the gram explode on a one-file (or one-row-group) corpus
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if len(df.inputFiles()) < max(2, target // 2):
-        df = df.repartition(target, F.col(id_col))
+    if under_parallel(df):
+        df = df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        )
     return (
         df.select(F.col(id_col), words.alias("_w"))
         .filter(F.size("_w") >= n_words)
@@ -538,9 +556,10 @@ def ngram_jaccard_pairs(
     )
     # same under-parallel-input guard as shingles(): don't serialize the
     # bigram build on a one-file corpus
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if len(df.inputFiles()) < max(2, target // 2):
-        df = df.repartition(target, F.col(id_col))
+    if under_parallel(df):
+        df = df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        )
     sets = (
         df.select(F.col(id_col), *[F.col(c) for c in block_cols], words.alias("_w"))
         .filter(F.size("_w") >= 2)

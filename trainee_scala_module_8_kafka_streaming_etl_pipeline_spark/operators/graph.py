@@ -59,6 +59,7 @@ def orient_by_degree(
     edges: DataFrame,
     n_edges: int | None = None,
     max_broadcast_nodes: int = _BCAST_DEGREE_MAX_NODES,
+    cleanup: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Orient each undirected edge from lower (degree, id) to higher.
 
@@ -81,6 +82,13 @@ def orient_by_degree(
       aggregation job counting the cached degree table and gate on the
       REAL node count.  Past the cap the hint is dropped and AQE may
       still convert back from runtime stats.
+
+    When the inconclusive branch caches the degree table, the cached
+    frame is appended to ``cleanup`` (if the caller passed one) so the
+    caller can unpersist it after materializing the returned plan —
+    :func:`triangle_count` does, alongside its own edge cache.  Without
+    a ``cleanup`` list the cache lives until the session drops it
+    (long-lived sessions should pass one).
     """
     deg = (
         edges.select(F.col("u").alias("n"))
@@ -94,6 +102,8 @@ def orient_by_degree(
         # cache: the count below and both attach joins reuse the one
         # degree aggregation (O(nodes) rows — two longs per node)
         deg = deg.cache()
+        if cleanup is not None:
+            cleanup.append(deg)
         small = deg.count() <= max_broadcast_nodes
     du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
@@ -235,9 +245,12 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     # Materialize before the degree/orient branches race; the count also
     # feeds orient_by_degree's broadcast size gate for free.
     n_edges = edges.count()
-    o = orient_by_degree(edges, n_edges=n_edges).cache()
+    _aux: list[DataFrame] = []
+    o = orient_by_degree(edges, n_edges=n_edges, cleanup=_aux).cache()
     o.count()  # materialize before the self-join branches race the cache
     edges.unpersist()  # orientation holds everything downstream needs
+    for _c in _aux:  # degree table cached by the inconclusive size gate
+        _c.unpersist()
     adj = o.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
     a_adj = adj.select(F.col("src").alias("a"), F.col("nbrs").alias("na"))
     b_adj = adj.select(F.col("src").alias("b"), F.col("nbrs").alias("nb"))
