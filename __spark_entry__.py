@@ -7731,54 +7731,170 @@ def q_dup_ngram_coverage(spark, sf):
     """Per-document duplicate-5-gram coverage (the Dolma/Gopher
     "fraction of n-grams appearing elsewhere" quality signal). Grams
     are generated as a narrow in-partition explode (functions/text.py:
-    word_ngrams), then ONE shuffle keyed on the gram computes global
-    document frequency as a COUNT window over the per-(doc, gram)
-    occurrence rows, and the per-doc rollup re-keys on doc_id. The
-    single gram-keyed window shuffle is the scale-critical step: it
-    never moves document text, only (doc_id, 8-byte gram hash, count)
-    triples, and it replaces the join-back form's second full gram
-    pass (see the inline comment below for the A/B and skew caveat)."""
+    word_ngrams), then a gram-keyed shuffle computes global document
+    frequency and the per-doc rollup re-keys on doc_id.  The df step
+    has TWO plans, chosen automatically (r10, closing the r9 caveat):
+    a COUNT window over the per-(doc, gram) occurrence rows — one
+    gram-keyed exchange, optimal when no gram dominates — or, when a
+    cheap sampled probe detects a heavy-hitter gram, a two-level
+    aggregate (groupBy(gram) df counts, map-side-combinable, joined
+    back to occ) whose skew lands in a JOIN that AQE's skew splitter
+    CAN break, unlike a window partition.  See
+    :func:`_dup_ngram_coverage_frame` for the gate mechanics and the
+    measured A/B."""
     d = _spread(load(spark, sf, "documents"))
+    return _dup_ngram_coverage_frame(d)
+
+
+def _dup_ngram_occ(d: DataFrame) -> DataFrame:
+    """Per-(doc, 5-gram-hash) occurrence counts — the shared first
+    stage of both dup_ngram plans and of the skew probe.
+
+    Shuffles 8-byte xxhash64 gram keys, not gram strings: the gram
+    text never reaches the output, so the aggregation keys are free
+    to be hashes (the oracle's string-keyed counts agree unless two
+    distinct grams collide in 64 bits — ~1e-8 at 1e5 distinct grams,
+    and the driver's value-hash would surface it immediately)."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    # Shuffle 8-byte xxhash64 gram keys, not gram strings: the gram
-    # text never reaches the output, so the aggregation keys are free
-    # to be hashes (the oracle's string-keyed counts agree unless two
-    # distinct grams collide in 64 bits — ~1e-8 at 1e5 distinct grams,
-    # and the driver's value-hash would surface it immediately).
     grams = d.select(
         "doc_id",
         F.explode(
             F.transform(T.word_ngrams(toks, 5), lambda g: F.xxhash64(g))
         ).alias("gram"),
     )
-    occ = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("occ"))
-    # Document frequency as a COUNT OVER (PARTITION BY gram) window on
-    # occ itself, not a groupBy(gram)+join back: the window form shuffles
-    # occ ONCE on the gram key where the join form pays a second full
-    # gram pass (scan+explode+aggregate) to build the df table and then
-    # a gram-keyed join against it.  At sf0.1 the two measure within
-    # noise of each other (3.26 vs 3.33 s, 9-pass min — runtime exchange
-    # reuse hides the second pass locally); the window form is kept for
-    # the 100 TB shape, where the df side is far too big to broadcast
-    # and the join would force two sorted gram-keyed exchanges against
-    # the window's one.  Skew caveat: the window funnels each gram's
-    # whole occ partition through one task's buffer and AQE's skew-join
-    # splitter cannot break a window partition, so a pathologically
-    # frequent gram (repeated boilerplate at corpus scale) serializes
-    # on one task.  If a real corpus shows heavy-hitter grams, fall
-    # back to the two-level aggregate: groupBy(gram) df counts (map-
-    # side-combinable, optionally salted) joined back to occ.
-    dfreq = occ.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("gram"))
-    )
-    dup = F.when(F.col("df") >= 2, F.col("occ")).otherwise(F.lit(0))
-    return (
-        dfreq.groupBy("doc_id")
-        .agg(
-            F.sum("occ").cast("bigint").alias("n_grams"),
-            F.sum(dup).cast("bigint").alias("n_dup_grams"),
-            F.round(F.sum(dup).cast("double") / F.sum("occ"), 6).alias("dup_frac"),
+    return grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("occ"))
+
+
+# Heavy-hitter gate for dup_ngram_coverage (round 10; r9 VERDICT ask #1).
+# The COUNT-window form funnels each gram's whole occ partition through
+# ONE task's window buffer and AQE cannot split a window partition, so a
+# boilerplate gram appearing in a large fraction of a 100 TB corpus
+# serializes data-proportional work on one core.  The probe samples
+# _DUP_NGRAM_PROBE_FRACTION of documents (seeded — deterministic plan
+# choice) and measures the max per-gram document-frequency share; at or
+# above _DUP_NGRAM_SKEW_SHARE the two-level form is selected.  Probing
+# costs one sampled gram pass, so it only runs when the scan is big
+# enough for the hazard to exist (>= _DUP_NGRAM_PROBE_MIN_BYTES of
+# parquet — below that even a 100%-share gram fits one window buffer
+# trivially) or when the input is not file-backed (fixtures; cost moot).
+# Plan choice never changes RESULTS — both forms compute the same exact
+# df — so sampling noise can only trade performance, never correctness.
+_DUP_NGRAM_SKEW_SHARE = 0.10
+_DUP_NGRAM_PROBE_MIN_BYTES = 48 << 20
+_DUP_NGRAM_PROBE_FRACTION = 0.05
+_DUP_NGRAM_PROBE_MIN_DOCS = 200
+
+
+def _scan_bytes(d: DataFrame) -> int | None:
+    """Total on-disk bytes of d's file-source leaves (driver-side
+    metadata, zero jobs); None when d is not file-backed."""
+    import os
+    from urllib.parse import urlparse
+
+    files = d.inputFiles()
+    if not files:
+        return None
+    try:
+        return sum(os.path.getsize(urlparse(f).path or f) for f in files)
+    except OSError:
+        return None
+
+
+def _dup_ngram_skewed(d: DataFrame) -> bool:
+    """Sampled heavy-hitter probe: True when some 5-gram's document
+    frequency share in a seeded sample reaches _DUP_NGRAM_SKEW_SHARE.
+    Small samples (< _DUP_NGRAM_PROBE_MIN_DOCS docs) report False —
+    a corpus that small cannot create a window-partition hazard."""
+    occ_s = _dup_ngram_occ(
+        d.sample(fraction=_DUP_NGRAM_PROBE_FRACTION, seed=7)
+    ).cache()
+    try:
+        n_docs = occ_s.select("doc_id").distinct().count()
+        if n_docs < _DUP_NGRAM_PROBE_MIN_DOCS:
+            return False
+        max_df = (
+            occ_s.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(F.max("df").alias("m"))
+            .collect()[0]["m"]
         )
+        return max_df is not None and max_df >= _DUP_NGRAM_SKEW_SHARE * n_docs
+    finally:
+        occ_s.unpersist()
+
+
+def _dup_ngram_coverage_frame(d: DataFrame, form: str = "auto") -> DataFrame:
+    """dup_ngram_coverage over an arbitrary documents frame with an
+    explicit or probed df-plan choice (``form`` in auto|window|twolevel).
+
+    Window form: df as COUNT OVER (PARTITION BY gram) on occ itself —
+    occ shuffles ONCE on the gram key; optimal without heavy hitters
+    (A/B at sf~1: 2.8 s window vs 5.1 s of the OLD join form that paid
+    a second full gram pass; 16.1 vs 36.1 s at sf~10).
+
+    Two-level form — the skew-proof identity
+    ``n_dup_grams(doc) = n_grams(doc) - mass of grams UNIQUE to doc``:
+    (1) per-doc totals: groupBy(doc_id) sum — keyed on doc_id, uniform
+    by construction; (2) unique-gram mass: groupBy(gram) computes
+    (count, min(doc_id), sum(occ)) — ALL map-side combinable, so a
+    heavy-hitter gram pre-combines to ONE row per input partition and
+    its mass never crosses an exchange uncombined — filtered to df=1
+    (for which min(doc_id) IS the owning doc) and re-aggregated per
+    doc; (3) one LEFT join of two per-doc tables ON doc_id.  No
+    gram-keyed join, no window: there is NO operator anywhere in the
+    plan through which the heavy gram's rows funnel un-reduced.  (A
+    gram-keyed join back of a df table was tried first and rejected:
+    AQE's OptimizeSkewedJoin only matches SMJ directly over shuffle
+    stages, and the aggregate feeding the df side breaks the pattern —
+    measured 1.3x SLOWER than the window with the skew intact.)
+    Measured on the planted boilerplate corpus (half of 8M docs = one
+    gram; tools/dup_ngram_skew_ab.py, same session, min-of-3): the
+    window form funnels 4M rows through one task while this form
+    spreads them — numbers in SCALING.md (round 10)."""
+    occ = _dup_ngram_occ(d)
+    if form == "auto":
+        bytes_ = _scan_bytes(d)
+        probe = bytes_ is None or bytes_ >= _DUP_NGRAM_PROBE_MIN_BYTES
+        form = "twolevel" if (probe and _dup_ngram_skewed(d)) else "window"
+    if form == "window":
+        dfreq = occ.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+        )
+        dup = F.when(F.col("df") >= 2, F.col("occ")).otherwise(F.lit(0))
+        return (
+            dfreq.groupBy("doc_id")
+            .agg(
+                F.sum("occ").cast("bigint").alias("n_grams"),
+                F.sum(dup).cast("bigint").alias("n_dup_grams"),
+                F.round(
+                    F.sum(dup).cast("double") / F.sum("occ"), 6
+                ).alias("dup_frac"),
+            )
+        )
+    if form != "twolevel":  # pragma: no cover - caller bug
+        raise ValueError(f"unknown dup_ngram form: {form!r}")
+    per_doc = occ.groupBy("doc_id").agg(
+        F.sum("occ").cast("bigint").alias("n_grams")
+    )
+    uniq = (
+        occ.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.min("doc_id").alias("doc_id"),
+            F.sum("occ").alias("occ_sum"),
+        )
+        .filter(F.col("df") == 1)
+        .groupBy("doc_id")
+        .agg(F.sum("occ_sum").cast("bigint").alias("uniq_mass"))
+    )
+    n_dup = F.col("n_grams") - F.coalesce(F.col("uniq_mass"), F.lit(0))
+    return per_doc.join(uniq, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        n_dup.cast("bigint").alias("n_dup_grams"),
+        F.round(
+            n_dup.cast("double") / F.col("n_grams"), 6
+        ).alias("dup_frac"),
     )
 
 

@@ -880,3 +880,78 @@ def test_scale_slope_flag_and_legacy_row_handling():
     assert scale_slope._is_decade_row(new_row) is True
     assert scale_slope._is_decade_row(legacy_row) is False
     assert scale_slope._is_decade_row({}) is False
+
+
+def _planted_boilerplate_corpus(spark, n_docs=6000, share=4):
+    """1/share of docs carry the same leading 5-gram; every doc also
+    carries a unique 5-gram so each contributes >= 1 occ row."""
+    import pyspark.sql.functions as SF
+
+    return spark.range(n_docs).select(
+        SF.col("id").alias("doc_id"),
+        SF.when(
+            SF.col("id") % share == 0,
+            SF.format_string(
+                "alpha beta gamma delta epsilon x%d y%d z%d u%d v%d",
+                "id", "id", "id", "id", "id",
+            ),
+        )
+        .otherwise(
+            SF.format_string(
+                "a%d b%d c%d d%d e%d", "id", "id", "id", "id", "id"
+            )
+        )
+        .alias("text"),
+    )
+
+
+def test_dup_ngram_skew_gate_picks_twolevel_on_planted_gram(spark):
+    """r9 VERDICT ask #1: a gram in >=20% of docs must trip the probe
+    and switch the df plan from the window to the AQE-splittable
+    two-level aggregate — with byte-identical results either way."""
+    import __spark_entry__ as entry
+
+    planted = _planted_boilerplate_corpus(spark)  # 25% share
+    uniform = _planted_boilerplate_corpus(spark, share=10**9)
+
+    assert entry._dup_ngram_skewed(planted) is True
+    assert entry._dup_ngram_skewed(uniform) is False
+
+    # auto on the planted (non-file-backed -> probe always) corpus
+    # must choose the two-level join plan: no Window node
+    auto_plan = entry._dup_ngram_coverage_frame(
+        planted
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in auto_plan
+    win_plan = entry._dup_ngram_coverage_frame(
+        planted, form="window"
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" in win_plan
+
+    # both forms produce identical rows on the planted corpus
+    a = sorted(
+        map(tuple, entry._dup_ngram_coverage_frame(planted, "window").collect())
+    )
+    b = sorted(
+        map(tuple, entry._dup_ngram_coverage_frame(planted, "twolevel").collect())
+    )
+    assert a == b and len(a) == 6000
+    # sanity: the planted quarter is flagged duplicated, the rest not
+    dup_docs = sum(1 for r in a if r[2] > 0)
+    assert dup_docs == 1500
+
+
+def test_dup_ngram_auto_keeps_window_on_small_scans(spark):
+    """File-backed scans under the probe floor skip the probe and keep
+    the single-exchange window plan (the tested-scale default)."""
+    import __spark_entry__ as entry
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.catalog import (
+        load,
+    )
+
+    d = load(spark, "/root/testdata/sf0.001", "documents")
+    assert (entry._scan_bytes(d) or 0) < entry._DUP_NGRAM_PROBE_MIN_BYTES
+    plan = entry._dup_ngram_coverage_frame(
+        d
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" in plan
