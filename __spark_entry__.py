@@ -1247,14 +1247,21 @@ def q_chi_square_independence(spark, sf):
       SELECT c.c_custkey AS customer_id, c.c_nationkey AS nation_key,
              sum(cast(o.o_totalprice AS decimal(18,4))) AS rev_exact
       FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
-      GROUP BY 1, 2)
+      GROUP BY 1, 2),
+    rk AS (
+      SELECT customer_id, nation_key, rev_exact,
+             rank() OVER (PARTITION BY nation_key ORDER BY rev_exact)
+               AS rnk,
+             count(*) OVER (PARTITION BY nation_key ORDER BY rev_exact)
+               AS n_le,
+             count(*) OVER (PARTITION BY nation_key) AS np
+      FROM rev)
     SELECT customer_id, nation_key,
            cast(rev_exact AS double) AS revenue,
-           round(percent_rank() OVER
-                   (PARTITION BY nation_key ORDER BY rev_exact), 6) AS pr,
-           round(cume_dist() OVER
-                   (PARTITION BY nation_key ORDER BY rev_exact), 6) AS cd
-    FROM rev
+           coalesce(((rnk - 1) * 1000000) // nullif(np - 1, 0), 0) / 1e6
+             AS pr,
+           ((n_le * 1000000) // np) / 1e6 AS cd
+    FROM rk
     """,
 )
 def q_revenue_percent_rank(spark, sf):
@@ -1262,7 +1269,19 @@ def q_revenue_percent_rank(spark, sf):
     Revenue accumulates as exact DECIMAL so the rank ORDER BY is
     deterministic (double sums would be partial-order dependent and
     could flip ranks between runs); ties share a rank identically in
-    both engines.  One shuffle for the agg, one for the window."""
+    both engines.  One shuffle for the agg, one for the window (all
+    three window aggregates share the same partitioning/ordering, so
+    they run in a single window stage).
+
+    Round 10 (r9 VERDICT ask #4): pr/cd are built from the rank
+    identities in exact INTEGER micro-units — pr = (rank-1)//(n-1),
+    cd = n_le//n, both floor-divided at 1e-6 resolution as bigints and
+    divided by 1e6 only at the very end — instead of
+    round(percent_rank(), 6) on a double.  Engine round(x, 6) midpoint
+    mechanics on tie-generated boundary doubles were the ONE sf~1 hash
+    diff this entry had (SCALING.md round 8); an int64-by-1e6 division
+    is a single correctly-rounded IEEE op in every engine, so the
+    default byte-identical norm now holds at every scale."""
     c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
     o = load(spark, sf, "orders").select("o_custkey", "o_totalprice")
     rev = (
@@ -1274,12 +1293,30 @@ def q_revenue_percent_rank(spark, sf):
         .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("rev_exact"))
     )
     w = Window.partitionBy("nation_key").orderBy("rev_exact")
-    return rev.select(
+    wp = Window.partitionBy("nation_key")
+    rk = rev.select(
+        "customer_id",
+        "nation_key",
+        "rev_exact",
+        F.rank().over(w).alias("rnk"),
+        # count over (partition ... order by ...) defaults to RANGE
+        # UNBOUNDED PRECEDING..CURRENT ROW — peers included, the
+        # cume_dist numerator — identically in Spark and DuckDB
+        F.count(F.lit(1)).over(w).alias("n_le"),
+        F.count(F.lit(1)).over(wp).alias("np"),
+    )
+    return rk.select(
         "customer_id",
         "nation_key",
         F.col("rev_exact").cast("double").alias("revenue"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        (
+            F.coalesce(
+                F.expr("((rnk - 1) * 1000000L) div nullif(np - 1, 0)"),
+                F.lit(0).cast("bigint"),
+            )
+            / F.lit(1000000.0)
+        ).alias("pr"),
+        (F.expr("(n_le * 1000000L) div np") / F.lit(1000000.0)).alias("cd"),
     )
 
 
@@ -2547,46 +2584,73 @@ _DISC_SQL = f"cast(l_extendedprice AS {_DEC}) * cast(1 - l_discount AS {_DEC})"
 @_q(
     "promo_revenue_share",
     f"""
-    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
-           cast(coalesce(sum(CASE WHEN p_type = 'PROMO' THEN {_DISC_SQL} END), 0)
-                AS double) AS promo_revenue,
-           cast(sum({_DISC_SQL}) AS double) AS total_revenue,
-           round(cast(coalesce(sum(CASE WHEN p_type = 'PROMO' THEN {_DISC_SQL} END), 0)
-                      AS double)
-                 / nullif(cast(sum({_DISC_SQL}) AS double), 0), 6)
-             AS promo_share
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    GROUP BY 1
+    WITH agg AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+             cast(floor(cast(coalesce(
+               sum(CASE WHEN p_type = 'PROMO' THEN {_DISC_SQL} END), 0)
+               AS decimal(30,8)) * 1000000::decimal(7,0)) AS bigint)
+               AS promo_smic,
+             cast(floor(cast(sum({_DISC_SQL}) AS decimal(30,8))
+                        * 1000000::decimal(7,0)) AS bigint) AS tot_smic
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1)
+    SELECT ship_month,
+           promo_smic / 1e6 AS promo_revenue,
+           tot_smic / 1e6 AS total_revenue,
+           (cast(promo_smic AS HUGEINT) * 1000000 // nullif(tot_smic, 0))
+             / 1e6 AS promo_share
+    FROM agg
     """,
 )
 def q_promo_revenue_share(spark, sf):
     """TPC-H Q14 analogue: conditional aggregation over a fact x dim
     join.  part is broadcast (no fact shuffle); the CASE WHEN promo
     split happens inside one map-side-combined aggregate, so the fact
-    table is scanned and shuffled exactly once (on ship_month)."""
+    table is scanned and shuffled exactly once (on ship_month).
+
+    Round 10 (r9 VERDICT ask #4): the exact DECIMAL sums leave the
+    engine as MICRO-UNIT BIGINTS (floor(sum * 1e6)) and every exposed
+    double is an int64-by-1e6 division — one correctly-rounded IEEE op
+    per value in both engines.  The previous direct decimal->double
+    casts were this entry's sf~1 hash diff: at ~1e10 magnitudes
+    DuckDB's int128/10^scale conversion and Spark's BigDecimal
+    rounding can disagree by 1 ULP, which the 9-decimal-place norm
+    cannot absorb (SCALING.md round 8).  The share ratio floor-divides
+    in 38-digit integer space (micro-promo * 1e6 // micro-total), so
+    the default byte-identical norm holds at every scale."""
     li = load(spark, sf, "lineitem")
     p = load(spark, sf, "part")
     disc = F.col("l_extendedprice").cast(_DEC) * (
         F.lit(1) - F.col("l_discount")
     ).cast(_DEC)
-    promo = F.coalesce(
-        F.col("_promo").cast("double"), F.lit(0.0)
-    )
-    return (
+    agg = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
         .agg(
-            F.sum(F.when(F.col("p_type") == "PROMO", disc)).alias("_promo"),
-            F.sum(disc).alias("_tot"),
+            F.floor(
+                F.coalesce(
+                    F.sum(F.when(F.col("p_type") == "PROMO", disc)),
+                    F.lit(0).cast(_DEC),
+                ).cast("decimal(30,8)")
+                * F.lit(1000000).cast("decimal(7,0)")
+            ).cast("bigint").alias("promo_smic"),
+            F.floor(
+                F.sum(disc).cast("decimal(30,8)")
+                * F.lit(1000000).cast("decimal(7,0)")
+            ).cast("bigint").alias("tot_smic"),
         )
-        .select(
-            "ship_month",
-            promo.alias("promo_revenue"),
-            F.col("_tot").cast("double").alias("total_revenue"),
-            F.round(
-                promo / F.nullif(F.col("_tot").cast("double"), F.lit(0.0)), 6
-            ).alias("promo_share"),
-        )
+    )
+    return agg.select(
+        "ship_month",
+        (F.col("promo_smic") / F.lit(1000000.0)).alias("promo_revenue"),
+        (F.col("tot_smic") / F.lit(1000000.0)).alias("total_revenue"),
+        (
+            F.expr(
+                "(cast(promo_smic AS decimal(38,0)) * 1000000)"
+                " div nullif(tot_smic, 0)"
+            )
+            / F.lit(1000000.0)
+        ).alias("promo_share"),
     )
 
 

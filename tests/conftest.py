@@ -13,7 +13,12 @@ from pyspark.sql import SparkSession  # noqa: E402
 # property suites, and the crash-replay protocol tests (~50 min
 # combined, growing every round).  FULL_SUITE=1 runs everything; the
 # full suite is still the campaign gate and must stay green.
-_DEEP_PREFIXES = ("test_hypothesis", "test_replay_properties", "test_crash_replay")
+_DEEP_PREFIXES = (
+    "test_hypothesis",
+    "test_replay_properties",
+    "test_crash_replay",
+    "test_planted_truth",
+)
 
 
 def pytest_collection_modifyitems(config, items):

@@ -13,8 +13,39 @@ all map-side combinable aggregates, no windows.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Programmatic shuffle sizing for the row-proportional graph stages
+# (round 10; r9 VERDICT ask #2 — was a docstring rule, now code).  The
+# sf~10 phase timing (SCALING.md "third decade") measured the wedge
+# stage 28% faster at 128 shuffle partitions than 32 on a 120M-edge
+# graph — ~1M edges/task keeps per-task sort buffers inside executor
+# memory instead of spilling.  wedge_partitions() turns that into the
+# partition count for the wedge-stage exchanges: at or below the
+# session's configured shuffle parallelism it returns None (small
+# graphs keep the session plan untouched — AQE still coalesces); above
+# it, the stage exchanges are pinned to ceil(rows / _EDGES_PER_TASK).
+# Automatic A/B at sf~10 (tools/graph_sizing_ab.py, same session,
+# min-of-3): triangle_count 306.4 -> 198.5 s (0.648x).  The same
+# widening was measured on kcore_peel's exchanges and REJECTED (1.16x
+# slower — see its docstring); the lever is wedge-only.
+_EDGES_PER_TASK = 1_000_000
+
+
+def wedge_partitions(spark, n_rows: int) -> int | None:
+    """Partition count for a shuffle stage moving ``n_rows``
+    row-proportional graph rows, or None when the session's configured
+    ``spark.sql.shuffle.partitions`` already suffices (small graphs:
+    don't pin, let AQE coalesce)."""
+    need = max(
+        spark.sparkContext.defaultParallelism,
+        math.ceil(n_rows / _EDGES_PER_TASK),
+    )
+    session = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return need if need > session else None
 
 
 def cooccurrence_edges(df: DataFrame, group_col: str, item_col: str) -> DataFrame:
@@ -229,10 +260,16 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 
     Shuffle sizing at scale: the wedge join moves E × avg-degree bytes
     of adjacency arrays — the wedge-check mass any edge-iterator must
-    touch.  Size ``spark.sql.shuffle.partitions`` to ~1-2M edges per
-    task so per-task sorts stay under spill (measured at sf~10, 120M
-    edges on one 24g JVM: 128 partitions ran the wedge 28% faster than
-    32; see SCALING.md "third decade").
+    touch.  Sizing is PROGRAMMATIC (round 10): the edge count this
+    function already materializes feeds :func:`wedge_partitions`
+    (~1M edges/task — measured at sf~10, 120M edges on one 24g JVM:
+    128 partitions ran the wedge 28% faster than 32; see SCALING.md
+    "third decade"), and the adjacency exchange is pinned to that
+    count via an explicit key repartition.  Both wedge joins then
+    co-partition against it — EnsureRequirements shuffles the probe
+    sides to match — so the whole wedge pipeline runs at the computed
+    width with no session conf mutation.  Small graphs return None and
+    keep the session plan (AQE coalescing included) untouched.
     """
     # Cache the EDGE SET, not just the orientation: the degree count,
     # both degree-attach joins, and the orientation all re-derive
@@ -251,7 +288,9 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     edges.unpersist()  # orientation holds everything downstream needs
     for _c in _aux:  # degree table cached by the inconclusive size gate
         _c.unpersist()
-    adj = o.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    parts = wedge_partitions(edges.sparkSession, n_edges)
+    src = o.repartition(parts, "src") if parts else o
+    adj = src.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
     a_adj = adj.select(F.col("src").alias("a"), F.col("nbrs").alias("na"))
     b_adj = adj.select(F.col("src").alias("b"), F.col("nbrs").alias("nb"))
     per_edge = (
@@ -297,6 +336,18 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     into a CTE chain), and cost-bounded on adversarial graphs — a long
     thin "peeling chain" graph can need O(V) passes; a production run
     picks rounds from the convergence flag of the previous batch.
+
+    Shuffle sizing (round 10, measured and REJECTED for the peel):
+    the same automatic widening that wins 35% on triangle_count's
+    wedge stage (see :func:`wedge_partitions`) was A/B-tested here —
+    240 partitions for the sf~10 240M-row symmetric edge list vs the
+    session's 32 — and measured 1.16x SLOWER (37.0 -> 43.0 s,
+    tools/graph_sizing_ab.py, same session, min-of-3).  The peel's
+    per-task state is bare (n, m) pairs with no adjacency arrays
+    (~120 MB/task at session width — no spill), so extra width buys
+    nothing and the shrinking rounds pay pure scheduler overhead on
+    it.  The peel therefore stays at session width; AQE coalesces the
+    shrinking rounds.
 
     Plan per round: two LEFT SEMI joins restrict the (cached,
     bidirectional) edge list to surviving endpoints — hash joins on the
