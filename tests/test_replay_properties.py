@@ -629,7 +629,11 @@ def test_cumulative_revenue_matches_naive(spark, raw):
 @_SETTINGS
 def test_revenue_percent_rank_matches_naive(spark, raw):
     """percent_rank / cume_dist of per-customer revenue within nation
-    vs a direct rank replay over exact decimal revenue sums."""
+    vs a direct rank replay over exact decimal revenue sums.  Round 10
+    moved the entry to integer micro-unit norms — pr/cd are FLOOR
+    divisions at 1e-6 resolution ((rank-1)*1e6 // (n-1), n_le*1e6 //
+    n), no longer round-half-up of the float ratio — so the replay
+    floors the same integer identities."""
     # customers: nation = custkey % 2 so ties within a nation are likely
     rows = _mk_orders(raw)
     cust_rows = [(c, c % 2, "SEG", 0) for c in sorted({r[1] for r in rows})]
@@ -654,8 +658,8 @@ def test_revenue_percent_rank_matches_naive(spark, raw):
         n = len(vals)
         for v, c in vs:
             rank = 1 + sum(1 for x in vals if x < v)  # ties share min rank
-            pr = 0.0 if n == 1 else _r6((rank - 1) / (n - 1))
-            cd = _r6(sum(1 for x in vals if x <= v) / n)
+            pr = 0.0 if n == 1 else ((rank - 1) * 1_000_000 // (n - 1)) / 1e6
+            cd = (sum(1 for x in vals if x <= v) * 1_000_000 // n) / 1e6
             want[c] = (nk, float(v), pr, cd)
     assert got == want, (raw, got, want)
 
