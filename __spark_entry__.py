@@ -1321,6 +1321,73 @@ def q_revenue_percent_rank(spark, sf):
 
 
 @_q(
+    "revenue_percent_rank_scaled",
+    """
+    WITH rev AS (
+      SELECT c.c_custkey AS customer_id, c.c_nationkey AS nation_key,
+             sum(cast(o.o_totalprice AS decimal(18,4))) AS rev_exact
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    rk AS (
+      SELECT customer_id, nation_key, rev_exact,
+             rank() OVER (PARTITION BY nation_key ORDER BY rev_exact)
+               AS rnk,
+             count(*) OVER (PARTITION BY nation_key ORDER BY rev_exact)
+               AS n_le,
+             count(*) OVER (PARTITION BY nation_key) AS np
+      FROM rev)
+    SELECT customer_id, nation_key,
+           cast(rev_exact AS double) AS revenue,
+           coalesce(((rnk - 1) * 1000000) // nullif(np - 1, 0), 0) / 1e6
+             AS pr,
+           ((n_le * 1000000) // np) / 1e6 AS cd
+    FROM rk
+    """,
+)
+def q_revenue_percent_rank_scaled(spark, sf):
+    """revenue_percent_rank through the two-pass range-partitioned
+    rank (operators/skew.py: coarse_group_rank) — the 100 TB form of
+    ranking within LOW-CARDINALITY groups (round-10 window-skew audit,
+    SCALING.md).  ``Window.partitionBy(nation_key)`` funnels each
+    nation's whole customer set through one task (~60M rows/task at
+    1.5B customers over 25 nations) and a window partition is
+    unsplittable by AQE; ranking has no algebraic escape, so the
+    scalable plan range-partitions on (nation, revenue) — each slice
+    ~|data|/P rows regardless of group sizes — computes slice-local
+    ranks, and offsets them with a broadcast O(P x nations) count
+    table.  The oracle here is the IDENTICAL SQL as
+    revenue_percent_rank: the driver's value-hash proves the two plans
+    byte-equal, which is the gate that lets a deployment switch plans
+    on group cardinality."""
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import skew
+
+    rev = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_nationkey").alias("nation_key"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("rev_exact"))
+    )
+    rk = skew.coarse_group_rank(rev, ["nation_key"], "rev_exact")
+    return rk.select(
+        "customer_id",
+        "nation_key",
+        F.col("rev_exact").cast("double").alias("revenue"),
+        (
+            F.coalesce(
+                F.expr("((rnk - 1) * 1000000L) div nullif(np - 1, 0)"),
+                F.lit(0).cast("bigint"),
+            )
+            / F.lit(1000000.0)
+        ).alias("pr"),
+        (F.expr("(n_le * 1000000L) div np") / F.lit(1000000.0)).alias("cd"),
+    )
+
+
+@_q(
     "asof_join",
     f"""
     SELECT k.event_id AS click_id,

@@ -993,3 +993,60 @@ def test_triangle_count_pins_wedge_exchange_above_session_width(spark):
         assert "RepartitionByExpression [src" in plan and ", 7" in plan
         r = df.collect()[0]
     assert (r.n_nodes, r.n_edges, r.n_triangles) == (5, 7, 4)
+
+
+def test_coarse_group_rank_matches_window_form(spark):
+    """round-10 window-skew audit: the two-pass quantile-sliced rank
+    must byte-match the single-window form — ties (sharing min rank),
+    multiple groups, n_le peers included."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as SF
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        skew,
+    )
+
+    random.seed(11)
+    rows = [
+        (i, i % 3, random.choice([10, 20, 20, 30, 40, 40, 40, 50]))
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, ["id", "g", "v"])
+    w = Window.partitionBy("g").orderBy("v")
+    want = {
+        r.id: (r.rnk, r.n_le, r.np)
+        for r in df.select(
+            "id",
+            SF.rank().over(w).alias("rnk"),
+            SF.count(SF.lit(1)).over(w).alias("n_le"),
+            SF.count(SF.lit(1)).over(Window.partitionBy("g")).alias("np"),
+        ).collect()
+    }
+    got = {
+        r.id: (r.rnk, r.n_le, r.np)
+        for r in skew.coarse_group_rank(df, ["g"], "v", n_slices=7).collect()
+    }
+    assert got == want
+
+    # single group (the planted worst case), and n_slices larger than
+    # the distinct-value count (boundary dedup path)
+    one = spark.createDataFrame([(i, 0, i % 4) for i in range(200)], ["id", "g", "v"])
+    want1 = {
+        r.id: (r.rnk, r.n_le, r.np)
+        for r in one.select(
+            "id",
+            SF.rank().over(w).alias("rnk"),
+            SF.count(SF.lit(1)).over(w).alias("n_le"),
+            SF.count(SF.lit(1)).over(Window.partitionBy("g")).alias("np"),
+        ).collect()
+    }
+    got1 = {
+        r.id: (r.rnk, r.n_le, r.np)
+        for r in skew.coarse_group_rank(one, ["g"], "v", n_slices=64).collect()
+    }
+    assert got1 == want1
+
+    # empty input
+    assert skew.coarse_group_rank(one.filter("id < 0"), ["g"], "v").count() == 0
