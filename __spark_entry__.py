@@ -882,6 +882,58 @@ def q_value_quartiles(spark, sf):
 
 
 @_q(
+    "value_quartiles_scaled",
+    """
+    WITH t AS (
+      SELECT event_type, value,
+             ntile(4) OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS quartile
+      FROM events)
+    SELECT event_type, quartile,
+           count(*) AS n,
+           round(min(value), 6) AS lo,
+           round(max(value), 6) AS hi,
+           cast(sum(cast(value AS decimal(18,4))) AS double) AS total
+    FROM t GROUP BY event_type, quartile
+    """,
+)
+def q_value_quartiles_scaled(spark, sf):
+    """value_quartiles through the two-pass quantile-sliced rank
+    (round-10 window-skew audit): ntile over
+    Window.partitionBy(event_type) puts events/|types| rows in one
+    unsplittable window task.  The (value, event_id) order is UNIQUE,
+    so rank == row_number and ntile(k) is pure arithmetic on the
+    distributed rank — SQL ntile's exact piecewise rule (the first
+    np mod k buckets take ceil(np/k) rows, the rest floor(np/k)):
+    with q = np div k, r = np mod k, cut = r*(q+1),
+    bucket = (rn-1) div (q+1) + 1 for rn <= cut else
+    r + (rn-cut-1) div q + 1.  Identical oracle SQL as
+    value_quartiles: the driver hash proves the plans byte-equal."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import skew
+
+    base = _events(spark, sf).select("event_type", "value", "event_id")
+    rk = skew.coarse_group_rank(
+        base, ["event_type"], "value", extra_order_cols=("event_id",)
+    )
+    t = rk.select(
+        "event_type",
+        "value",
+        F.expr(
+            "cast(CASE WHEN rnk <= (np % 4) * ((np div 4) + 1)"
+            " THEN (rnk - 1) div ((np div 4) + 1) + 1"
+            " ELSE (np % 4) + (rnk - (np % 4) * ((np div 4) + 1) - 1)"
+            " div (np div 4) + 1 END as int)"
+        ).alias("quartile"),
+    )
+    return t.groupBy("event_type", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+        F.sum(F.col("value").cast(_VAL_DEC)).cast("double").alias("total"),
+    )
+
+
+@_q(
     "ohlc_bars",
     """
     SELECT event_type, cast(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
@@ -4463,6 +4515,49 @@ def q_stratified_sample(spark, sf):
         d.select("lang", "doc_id")
         .withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= _SAMPLE_PER_GROUP)
+    )
+
+
+@_q(
+    "stratified_sample_scaled",
+    f"""
+    SELECT lang, doc_id, sample_rank FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(doc_id::VARCHAR)) AS sample_rank
+      FROM documents) t
+    WHERE sample_rank <= {_SAMPLE_PER_GROUP}
+    """,
+)
+def q_stratified_sample_scaled(spark, sf):
+    """stratified_sample through the two-pass quantile-sliced rank
+    (round-10 window-skew audit): the per-lang md5 ranking puts
+    docs/|langs| rows in one unsplittable window task.  The order key
+    is an md5 STRING, so slicing uses a MONOTONE numeric surrogate —
+    the first 15 hex digits as a bigint (lexicographic order of
+    fixed-width lowercase hex == numeric order of its prefix; equal
+    prefixes co-locate and the per-slice window resolves them on the
+    full string).  doc_ids are distinct so md5 ties are absent and
+    rank == row_number.  At production quota sizes a local
+    top-N-per-slice merge short-circuits even cheaper; this twin keeps
+    full rank to stay byte-equal with the original's oracle — the
+    driver hash proves the plans agree."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import skew
+
+    d = load(spark, sf, "documents").select(
+        "lang",
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("_mk"),
+    )
+    rk = skew.coarse_group_rank(
+        d,
+        ["lang"],
+        "_mk",
+        slice_col="cast(conv(substr(_mk, 1, 15), 16, 10) as double)",
+    )
+    return (
+        rk.filter(F.col("rnk") <= _SAMPLE_PER_GROUP)
+        .select("lang", "doc_id", F.col("rnk").cast("int").alias("sample_rank"))
     )
 
 

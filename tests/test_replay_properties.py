@@ -22,6 +22,8 @@ from __future__ import annotations
 import datetime as dt
 import math
 import tempfile
+
+import pytest
 from decimal import ROUND_HALF_UP, Decimal
 
 import pyspark.sql.functions as F  # noqa: F401  (kept for parity with sibling file)
@@ -625,9 +627,12 @@ def test_cumulative_revenue_matches_naive(spark, raw):
     assert got == want, (raw, got, want)
 
 
+@pytest.mark.parametrize(
+    "entry_name", ["revenue_percent_rank", "revenue_percent_rank_scaled"]
+)
 @given(raw=_order_rows)
 @_SETTINGS
-def test_revenue_percent_rank_matches_naive(spark, raw):
+def test_revenue_percent_rank_matches_naive(spark, entry_name, raw):
     """percent_rank / cume_dist of per-customer revenue within nation
     vs a direct rank replay over exact decimal revenue sums.  Round 10
     moved the entry to integer micro-unit norms — pr/cd are FLOOR
@@ -641,7 +646,7 @@ def test_revenue_percent_rank_matches_naive(spark, raw):
     _write_orders(spark, rows, tmp=tmp)
     got = {
         r.customer_id: (r.nation_key, r.revenue, r.pr, r.cd)
-        for r in _entry("revenue_percent_rank")(spark, tmp).collect()
+        for r in _entry(entry_name)(spark, tmp).collect()
     }
 
     rev: dict = {}
@@ -1280,16 +1285,19 @@ def test_corpus_clean_matches_naive(spark, docs):
     assert got == want, (docs, got, want)
 
 
+@pytest.mark.parametrize(
+    "entry_name", ["value_quartiles", "value_quartiles_scaled"]
+)
 @given(raw=_ev_rows)
 @_SETTINGS
-def test_value_quartiles_matches_naive(spark, raw):
+def test_value_quartiles_matches_naive(spark, entry_name, raw):
     """ntile(4) bucket stats vs a direct replay of ntile's
     ceil/floor bucket sizing with the (value, event_id) order
     (NULL values sort first, ascending)."""
     rows = _mk_events(raw)
     got = {
         (r.event_type, r.quartile): (r.n, r.lo, r.hi, r.total)
-        for r in _entry("value_quartiles")(
+        for r in _entry(entry_name)(
             spark, _write_events(spark, rows)
         ).collect()
     }

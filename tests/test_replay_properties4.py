@@ -97,8 +97,9 @@ def test_source_mixture_matches_hashlib(spark, docs):
 @_SETTINGS
 def test_stratified_and_per_group_sample_match_hashlib(spark, docs):
     """Quota sampling ranks vs hashlib md5 ordering: stratified_sample
-    (rank by md5, quota 20) and per_group_sample (rank by md5 then id,
-    quota 3) — same fixture, one lang stratum."""
+    (rank by md5, quota 20), its quantile-sliced twin
+    stratified_sample_scaled (round 10), and per_group_sample (rank by
+    md5 then id, quota 3) — same fixture, one lang stratum."""
     tmp = _write_docs_src(spark, docs)
     got_s = {
         r.doc_id: r.sample_rank
@@ -107,10 +108,15 @@ def test_stratified_and_per_group_sample_match_hashlib(spark, docs):
     got_p = {
         r.doc_id: r.rk for r in _entry("per_group_sample")(spark, tmp).collect()
     }
+    got_s2 = {
+        r.doc_id: r.sample_rank
+        for r in _entry("stratified_sample_scaled")(spark, tmp).collect()
+    }
     order = sorted(range(len(docs)), key=lambda i: (_md5hex(str(i)), i))
     want_s = {i: r + 1 for r, i in enumerate(order) if r < 20}
     want_p = {i: r + 1 for r, i in enumerate(order) if r < 3}
     assert got_s == want_s, (got_s, want_s)
+    assert got_s2 == want_s, (got_s2, want_s)
     assert got_p == want_p, (got_p, want_p)
 
 

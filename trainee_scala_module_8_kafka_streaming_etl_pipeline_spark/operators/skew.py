@@ -60,6 +60,8 @@ def coarse_group_rank(
     group_cols: list[str],
     order_col: str,
     n_slices: int | None = None,
+    slice_col: str | None = None,
+    extra_order_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Distributed rank/cume counts within LOW-CARDINALITY groups — the
     two-pass quantile-sliced rank (round 10).
@@ -98,6 +100,16 @@ def coarse_group_rank(
     single-window form — callers can gate on group cardinality and
     keep the plain window for fine-grained groups.
 
+    Non-numeric or composite orders: ``slice_col`` takes a SQL
+    expression (evaluating to double) that is MONOTONE NON-DECREASING
+    in the order — e.g. the first 15 hex digits of an md5 string as a
+    bigint — so boundary comparisons respect the real ordering while
+    the fine-grained comparisons stay inside the per-slice window.
+    ``extra_order_cols`` appends tiebreak columns to the window's
+    ORDER BY; correctness holds because order_col ties always share a
+    slice (the surrogate maps equal prefixes to equal slices), so the
+    tiebreak comparisons never cross slices.
+
     Limit: a single value holding >1/n_slices of a group stays hot
     (ties MUST share a slice for exact rank semantics); such a value's
     rank is degenerate anyway, and the quantile boundaries bound every
@@ -107,9 +119,11 @@ def coarse_group_rank(
     spark = df.sparkSession
     if n_slices is None:
         n_slices = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if slice_col is None:
+        slice_col = f"cast(`{order_col}` as double)"
     probs = [i / n_slices for i in range(1, n_slices)]
     bounds = (
-        df.select(F.col(order_col).cast("double").alias("_ob"))
+        df.selectExpr(f"{slice_col} as _ob")
         .approxQuantile("_ob", probs, max(0.001, 1.0 / (4 * n_slices)))
     )
     bounds = sorted(set(bounds))
@@ -117,14 +131,14 @@ def coarse_group_rank(
         arr = "array({})".format(
             ",".join(f"cast({b!r} as double)" for b in bounds)
         )
-        slice_expr = F.expr(
-            f"size(filter({arr}, b -> b <= cast(`{order_col}` as double)))"
-        )
+        slice_expr = F.expr(f"size(filter({arr}, b -> b <= ({slice_col})))")
     else:
         slice_expr = F.lit(0)
     sliced = df.withColumn("_slice", slice_expr)
 
-    wloc = PyWindow.partitionBy("_slice", *group_cols).orderBy(order_col)
+    wloc = PyWindow.partitionBy("_slice", *group_cols).orderBy(
+        order_col, *extra_order_cols
+    )
     local = (
         sliced.withColumn("_lrnk", F.rank().over(wloc))
         # default frame RANGE UNBOUNDED PRECEDING..CURRENT ROW: peers
