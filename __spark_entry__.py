@@ -10984,17 +10984,27 @@ def q_mode_stats(spark, sf):
     """Exact per-group mode (most frequent user per event type) with an
     explicit deterministic tiebreak (lowest id wins) — engines' builtin
     mode() aggregates have engine-specific tie behavior, so the
-    operator pins its own.  Count table first (map-side combined), then
-    the rank runs over |group x distinct-value| rows, never raw
-    events."""
+    operator pins its own.  Count table first (map-side combined),
+    then the argmax is ONE more aggregate: max(struct(cnt, -user_id))
+    is lexicographic, so it selects max count and, among count ties,
+    max(-id) = MIN id — the pinned tiebreak — entirely map-side
+    combinable.  (Round 10 window-skew audit: the previous
+    row_number() OVER (PARTITION BY event_type) ranked
+    |users x types| rows through one task per type — an argmax never
+    needed the rank; see SCALING.md.)"""
     ev = _events(spark, sf)
     c = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.partitionBy("event_type").orderBy(F.desc("cnt"), "user_id")
-    ranked = c.withColumn("rn", F.row_number().over(w))
-    return ranked.groupBy("event_type").agg(
-        F.min(F.when(F.col("rn") == 1, F.col("user_id"))).alias("mode_user"),
-        F.min(F.when(F.col("rn") == 1, F.col("cnt"))).alias("mode_count"),
+    m = c.groupBy("event_type").agg(
+        F.max(
+            F.struct(F.col("cnt"), (-F.col("user_id")).alias("neg_uid"))
+        ).alias("mx"),
         F.count(F.lit(1)).alias("n_distinct_users"),
+    )
+    return m.select(
+        "event_type",
+        (-F.col("mx.neg_uid")).alias("mode_user"),
+        F.col("mx.cnt").alias("mode_count"),
+        "n_distinct_users",
     )
 
 
