@@ -656,6 +656,39 @@ def q_topn_per_group(spark, sf):
 
 
 @_q(
+    "topn_per_group_scaled",
+    """
+    SELECT * FROM (
+      SELECT o_orderpriority AS priority,
+             o_orderkey      AS order_id,
+             o_totalprice    AS price,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders) WHERE rnk <= 3
+    """,
+)
+def q_topn_per_group_scaled(spark, sf):
+    """topn_per_group through the salted two-level top-k (round-10
+    window-skew audit): the original ranks orders/|priorities| rows
+    through one window task per priority just to keep 3; the
+    tournament form keeps 3 per (priority, salt) cell — bounded cell
+    windows — then re-ranks the <= 3*S survivors.  Total
+    (price DESC, orderkey) order makes the ranks reproduce exactly;
+    the IDENTICAL oracle SQL proves plan equality through the driver
+    hash."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import skew
+
+    o = load(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return skew.top_k_per_group(
+        o, ["priority"], [F.desc("price"), F.asc("order_id")], k=3
+    ).withColumn("rnk", F.col("rnk").cast("int"))
+
+
+@_q(
     "rollup_agg",
     """
     SELECT r_name, n_name, count(*) AS n_customers,
@@ -8884,6 +8917,40 @@ def q_per_group_sample(spark, sf):
     return (
         d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= 3)
+    )
+
+
+@_q(
+    "per_group_sample_scaled",
+    """
+    WITH r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+      FROM documents)
+    SELECT doc_id, lang, rk FROM r WHERE rk <= 3
+    """,
+)
+def q_per_group_sample_scaled(spark, sf):
+    """per_group_sample through the salted two-level top-k
+    (operators/skew.py: top_k_per_group; round-10 window-skew audit).
+    A fixed quota per coarse group never needed a full-group rank:
+    salt by a row-value hash, keep k per (group, salt) cell — each
+    cell's window holds ~|group|/S rows — then re-rank the <= k*S
+    survivors, a window BOUNDED by k*S regardless of data size.  The
+    (md5, doc_id) order is total, so the emitted ranks match the
+    single-window form exactly; the IDENTICAL oracle SQL proves it
+    through the driver hash."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import skew
+
+    d = load(spark, sf, "documents").select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("_mk")
+    )
+    out = skew.top_k_per_group(
+        d, ["lang"], [F.asc("_mk"), F.asc("doc_id")], k=3
+    )
+    return out.select(
+        "doc_id", "lang", F.col("rnk").cast("int").alias("rk")
     )
 
 

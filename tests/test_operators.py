@@ -1050,3 +1050,43 @@ def test_coarse_group_rank_matches_window_form(spark):
 
     # empty input
     assert skew.coarse_group_rank(one.filter("id < 0"), ["g"], "v").count() == 0
+
+
+def test_top_k_per_group_matches_window_form(spark):
+    """round-10 window-skew audit: the salted two-level top-k must
+    byte-match the full-group row_number window, including exact ties
+    broken by the unique last order column."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as SF
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        skew,
+    )
+
+    random.seed(5)
+    rows = [(i, i % 2, random.choice([1.0, 2.0, 2.0, 3.0])) for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "g", "v"])
+    w = Window.partitionBy("g").orderBy(SF.desc("v"), SF.asc("id"))
+    want = sorted(
+        map(
+            tuple,
+            df.select("id", "g", "v", SF.row_number().over(w).alias("rnk"))
+            .filter("rnk <= 5")
+            .collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            skew.top_k_per_group(
+                df, ["g"], [SF.desc("v"), SF.asc("id")], k=5
+            ).collect(),
+        )
+    )
+    assert got == want
+    # k larger than the group: every row survives with its true rank
+    tiny = spark.createDataFrame([(1, 0, 1.0), (2, 0, 2.0)], ["id", "g", "v"])
+    got2 = skew.top_k_per_group(tiny, ["g"], [SF.desc("v"), SF.asc("id")], 10)
+    assert sorted((r.id, r.rnk) for r in got2.collect()) == [(1, 2), (2, 1)]

@@ -112,12 +112,17 @@ def test_stratified_and_per_group_sample_match_hashlib(spark, docs):
         r.doc_id: r.sample_rank
         for r in _entry("stratified_sample_scaled")(spark, tmp).collect()
     }
+    got_p2 = {
+        r.doc_id: r.rk
+        for r in _entry("per_group_sample_scaled")(spark, tmp).collect()
+    }
     order = sorted(range(len(docs)), key=lambda i: (_md5hex(str(i)), i))
     want_s = {i: r + 1 for r, i in enumerate(order) if r < 20}
     want_p = {i: r + 1 for r, i in enumerate(order) if r < 3}
     assert got_s == want_s, (got_s, want_s)
     assert got_s2 == want_s, (got_s2, want_s)
     assert got_p == want_p, (got_p, want_p)
+    assert got_p2 == want_p, (got_p2, want_p)
 
 
 # --------------------------------------------------------------------------

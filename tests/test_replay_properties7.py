@@ -11,6 +11,8 @@ from __future__ import annotations
 import datetime as dt
 import tempfile
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -183,9 +185,12 @@ _ord_rows = st.lists(
 )
 
 
+@pytest.mark.parametrize(
+    "entry_name", ["topn_per_group", "topn_per_group_scaled"]
+)
 @given(raw=_ord_rows)
 @_SETTINGS
-def test_topn_per_group_matches_naive(spark, raw):
+def test_topn_per_group_matches_naive(spark, entry_name, raw):
     """Top-3 orders per priority vs Python sorting with the same
     (price desc, orderkey asc) tie-break."""
     rows = [
@@ -199,7 +204,7 @@ def test_topn_per_group_matches_naive(spark, raw):
     ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
     got = {
         (r.priority, r.rnk): (r.order_id, r.price)
-        for r in _entry("topn_per_group")(spark, tmp).collect()
+        for r in _entry(entry_name)(spark, tmp).collect()
     }
     per: dict = {}
     for i, (pr, p) in enumerate(raw):

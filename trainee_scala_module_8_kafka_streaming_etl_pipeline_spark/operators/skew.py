@@ -170,3 +170,54 @@ def coarse_group_rank(
         F.col("np"),
     )
     return out
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """Exact top-k rows per LOW-CARDINALITY group without a hot window
+    partition — the quota-sampling / leaderboard shape of the round-10
+    window-skew audit (``row_number() <= k`` over a coarse key ranks
+    the ENTIRE group through one task to keep k rows).
+
+    Two-level tournament, all JVM:
+
+    1. Salt each row by a hash of its own columns (value-based, so
+       deterministic under retries) and take the top-k of every
+       (group, salt) cell — each cell's window partition holds
+       ~|group| / S rows, and any row in the group's global top-k is
+       necessarily in its cell's top-k.
+    2. Re-rank the <= k*S survivors per group — a bounded window
+       (k*S rows max, independent of data size) — and keep k.
+
+    ``order_cols`` are Column expressions (e.g. ``F.desc(...)``); the
+    caller must make the order TOTAL (unique tiebreak column last) for
+    the emitted ``rnk`` to be reproducible — the same requirement the
+    plain-window form has.
+
+    Returns the input columns plus ``rnk`` (1..k within each group).
+    """
+    spark = df.sparkSession
+    if salt_partitions is None:
+        salt_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    salted = df.withColumn(
+        SALT_COL,
+        F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt_partitions)),
+    )
+    wcell = PyWindow.partitionBy(SALT_COL, *group_cols).orderBy(*order_cols)
+    survivors = (
+        salted.withColumn("_crk", F.row_number().over(wcell))
+        .filter(F.col("_crk") <= k)
+        .drop(SALT_COL, "_crk")
+    )
+    wfin = PyWindow.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        survivors.withColumn("rnk", F.row_number().over(wfin))
+        .filter(F.col("rnk") <= k)
+    )
