@@ -638,21 +638,44 @@ def q_session_window(spark, sf):
     """,
 )
 def q_topn_per_group(spark, sf):
-    from pyspark.sql import Window
+    """Top-3 orders per priority.  Plan self-selects (round 11): the
+    5-priority window is the tested-scale default; past the
+    bytes-per-group floor the salted two-level tournament takes over —
+    see _topn_per_group_frame."""
+    return _topn_per_group_frame(_topn_input(spark, sf))
 
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
+
+def _topn_input(spark, sf):
+    return load(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("price"),
     )
-    return (
-        load(spark, sf, "orders")
-        .select(
-            F.col("o_orderpriority").alias("priority"),
-            F.col("o_orderkey").alias("order_id"),
-            F.col("o_totalprice").alias("price"),
-            F.row_number().over(w).alias("rnk"),
+
+
+def _topn_per_group_frame(o: DataFrame, form: str = "auto") -> DataFrame:
+    """row_number() <= 3 per priority, two plans (form auto|window|
+    scaled): the plain window ranks orders/5 rows through one task per
+    priority just to keep 3; the salted two-level top-k
+    (operators/skew.py) bounds every window by max(|group|/S, 3S).
+    Auto gates on _coarse_window_hot (5 = the data model's priority
+    cardinality); both plans are byte-equal — the twins' identical
+    oracle proves it through the driver hash."""
+    if form == "auto":
+        form = "scaled" if _coarse_window_hot(o, 5) else "window"
+    if form == "window":
+        w = Window.partitionBy("priority").orderBy(
+            F.desc("price"), F.asc("order_id")
         )
-        .filter(F.col("rnk") <= 3)
-    )
+        return o.select(
+            "priority", "order_id", "price",
+            F.row_number().over(w).alias("rnk"),
+        ).filter(F.col("rnk") <= 3)
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import skew
+
+    return skew.top_k_per_group(
+        o, ["priority"], [F.desc("price"), F.asc("order_id")], k=3
+    ).withColumn("rnk", F.col("rnk").cast("int"))
 
 
 @_q(
@@ -675,17 +698,10 @@ def q_topn_per_group_scaled(spark, sf):
     windows — then re-ranks the <= 3*S survivors.  Total
     (price DESC, orderkey) order makes the ranks reproduce exactly;
     the IDENTICAL oracle SQL proves plan equality through the driver
-    hash."""
-    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import skew
-
-    o = load(spark, sf, "orders").select(
-        F.col("o_orderpriority").alias("priority"),
-        F.col("o_orderkey").alias("order_id"),
-        F.col("o_totalprice").alias("price"),
-    )
-    return skew.top_k_per_group(
-        o, ["priority"], [F.desc("price"), F.asc("order_id")], k=3
-    ).withColumn("rnk", F.col("rnk").cast("int"))
+    hash.  Round 11: plan selection is automatic in the base entry
+    (_topn_per_group_frame's bytes-per-group gate); this twin pins the
+    scaled form for the A/B tools and the equality proof."""
+    return _topn_per_group_frame(_topn_input(spark, sf), form="scaled")
 
 
 @_q(
@@ -900,12 +916,48 @@ def q_interarrival_stats(spark, sf):
 def q_value_quartiles(spark, sf):
     """ntile(4) bucket stats per event type.  The ORDER BY carries
     event_id as a tiebreak so bucket boundaries are deterministic under
-    duplicate values; the exchange on event_type is reused by the
-    groupBy, mirroring interarrival_stats' single-shuffle shape."""
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    t = _events(spark, sf).select(
-        "event_type", "value", "event_id", F.ntile(4).over(w).alias("quartile")
+    duplicate values.  Plan self-selects (round 11): the 5-type window
+    up to the bytes-per-group floor, the two-pass sliced rank past it —
+    see _value_quartiles_frame."""
+    return _value_quartiles_frame(
+        _events(spark, sf).select("event_type", "value", "event_id")
     )
+
+
+def _value_quartiles_frame(base: DataFrame, form: str = "auto") -> DataFrame:
+    """ntile(4) per event type, two byte-equal plans (form auto|window|
+    scaled).  Window: single exchange on event_type, reused by the
+    groupBy (interarrival_stats' shape) — but events/|types| rows per
+    unsplittable window task.  Scaled: the two-pass quantile-sliced
+    rank (operators/skew.py); the (value, event_id) order is UNIQUE, so
+    rank == row_number and ntile(k) is pure arithmetic on the
+    distributed rank — SQL ntile's exact piecewise rule (the first
+    np mod k buckets take ceil(np/k) rows, the rest floor(np/k)).
+    Auto gates on _coarse_window_hot with the data model's 5 event
+    types."""
+    if form == "auto":
+        form = "scaled" if _coarse_window_hot(base, 5) else "window"
+    if form == "window":
+        w = Window.partitionBy("event_type").orderBy("value", "event_id")
+        t = base.select(
+            "event_type", "value", F.ntile(4).over(w).alias("quartile")
+        )
+    else:
+        from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import skew
+
+        rk = skew.coarse_group_rank(
+            base, ["event_type"], "value", extra_order_cols=("event_id",)
+        )
+        t = rk.select(
+            "event_type",
+            "value",
+            F.expr(
+                "cast(CASE WHEN rnk <= (np % 4) * ((np div 4) + 1)"
+                " THEN (rnk - 1) div ((np div 4) + 1) + 1"
+                " ELSE (np % 4) + (rnk - (np % 4) * ((np div 4) + 1) - 1)"
+                " div (np div 4) + 1 END as int)"
+            ).alias("quartile"),
+        )
     return t.groupBy("event_type", "quartile").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.min("value"), 6).alias("lo"),
@@ -941,28 +993,12 @@ def q_value_quartiles_scaled(spark, sf):
     with q = np div k, r = np mod k, cut = r*(q+1),
     bucket = (rn-1) div (q+1) + 1 for rn <= cut else
     r + (rn-cut-1) div q + 1.  Identical oracle SQL as
-    value_quartiles: the driver hash proves the plans byte-equal."""
-    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import skew
-
-    base = _events(spark, sf).select("event_type", "value", "event_id")
-    rk = skew.coarse_group_rank(
-        base, ["event_type"], "value", extra_order_cols=("event_id",)
-    )
-    t = rk.select(
-        "event_type",
-        "value",
-        F.expr(
-            "cast(CASE WHEN rnk <= (np % 4) * ((np div 4) + 1)"
-            " THEN (rnk - 1) div ((np div 4) + 1) + 1"
-            " ELSE (np % 4) + (rnk - (np % 4) * ((np div 4) + 1) - 1)"
-            " div (np div 4) + 1 END as int)"
-        ).alias("quartile"),
-    )
-    return t.groupBy("event_type", "quartile").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.min("value"), 6).alias("lo"),
-        F.round(F.max("value"), 6).alias("hi"),
-        F.sum(F.col("value").cast(_VAL_DEC)).cast("double").alias("total"),
+    value_quartiles: the driver hash proves the plans byte-equal.
+    Round 11: the base entry self-selects (_value_quartiles_frame);
+    this twin pins the scaled form for the A/B tools and the proof."""
+    return _value_quartiles_frame(
+        _events(spark, sf).select("event_type", "value", "event_id"),
+        form="scaled",
     )
 
 
@@ -1366,10 +1402,18 @@ def q_revenue_percent_rank(spark, sf):
     mechanics on tie-generated boundary doubles were the ONE sf~1 hash
     diff this entry had (SCALING.md round 8); an int64-by-1e6 division
     is a single correctly-rounded IEEE op in every engine, so the
-    default byte-identical norm now holds at every scale."""
+    default byte-identical norm now holds at every scale.
+
+    Round 11: plan self-selects — the 25-nation window up to the
+    bytes-per-group floor, the two-pass sliced rank past it
+    (_revenue_percent_rank_frame)."""
+    return _revenue_percent_rank_frame(spark, sf)
+
+
+def _rev_by_customer(spark, sf) -> DataFrame:
     c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
     o = load(spark, sf, "orders").select("o_custkey", "o_totalprice")
-    rev = (
+    return (
         o.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(
             F.col("c_custkey").alias("customer_id"),
@@ -1377,32 +1421,7 @@ def q_revenue_percent_rank(spark, sf):
         )
         .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("rev_exact"))
     )
-    w = Window.partitionBy("nation_key").orderBy("rev_exact")
-    wp = Window.partitionBy("nation_key")
-    rk = rev.select(
-        "customer_id",
-        "nation_key",
-        "rev_exact",
-        F.rank().over(w).alias("rnk"),
-        # count over (partition ... order by ...) defaults to RANGE
-        # UNBOUNDED PRECEDING..CURRENT ROW — peers included, the
-        # cume_dist numerator — identically in Spark and DuckDB
-        F.count(F.lit(1)).over(w).alias("n_le"),
-        F.count(F.lit(1)).over(wp).alias("np"),
-    )
-    return rk.select(
-        "customer_id",
-        "nation_key",
-        F.col("rev_exact").cast("double").alias("revenue"),
-        (
-            F.coalesce(
-                F.expr("((rnk - 1) * 1000000L) div nullif(np - 1, 0)"),
-                F.lit(0).cast("bigint"),
-            )
-            / F.lit(1000000.0)
-        ).alias("pr"),
-        (F.expr("(n_le * 1000000L) div np") / F.lit(1000000.0)).alias("cd"),
-    )
+
 
 
 @_q(
@@ -1443,20 +1462,40 @@ def q_revenue_percent_rank_scaled(spark, sf):
     table.  The oracle here is the IDENTICAL SQL as
     revenue_percent_rank: the driver's value-hash proves the two plans
     byte-equal, which is the gate that lets a deployment switch plans
-    on group cardinality."""
-    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
-    o = load(spark, sf, "orders").select("o_custkey", "o_totalprice")
-    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import skew
+    on group cardinality.  Round 11: the base entry self-selects
+    (_revenue_percent_rank_frame's bytes-per-group gate); this twin
+    pins the scaled form for the A/B tools and the equality proof."""
+    return _revenue_percent_rank_frame(spark, sf, form="scaled")
 
-    rev = (
-        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy(
-            F.col("c_custkey").alias("customer_id"),
-            F.col("c_nationkey").alias("nation_key"),
+
+def _revenue_percent_rank_frame(spark, sf, form: str = "auto") -> DataFrame:
+    """percent_rank + cume_dist per nation, two byte-equal plans (form
+    auto|window|scaled).  The gate probes the SCAN feeding the rev
+    aggregate (orders + customer bytes / 25 nations) — a conservative
+    over-trigger, since the window input is the post-agg per-customer
+    table; tripping early only pays the sliced form's small constant
+    overhead, never a wrong answer."""
+    rev = _rev_by_customer(spark, sf)
+    if form == "auto":
+        form = "scaled" if _coarse_window_hot(rev, 25) else "window"
+    if form == "window":
+        w = Window.partitionBy("nation_key").orderBy("rev_exact")
+        wp = Window.partitionBy("nation_key")
+        rk = rev.select(
+            "customer_id",
+            "nation_key",
+            "rev_exact",
+            F.rank().over(w).alias("rnk"),
+            # count over (partition ... order by ...) defaults to RANGE
+            # UNBOUNDED PRECEDING..CURRENT ROW — peers included, the
+            # cume_dist numerator — identically in Spark and DuckDB
+            F.count(F.lit(1)).over(w).alias("n_le"),
+            F.count(F.lit(1)).over(wp).alias("np"),
         )
-        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("rev_exact"))
-    )
-    rk = skew.coarse_group_rank(rev, ["nation_key"], "rev_exact")
+    else:
+        from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import skew
+
+        rk = skew.coarse_group_rank(rev, ["nation_key"], "rev_exact")
     return rk.select(
         "customer_id",
         "nation_key",
@@ -4541,13 +4580,46 @@ def q_stratified_sample(spark, sf):
     engines (unlike TABLESAMPLE/rand()).  Quota sampling needs a
     per-group ranking (one window shuffle); when an approximate rate
     suffices at scale, prefer the shuffle-free hash-bucket filter of
-    operators/sampling.py:hash_bucket."""
-    d = load(spark, sf, "documents")
-    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")))
+    operators/sampling.py:hash_bucket.  Plan self-selects (round 11):
+    the ~10-lang window up to the bytes-per-group floor, the two-pass
+    sliced rank past it — see _stratified_sample_frame."""
+    return _stratified_sample_frame(load(spark, sf, "documents"))
+
+
+def _stratified_sample_frame(d: DataFrame, form: str = "auto") -> DataFrame:
+    """row_number() <= N per lang over the md5 order, two byte-equal
+    plans (form auto|window|scaled).  Scaled slices the md5 STRING
+    order with a MONOTONE numeric surrogate — the first 15 hex digits
+    as a bigint (lexicographic order of fixed-width lowercase hex ==
+    numeric order of its prefix; equal prefixes co-locate and the
+    per-slice window resolves them on the full string).  doc_ids are
+    distinct so md5 ties are absent and rank == row_number.  Auto
+    gates on _coarse_window_hot with the corpus model's ~10 langs."""
+    if form == "auto":
+        form = "scaled" if _coarse_window_hot(d, 10) else "window"
+    if form == "window":
+        w = Window.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string"))
+        )
+        return (
+            d.select("lang", "doc_id")
+            .withColumn("sample_rank", F.row_number().over(w))
+            .filter(F.col("sample_rank") <= _SAMPLE_PER_GROUP)
+        )
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import skew
+
+    keyed = d.select(
+        "lang", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("_mk")
+    )
+    rk = skew.coarse_group_rank(
+        keyed,
+        ["lang"],
+        "_mk",
+        slice_col="cast(conv(substr(_mk, 1, 15), 16, 10) as double)",
+    )
     return (
-        d.select("lang", "doc_id")
-        .withColumn("sample_rank", F.row_number().over(w))
-        .filter(F.col("sample_rank") <= _SAMPLE_PER_GROUP)
+        rk.filter(F.col("rnk") <= _SAMPLE_PER_GROUP)
+        .select("lang", "doc_id", F.col("rnk").cast("int").alias("sample_rank"))
     )
 
 
@@ -4574,23 +4646,11 @@ def q_stratified_sample_scaled(spark, sf):
     rank == row_number.  At production quota sizes a local
     top-N-per-slice merge short-circuits even cheaper; this twin keeps
     full rank to stay byte-equal with the original's oracle — the
-    driver hash proves the plans agree."""
-    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import skew
-
-    d = load(spark, sf, "documents").select(
-        "lang",
-        "doc_id",
-        F.md5(F.col("doc_id").cast("string")).alias("_mk"),
-    )
-    rk = skew.coarse_group_rank(
-        d,
-        ["lang"],
-        "_mk",
-        slice_col="cast(conv(substr(_mk, 1, 15), 16, 10) as double)",
-    )
-    return (
-        rk.filter(F.col("rnk") <= _SAMPLE_PER_GROUP)
-        .select("lang", "doc_id", F.col("rnk").cast("int").alias("sample_rank"))
+    driver hash proves the plans agree.  Round 11: the base entry
+    self-selects (_stratified_sample_frame); this twin pins the scaled
+    form for the A/B tools and the equality proof."""
+    return _stratified_sample_frame(
+        load(spark, sf, "documents"), form="scaled"
     )
 
 
@@ -4682,9 +4742,28 @@ def q_vocab_coverage(spark, sf):
     coverage — the 'how big must the vocab be' curve for tokenizer
     design.  The term-count aggregate is fact-sized and map-side
     combined; everything after it operates on vocabulary-cardinality
-    data, so the single-partition ranking window is over tiny input
-    (the global sort only ever sees |vocab| rows, not |corpus|)."""
-    d = _spread(load(spark, sf, "documents"))
+    data — but vocabulary itself grows with the corpus (Heaps' law),
+    so the plan self-selects (round 11): the global window up to the
+    bytes floor, the sliced prefix-sum past it — see
+    _vocab_coverage_frame."""
+    return _vocab_coverage_frame(_spread(load(spark, sf, "documents")))
+
+
+def _vocab_coverage_frame(d: DataFrame, form: str = "auto") -> DataFrame:
+    """Vocabulary head curve, two byte-equal plans (form auto|window|
+    scaled).  Window: row_number + cumulative SUM OVER () on the term
+    counts — ONE task holding the whole vocabulary however large it
+    grows.  Scaled: coarse_group_rank with NO group columns and
+    sum_col='n_occur' — slice the (-n_occur, term) order domain by
+    quantile literals, rank + running-sum locally per bounded slice,
+    offset through the broadcast prefix table (round-11 sum_col
+    extension).  term is unique, so the order is total and rank ==
+    row_number; negating n_occur maps the DESC order onto the
+    ascending slicer.  Auto gates on the DOCUMENT SCAN bytes
+    (groups=1) — conservative, since vocab << corpus at any fixed
+    scale; tripping early costs only the sliced form's overhead."""
+    if form == "auto":
+        form = "scaled" if _coarse_window_hot(d, 1) else "window"
     cnt = (
         d.select("doc_id", dedup.normalize_text("text").alias("n"))
         .filter(F.length("n") > 0)
@@ -4692,21 +4771,51 @@ def q_vocab_coverage(spark, sf):
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n_occur"))
     )
-    w = Window.orderBy(F.desc("n_occur"), "term")
-    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wall = Window.partitionBy()
+    if form == "window":
+        w = Window.orderBy(F.desc("n_occur"), "term")
+        wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        wall = Window.partitionBy()
+        return (
+            cnt.select(
+                "term",
+                "n_occur",
+                F.row_number().over(w).alias("term_rank"),
+                F.round(
+                    F.sum("n_occur").over(wcum).cast("double")
+                    / F.sum("n_occur").over(wall),
+                    6,
+                ).alias("cum_share"),
+            )
+            .filter(F.col("term_rank") <= _VOCAB_TOP)
+        )
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import skew
+
+    neg = cnt.withColumn("_neg", -F.col("n_occur"))
+    rk = skew.coarse_group_rank(
+        neg, [], "_neg", extra_order_cols=("term",), sum_col="n_occur"
+    )
     return (
-        cnt.select(
+        rk.filter(F.col("rnk") <= _VOCAB_TOP)
+        .select(
             "term",
             "n_occur",
-            F.row_number().over(w).alias("term_rank"),
+            F.col("rnk").cast("int").alias("term_rank"),
             F.round(
-                F.sum("n_occur").over(wcum).cast("double")
-                / F.sum("n_occur").over(wall),
-                6,
+                F.col("cum_sum").cast("double") / F.col("sum_tot"), 6
             ).alias("cum_share"),
         )
-        .filter(F.col("term_rank") <= _VOCAB_TOP)
+    )
+
+
+@_q("vocab_coverage_scaled", _REGISTRY["vocab_coverage"][1])
+def q_vocab_coverage_scaled(spark, sf):
+    """vocab_coverage through the group-less sliced rank + prefix-sum
+    (round-11 window-skew audit close-out): no OVER () window survives
+    in the plan.  IDENTICAL oracle SQL as vocab_coverage — the
+    driver's value hash proves the two plans byte-equal.  The base
+    entry self-selects; this twin pins the scaled form."""
+    return _vocab_coverage_frame(
+        _spread(load(spark, sf, "documents")), form="scaled"
     )
 
 
@@ -8046,17 +8155,68 @@ _DUP_NGRAM_PROBE_MIN_DOCS = 200
 
 def _scan_bytes(d: DataFrame) -> int | None:
     """Total on-disk bytes of d's file-source leaves (driver-side
-    metadata, zero jobs); None when d is not file-backed."""
+    metadata, zero jobs); None when d is not file-backed.
+
+    Round 11 (ADVICE fix): non-``file`` URI schemes (s3a/hdfs/abfs…)
+    resolve through the Hadoop FileSystem API instead of falling out of
+    ``os.path.getsize`` with OSError — which conflated 'remote files'
+    with 'no files' and made every bytes-floor gate ineffective exactly
+    where probing is most expensive.  One driver-side getFileStatus RPC
+    per leaf file (Hadoop caches the FileSystem instance per scheme);
+    an unresolvable path still reports None and callers treat that as
+    'size unknown'."""
     import os
     from urllib.parse import urlparse
 
     files = d.inputFiles()
     if not files:
         return None
-    try:
-        return sum(os.path.getsize(urlparse(f).path or f) for f in files)
-    except OSError:
-        return None
+    total = 0
+    for f in files:
+        p = urlparse(f)
+        if p.scheme in ("", "file"):
+            try:
+                total += os.path.getsize(p.path or f)
+            except OSError:
+                return None
+        else:
+            try:
+                jvm = d.sparkSession._jvm
+                jpath = jvm.org.apache.hadoop.fs.Path(f)
+                fs = jpath.getFileSystem(
+                    d.sparkSession._jsc.hadoopConfiguration()
+                )
+                total += fs.getFileStatus(jpath).getLen()
+            except Exception:
+                return None
+    return total
+
+
+# Coarse-window plan gate (round 11, r10 VERDICT ask #5).  Every
+# naive/_scaled twin pair in the window-skew audit proved plan EQUALITY
+# through identical oracles but left plan SELECTION to the caller; this
+# gate makes the naive entry self-selecting the way dup_ngram_coverage
+# already is.  The hazard is a window partitioned by a key whose
+# cardinality is bounded by the data model (priorities 5, event types 5,
+# langs ~10, nations 25): partition mass ~= scan_bytes / n_groups, and a
+# window partition is the one parallelism unit AQE can never split.  The
+# probe is O(1) driver-side metadata — no sampling pass is needed
+# because the key cardinality is KNOWN, unlike dup_ngram's data-dependent
+# gram frequencies.  Plan choice never affects results (the driver's
+# identical-oracle twins prove byte-equality), so a misestimate only
+# trades performance.
+_COARSE_WINDOW_GATE_BYTES = 128 << 20
+
+
+def _coarse_window_hot(d: DataFrame, max_groups: int) -> bool:
+    """True when ``d``'s scan mass per window partition — on-disk bytes
+    over ``max_groups``, the data-model bound on the partition key's
+    cardinality — reaches the hot-task floor.  Unknown size (no file
+    leaves, unresolvable paths) reports False: fixtures and in-memory
+    frames are small, and remote stores now resolve through the Hadoop
+    FS path in _scan_bytes rather than falling out as None."""
+    b = _scan_bytes(d)
+    return b is not None and b // max_groups >= _COARSE_WINDOW_GATE_BYTES
 
 
 def _dup_ngram_skewed(d: DataFrame) -> bool:
@@ -8676,35 +8836,112 @@ def q_sorted_neighborhood_pairs(spark, sf):
     """Sorted-neighborhood record linkage: sort distinct name
     signatures within a blocking partition (the brand), compare each
     to its next-2 neighbors only — the classic windowing alternative to
-    blocked all-pairs when dirty duplicates sort adjacently. ONE
-    exchange on the block key + per-partition sort feeds both lead()
-    columns; candidate generation is linear in distinct names, and the
-    quadratic edit distance runs on O(2n) pairs. At 100 TB, blocks
-    partition the sort and the window never crosses executors."""
-    names = load(spark, sf, "part").select("p_brand", "p_name").distinct()
-    w = Window.partitionBy("p_brand").orderBy("p_name")
-    s = names.select(
-        "p_brand",
-        "p_name",
-        F.lead("p_name", 1).over(w).alias("n1"),
-        F.lead("p_name", 2).over(w).alias("n2"),
+    blocked all-pairs when dirty duplicates sort adjacently.  Plan
+    self-selects (round 11): the 25-brand window up to the
+    bytes-per-group floor, the sliced rank + neighbor equi-join past
+    it — see _sorted_neighborhood_frame."""
+    return _sorted_neighborhood_frame(
+        load(spark, sf, "part").select("p_brand", "p_name").distinct()
     )
-    c1 = s.filter(F.col("n1").isNotNull()).select(
-        "p_brand",
-        F.col("p_name").alias("name_a"),
-        F.col("n1").alias("name_b"),
-        F.lit(1).alias("w_off"),
-    )
-    c2 = s.filter(F.col("n2").isNotNull()).select(
-        "p_brand",
-        F.col("p_name").alias("name_a"),
-        F.col("n2").alias("name_b"),
-        F.lit(2).alias("w_off"),
-    )
+
+
+def _sorted_neighborhood_frame(
+    names: DataFrame, form: str = "auto"
+) -> DataFrame:
+    """Next-2-neighbor candidate pairs per brand block, two byte-equal
+    plans (form auto|window|scaled).  Window: ONE exchange on the block
+    key + per-partition sort feeds both lead() columns — but
+    parts/|brands| rows per unsplittable window task.  Scaled: the
+    lead(k) neighborhood is exactly 'the name ranked rnk+k', so rank
+    each name with the two-pass sliced rank (coarse_group_rank), then
+    recover neighbors with a plain (brand, rank) EQUI-join — uniformly
+    keyed, AQE-splittable, no window wider than a slice anywhere.  The
+    order key is a STRING, so slicing uses a monotone numeric
+    surrogate: the first 8 chars, space-padded, packed big-endian via
+    conv(hex(...)) — monotone in lexicographic order for single-byte
+    charsets with no codepoints below 0x20 (part names are plain
+    ASCII; equal prefixes merely co-locate, the per-slice window
+    resolves them on the full string).  Names are distinct within a
+    brand, so rank == row_number and the join reproduces lead()
+    exactly.  Auto gates on _coarse_window_hot with the data model's
+    25 brands."""
+    if form == "auto":
+        form = "scaled" if _coarse_window_hot(names, 25) else "window"
+    if form == "window":
+        w = Window.partitionBy("p_brand").orderBy("p_name")
+        s = names.select(
+            "p_brand",
+            "p_name",
+            F.lead("p_name", 1).over(w).alias("n1"),
+            F.lead("p_name", 2).over(w).alias("n2"),
+        )
+        c1 = s.filter(F.col("n1").isNotNull()).select(
+            "p_brand",
+            F.col("p_name").alias("name_a"),
+            F.col("n1").alias("name_b"),
+            F.lit(1).alias("w_off"),
+        )
+        c2 = s.filter(F.col("n2").isNotNull()).select(
+            "p_brand",
+            F.col("p_name").alias("name_a"),
+            F.col("n2").alias("name_b"),
+            F.lit(2).alias("w_off"),
+        )
+        cand = c1.unionAll(c2)
+    else:
+        from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import skew
+
+        rk = skew.coarse_group_rank(
+            names,
+            ["p_brand"],
+            "p_name",
+            slice_col=(
+                "cast(conv(hex(rpad(substr(p_name, 1, 8), 8, ' ')),"
+                " 16, 10) as double)"
+            ),
+        ).select("p_brand", "p_name", "rnk")
+        probes = rk.select(
+            "p_brand",
+            F.col("p_name").alias("name_a"),
+            F.col("rnk").alias("_rnk_a"),
+            F.explode(
+                F.array(F.col("rnk") + 1, F.col("rnk") + 2)
+            ).alias("_rnk_b"),
+        )
+        targets = rk.select(
+            F.col("p_brand").alias("_b2"),
+            F.col("p_name").alias("name_b"),
+            F.col("rnk").alias("_rnk_t"),
+        )
+        cand = probes.join(
+            targets,
+            (probes["p_brand"] == targets["_b2"])
+            & (probes["_rnk_b"] == targets["_rnk_t"]),
+        ).select(
+            "p_brand",
+            "name_a",
+            "name_b",
+            (F.col("_rnk_b") - F.col("_rnk_a")).cast("int").alias("w_off"),
+        )
     return (
-        c1.unionAll(c2)
-        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= 4)
+    )
+
+
+@_q(
+    "sorted_neighborhood_pairs_scaled",
+    _REGISTRY["sorted_neighborhood_pairs"][1],
+)
+def q_sorted_neighborhood_pairs_scaled(spark, sf):
+    """sorted_neighborhood_pairs through the sliced rank + neighbor
+    equi-join (round-11 window-skew audit close-out).  IDENTICAL
+    oracle SQL as sorted_neighborhood_pairs — the driver's value hash
+    proves the two plans byte-equal.  The base entry self-selects;
+    this twin pins the scaled form for the A/B tools."""
+    return _sorted_neighborhood_frame(
+        load(spark, sf, "part").select("p_brand", "p_name").distinct(),
+        form="scaled",
     )
 
 
@@ -8909,15 +9146,39 @@ def q_per_group_sample(spark, sf):
     rerun, retry, or repartitioning, which rand()-based sampling cannot
     guarantee. One exchange on the group key; the sort sees (id, hash)
     pairs only. The distributed form of 'give me 3 reproducible
-    examples per language' used in corpus QA."""
-    d = load(spark, sf, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    examples per language' used in corpus QA.  Plan self-selects
+    (round 11): the ~10-lang window up to the bytes-per-group floor,
+    the salted two-level top-k past it — see _per_group_sample_frame."""
+    return _per_group_sample_frame(load(spark, sf, "documents"))
+
+
+def _per_group_sample_frame(d: DataFrame, form: str = "auto") -> DataFrame:
+    """Fixed-3-per-lang md5 sample, two byte-equal plans (form auto|
+    window|scaled).  Window: one exchange on lang, docs/|langs| rows
+    per unsplittable window task.  Scaled: the salted two-level top-k
+    (operators/skew.py) — k per (lang, salt) cell, then a window
+    BOUNDED by k*S re-ranks the survivors.  The (md5, doc_id) order is
+    total, so the emitted ranks match exactly; auto gates on
+    _coarse_window_hot with the corpus model's ~10 langs."""
+    if form == "auto":
+        form = "scaled" if _coarse_window_hot(d, 10) else "window"
+    if form == "window":
+        w = Window.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+        return (
+            d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= 3)
+        )
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import skew
+
+    keyed = d.select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("_mk")
     )
-    return (
-        d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
-        .filter(F.col("rk") <= 3)
+    out = skew.top_k_per_group(
+        keyed, ["lang"], [F.asc("_mk"), F.asc("doc_id")], k=3
     )
+    return out.select("doc_id", "lang", F.col("rnk").cast("int").alias("rk"))
 
 
 @_q(
@@ -8940,18 +9201,10 @@ def q_per_group_sample_scaled(spark, sf):
     survivors, a window BOUNDED by k*S regardless of data size.  The
     (md5, doc_id) order is total, so the emitted ranks match the
     single-window form exactly; the IDENTICAL oracle SQL proves it
-    through the driver hash."""
-    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import skew
-
-    d = load(spark, sf, "documents").select(
-        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("_mk")
-    )
-    out = skew.top_k_per_group(
-        d, ["lang"], [F.asc("_mk"), F.asc("doc_id")], k=3
-    )
-    return out.select(
-        "doc_id", "lang", F.col("rnk").cast("int").alias("rk")
-    )
+    through the driver hash.  Round 11: the base entry self-selects
+    (_per_group_sample_frame); this twin pins the scaled form for the
+    A/B tools and the equality proof."""
+    return _per_group_sample_frame(load(spark, sf, "documents"), form="scaled")
 
 
 @_q(
@@ -9274,31 +9527,80 @@ def q_skew_audit(spark, sf):
     is partial-order independent and oracle-checkable at any scale). This is the measurement that decides whether a
     join needs the salted plan in operators/skew.py. The only
     fact-sized step is the per-key count; the ranking window runs over
-    O(distinct keys) rows."""
-    ev = _events(spark, sf)
+    O(distinct keys) rows — but 'distinct keys' is billions at 100 TB,
+    so the plan self-selects (round 11): the global window up to the
+    bytes floor, the sliced rank past it — see _skew_audit_frame."""
+    return _skew_audit_frame(_events(spark, sf))
+
+
+def _skew_audit_frame(ev: DataFrame, form: str = "auto") -> DataFrame:
+    """Key-distribution audit, two byte-equal plans (form auto|window|
+    scaled).  Window: row_number + count + sum OVER () on the per-key
+    count table — input is O(distinct keys), which the round-10 audit
+    classed a hazard because a global window is ONE task whatever the
+    key count grows to.  Scaled: coarse_group_rank with NO group
+    columns slices the count domain by quantile literals; the Gini
+    numerator sum((2i - n - 1) c) then folds in ONE map-side-combinable
+    aggregate over the sliced ranks — no global window anywhere in the
+    plan.  (c, user_id) is a total order, so rank == row_number.  Auto
+    gates on the EVENT SCAN bytes (groups=1) — a conservative
+    over-trigger since the window input is the post-agg key table;
+    tripping early costs only the sliced form's constant overhead."""
+    if form == "auto":
+        form = "scaled" if _coarse_window_hot(ev, 1) else "window"
     per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
-    wr = Window.orderBy("c", "user_id")
-    wall = Window.partitionBy()
-    ranked = per_key.select(
-        "c",
-        F.row_number().over(wr).alias("i"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-        F.sum("c").over(wall).alias("tot"),
+    if form == "window":
+        wr = Window.orderBy("c", "user_id")
+        wall = Window.partitionBy()
+        ranked = per_key.select(
+            "c",
+            F.row_number().over(wr).alias("i"),
+            F.count(F.lit(1)).over(wall).alias("n"),
+            F.sum("c").over(wall).alias("tot"),
+        )
+        return ranked.agg(
+            F.max("n").cast("bigint").alias("n_keys"),
+            F.max("tot").cast("bigint").alias("n_rows"),
+            F.max("c").alias("max_key_rows"),
+            F.round(
+                F.max("c").cast("double") * F.max("n") / F.max("tot"), 6
+            ).alias("max_skew_ratio"),
+            F.round(
+                F.sum((2 * F.col("i") - F.col("n") - F.lit(1)) * F.col("c"))
+                .cast("double")
+                / (F.max("n").cast("double") * F.max("tot")),
+                6,
+            ).alias("gini"),
+        )
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import skew
+
+    rk = skew.coarse_group_rank(
+        per_key, [], "c", extra_order_cols=("user_id",)
     )
-    return ranked.agg(
-        F.max("n").cast("bigint").alias("n_keys"),
-        F.max("tot").cast("bigint").alias("n_rows"),
+    return rk.agg(
+        F.max("np").cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
         F.max("c").alias("max_key_rows"),
         F.round(
-            F.max("c").cast("double") * F.max("n") / F.max("tot"), 6
+            F.max("c").cast("double") * F.max("np") / F.sum("c"), 6
         ).alias("max_skew_ratio"),
         F.round(
-            F.sum((2 * F.col("i") - F.col("n") - F.lit(1)) * F.col("c"))
+            F.sum((2 * F.col("rnk") - F.col("np") - F.lit(1)) * F.col("c"))
             .cast("double")
-            / (F.max("n").cast("double") * F.max("tot")),
+            / (F.max("np").cast("double") * F.sum("c")),
             6,
         ).alias("gini"),
     )
+
+
+@_q("skew_audit_scaled", _REGISTRY["skew_audit"][1])
+def q_skew_audit_scaled(spark, sf):
+    """skew_audit through the group-less sliced rank (round-11
+    window-skew audit close-out): no OVER () window survives in the
+    plan.  IDENTICAL oracle SQL as skew_audit — the driver's value
+    hash proves the two plans byte-equal.  The base entry
+    self-selects; this twin pins the scaled form for the A/B tools."""
+    return _skew_audit_frame(_events(spark, sf), form="scaled")
 
 
 @_q(
@@ -11173,16 +11475,46 @@ def q_out_of_order_audit(spark, sf):
     disorder-bound measurement that picks a Structured Streaming
     watermark delay (max_late_us IS the minimal watermark that loses
     nothing; late_frac vs a candidate delay is the loss trade-off).
-    One window per type ordered by the arrival offset (single shuffle),
-    lateness kept in exact integer microseconds."""
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    r = _events(spark, sf).select(
-        "event_type", "ts", F.max("ts").over(w).alias("run_max")
-    )
+    Lateness kept in exact integer microseconds.  Plan self-selects
+    (round 11, the last promised window-skew audit row): the 5-type
+    window up to the bytes-per-group floor, the sliced prefix-max past
+    it — see _out_of_order_frame."""
+    return _out_of_order_frame(_events(spark, sf))
+
+
+def _out_of_order_frame(ev: DataFrame, form: str = "auto") -> DataFrame:
+    """Per-type disorder audit, two byte-equal plans (form auto|window|
+    scaled).  Window: MAX(ts) OVER (PARTITION BY type ORDER BY offset
+    ROWS ... 1 PRECEDING) — one shuffle, but a disorder audit by
+    definition scans the FULL event log and events/|types| rows flow
+    through one unsplittable window task.  Scaled: running max is
+    associative, so operators/skew.py:coarse_running_max slices the
+    offset domain by quantile literals, runs the bounded per-(slice,
+    type) window, and carries earlier slices' max forward through a
+    broadcast prefix-max offset table — greatest() reproducing the
+    empty-frame NULL exactly.  event_id is unique, so the row order is
+    total in both forms.  Auto gates on _coarse_window_hot with the
+    data model's 5 event types."""
+    if form == "auto":
+        form = "scaled" if _coarse_window_hot(ev, 5) else "window"
+    if form == "window":
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("event_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        r = ev.select(
+            "event_type", "ts", F.max("ts").over(w).alias("run_max")
+        )
+    else:
+        from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import skew
+
+        r = skew.coarse_running_max(
+            ev.select("event_type", "event_id", "ts"),
+            ["event_type"],
+            "event_id",
+            "ts",
+        ).select("event_type", "ts", "run_max")
     late_us = F.when(
         F.col("ts") < F.col("run_max"),
         F.unix_micros("run_max") - F.unix_micros("ts"),
@@ -11201,6 +11533,16 @@ def q_out_of_order_audit(spark, sf):
             .alias("total_late_us"),
         )
     )
+
+
+@_q("out_of_order_audit_scaled", _REGISTRY["out_of_order_audit"][1])
+def q_out_of_order_audit_scaled(spark, sf):
+    """out_of_order_audit through the sliced prefix-max (round-11
+    window-skew audit close-out; operators/skew.py:coarse_running_max).
+    IDENTICAL oracle SQL as out_of_order_audit: the driver's value hash
+    proves the two plans byte-equal.  The base entry self-selects; this
+    twin pins the scaled form for the A/B tools and the proof."""
+    return _out_of_order_frame(_events(spark, sf), form="scaled")
 
 
 @_q("streaming_out_of_order", _REGISTRY["out_of_order_audit"][1])

@@ -1090,3 +1090,98 @@ def test_top_k_per_group_matches_window_form(spark):
     tiny = spark.createDataFrame([(1, 0, 1.0), (2, 0, 2.0)], ["id", "g", "v"])
     got2 = skew.top_k_per_group(tiny, ["g"], [SF.desc("v"), SF.asc("id")], 10)
     assert sorted((r.id, r.rnk) for r in got2.collect()) == [(1, 2), (2, 1)]
+
+
+def test_coarse_group_rank_null_group_and_cum_sum(spark):
+    """round-11 ADVICE fix: a NULL group key is a real window partition
+    (SQL PARTITION BY semantics) — the offset join must be null-safe,
+    not silently drop those rows.  Also covers the round-11 sum_col
+    extension: cum_sum must equal SUM OVER (ROWS UNBOUNDED PRECEDING)
+    and sum_tot the group total."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as SF
+    from pyspark.sql import types as ST
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        skew,
+    )
+
+    random.seed(7)
+    schema = ST.StructType(
+        [
+            ST.StructField("id", ST.LongType()),
+            ST.StructField("g", ST.StringType(), nullable=True),
+            ST.StructField("v", ST.LongType()),
+        ]
+    )
+    rows = [
+        (i, random.choice(["a", "b", None]), random.randrange(100))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, schema)
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = {
+        r.id: (r.rnk, r.n_le, r.np, r.cum_sum, r.sum_tot)
+        for r in df.select(
+            "id",
+            SF.rank().over(w).alias("rnk"),
+            SF.count(SF.lit(1)).over(w).alias("n_le"),
+            SF.count(SF.lit(1)).over(Window.partitionBy("g")).alias("np"),
+            SF.sum("v")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cum_sum"),
+            SF.sum("v").over(Window.partitionBy("g")).alias("sum_tot"),
+        ).collect()
+    }
+    got = {
+        r.id: (r.rnk, r.n_le, r.np, r.cum_sum, r.sum_tot)
+        for r in skew.coarse_group_rank(
+            df, ["g"], "v", n_slices=9, extra_order_cols=("id",), sum_col="v"
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == 2000  # NULL-group rows present
+
+
+def test_coarse_running_max_matches_window_form(spark):
+    """round-11 window-skew audit: the sliced strictly-preceding
+    running max must byte-match the single-window form, including the
+    NULL on each group's first row (empty frame)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as SF
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        skew,
+    )
+
+    random.seed(13)
+    rows = [(i, i % 4, random.randrange(1000)) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["id", "g", "v"])
+    w = (
+        Window.partitionBy("g")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        r.id: r.rm
+        for r in df.select("id", SF.max("v").over(w).alias("rm")).collect()
+    }
+    got = {
+        r.id: r.run_max
+        for r in skew.coarse_running_max(
+            df, ["g"], "id", "v", n_slices=11
+        ).collect()
+    }
+    assert got == want
+    # single row per group: run_max NULL everywhere
+    one = spark.createDataFrame([(1, 0, 5), (2, 1, 6)], ["id", "g", "v"])
+    got1 = skew.coarse_running_max(one, ["g"], "id", "v").collect()
+    assert all(r.run_max is None for r in got1)
+    # empty input survives (no quantile boundaries)
+    assert skew.coarse_running_max(
+        one.filter("id < 0"), ["g"], "id", "v"
+    ).count() == 0
