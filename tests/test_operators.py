@@ -1185,3 +1185,75 @@ def test_coarse_running_max_matches_window_form(spark):
     assert skew.coarse_running_max(
         one.filter("id < 0"), ["g"], "id", "v"
     ).count() == 0
+
+
+def test_coarse_window_gates_trip_past_bytes_floor(spark, monkeypatch):
+    """r10 VERDICT ask #5: every naive/_scaled twin pair self-selects.
+    At test scale (file-backed, under the bytes-per-group floor) the
+    auto plan must be the plain window; with the floor patched to 1
+    byte the SAME call must emit the sliced/salted plan.  The plan
+    marker is the algebra's synthetic key (_slice for the quantile
+    slicer, _salt for the two-level tournament) — absent from every
+    naive plan."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as SF
+
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.catalog import (
+        load,
+    )
+
+    sfd = "/root/testdata/sf0.001"
+    ev = load(spark, sfd, "events")
+    docs = load(spark, sfd, "documents")
+    names = load(spark, sfd, "part").select("p_brand", "p_name").distinct()
+    cases = [
+        (lambda: entry._topn_per_group_frame(entry._topn_input(spark, sfd)),
+         "_salt"),
+        (lambda: entry._value_quartiles_frame(
+            ev.select("event_type", "value", "event_id")), "_slice"),
+        (lambda: entry._revenue_percent_rank_frame(spark, sfd), "_slice"),
+        (lambda: entry._stratified_sample_frame(docs), "_slice"),
+        (lambda: entry._per_group_sample_frame(docs), "_salt"),
+        (lambda: entry._out_of_order_frame(ev), "_slice"),
+        (lambda: entry._skew_audit_frame(ev), "_slice"),
+        (lambda: entry._vocab_coverage_frame(docs), "_slice"),
+        (lambda: entry._sorted_neighborhood_frame(names), "_slice"),
+    ]
+
+    def plan(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    # under the floor: every auto plan is the plain window
+    for mk, (build, marker) in zip(
+        ("topn", "quartiles", "revpr", "strat", "pgs", "ooo", "skew",
+         "vocab", "snm"),
+        cases,
+    ):
+        assert marker not in plan(build()), mk
+    # floor patched to 1 byte: every auto plan switches
+    monkeypatch.setattr(entry, "_COARSE_WINDOW_GATE_BYTES", 1)
+    for mk, (build, marker) in zip(
+        ("topn", "quartiles", "revpr", "strat", "pgs", "ooo", "skew",
+         "vocab", "snm"),
+        cases,
+    ):
+        assert marker in plan(build()), mk
+    # the gate itself: sf0.001 events are tiny under the real floor
+    monkeypatch.undo()
+    assert entry._coarse_window_hot(ev, 5) is False
+    monkeypatch.setattr(entry, "_COARSE_WINDOW_GATE_BYTES", 1)
+    assert entry._coarse_window_hot(ev, 5) is True
+    # non-file-backed input: size unknown -> stay on the window plan
+    mem = spark.createDataFrame([(1, "a")], ["id", "g"])
+    assert entry._coarse_window_hot(mem, 5) is False
+    # and the tripped plans still compute the right thing (spot-check
+    # the cheapest pair end-to-end while the floor is 1)
+    got = sorted(
+        map(tuple, entry._topn_per_group_frame(
+            entry._topn_input(spark, sfd)).collect())
+    )
+    want = sorted(
+        map(tuple, entry._topn_per_group_frame(
+            entry._topn_input(spark, sfd), form="window").collect())
+    )
+    assert got == want and len(got) == 15
