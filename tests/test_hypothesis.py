@@ -5,6 +5,7 @@ local SparkSession per suite via the shared fixture; examples are kept
 small and deadline-free since each check is a Spark job."""
 
 import pyspark.sql.functions as F
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -2301,12 +2302,15 @@ def test_path_ngrams_matches_naive(spark, raw):
     assert got == want
 
 
+@pytest.mark.parametrize(
+    "entry_name", ["out_of_order_audit", "out_of_order_audit_scaled"]
+)
 @given(raw=_funnel_events)
 @_SETTINGS
-def test_out_of_order_audit_matches_naive(spark, raw):
+def test_out_of_order_audit_matches_naive(spark, entry_name, raw):
     """Disorder audit vs a direct Python running-max walk in offset
     order (strictly-earlier-than-running-max counts as late; equal
-    timestamps do not)."""
+    timestamps do not).  Round 11: both plan twins."""
     import datetime as dt
     import tempfile
 
@@ -2319,7 +2323,7 @@ def test_out_of_order_audit_matches_naive(spark, raw):
         for i, (u, m, t) in enumerate(raw)
     ]
     sf = _write_events(spark, tempfile.mkdtemp(prefix="ooo_prop_"), rows)
-    out = entrymod._REGISTRY["out_of_order_audit"][0](spark, sf)
+    out = entrymod._REGISTRY[entry_name][0](spark, sf)
     got = {
         r.event_type: (
             r.n_events, r.n_late, r.late_frac, r.max_late_us, r.total_late_us
@@ -3618,11 +3622,15 @@ _vocab_docs = st.lists(
 )
 
 
+@pytest.mark.parametrize(
+    "entry_name", ["vocab_coverage", "vocab_coverage_scaled"]
+)
 @given(docs=_vocab_docs)
 @_SETTINGS
-def test_vocab_coverage_matches_naive(spark, docs, tmp_path_factory):
+def test_vocab_coverage_matches_naive(spark, entry_name, docs, tmp_path_factory):
     """Top-N vocabulary curve vs a Python counter: same normalization,
-    (count desc, term asc) ranking, cumulative share at 6dp."""
+    (count desc, term asc) ranking, cumulative share at 6dp.  Round
+    11: both plan twins."""
     import re
 
     import __spark_entry__ as entrymod
@@ -3637,7 +3645,7 @@ def test_vocab_coverage_matches_naive(spark, docs, tmp_path_factory):
     ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
     got = {
         r.term_rank: (r.term, r.n_occur, r.cum_share)
-        for r in entrymod._REGISTRY["vocab_coverage"][0](spark, tmp).collect()
+        for r in entrymod._REGISTRY[entry_name][0](spark, tmp).collect()
     }
 
     cnt: dict = {}

@@ -933,15 +933,19 @@ _part_rows = st.lists(
 )
 
 
+@pytest.mark.parametrize(
+    "entry_name",
+    ["sorted_neighborhood_pairs", "sorted_neighborhood_pairs_scaled"],
+)
 @given(raw=_part_rows)
 @_SETTINGS
-def test_sorted_neighborhood_pairs_matches_naive(spark, raw):
+def test_sorted_neighborhood_pairs_matches_naive(spark, entry_name, raw):
     """Sorted-neighborhood linkage vs a direct sorted-walk replay with
-    a from-scratch Levenshtein DP."""
+    a from-scratch Levenshtein DP (round 11: both plan twins)."""
     rows = [(i, name, brand) for i, (brand, name) in enumerate(raw)]
     got = sorted(
         (r.p_brand, r.name_a, r.name_b, r.w_off, r.dist)
-        for r in _entry("sorted_neighborhood_pairs")(
+        for r in _entry(entry_name)(
             spark, _write_part(spark, rows)
         ).collect()
     )
@@ -996,13 +1000,16 @@ def test_ship_lag_percentiles_matches_naive(spark, o_raw, li_raw):
     assert got == want, (got, want)
 
 
+@pytest.mark.parametrize(
+    "entry_name", ["skew_audit", "skew_audit_scaled"]
+)
 @given(raw=_ev_rows)
 @_SETTINGS
-def test_skew_audit_matches_naive(spark, raw):
+def test_skew_audit_matches_naive(spark, entry_name, raw):
     """Key-skew Gini + hottest-key ratio vs an exact integer replay of
-    the sorted-rank formula."""
+    the sorted-rank formula (round 11: both plan twins)."""
     rows = _mk_events(raw)
-    [r] = _entry("skew_audit")(spark, _write_events(spark, rows)).collect()
+    [r] = _entry(entry_name)(spark, _write_events(spark, rows)).collect()
 
     per_key: dict = {}
     for _i, _ts, u, _t, _v in rows:
