@@ -8053,24 +8053,52 @@ def q_pagerank_3iter(spark, sf):
 def q_sequence_pack(spark, sf):
     """Training-sequence packing: assign documents to contiguous
     ~2000-token bins per source shard (cumulative-sum binning — the
-    deterministic, order-preserving form of greedy packing). The window
-    partitions by `source`, so packing parallelizes across shards with
-    one shuffle and a per-shard sort; no global order is ever imposed.
-    At 100 TB the per-source groups are the unit of parallelism exactly
-    as a real pretokenized-shard writer would pack per output file."""
-    d = load(spark, sf, "documents")
-    w = Window.partitionBy("source").orderBy("doc_id")
-    c = (
-        d.select("source", "doc_id", T.n_tokens().alias("tok"))
-        .withColumn("cum", F.sum("tok").over(w))
-        .withColumn("bin", F.expr("(cum - tok) div 2000"))
-    )
+    deterministic, order-preserving form of greedy packing).  A real
+    pretokenized-shard writer packs per OUTPUT FILE (finer key); when
+    the pack key IS coarse, the plan self-selects (round 11): the
+    per-source window up to the bytes-per-group floor, the sliced
+    prefix-sum past it — see _sequence_pack_frame."""
+    return _sequence_pack_frame(load(spark, sf, "documents"))
+
+
+def _sequence_pack_frame(d: DataFrame, form: str = "auto") -> DataFrame:
+    """Cumulative-token binning per source, two byte-equal plans (form
+    auto|window|scaled).  Window: one shuffle + per-shard sort —
+    docs/|sources| rows per unsplittable window task.  Scaled:
+    coarse_group_rank's sum_col prefix-sum (round-11 extension) —
+    doc_id is unique, so the window's default RANGE frame equals the
+    ROWS frame the sliced cumsum computes, and `cum` reproduces
+    byte-identically.  Auto gates on _coarse_window_hot with the
+    corpus model's ~10 sources."""
+    if form == "auto":
+        form = "scaled" if _coarse_window_hot(d, 10) else "window"
+    t = d.select("source", "doc_id", T.n_tokens().alias("tok"))
+    if form == "window":
+        w = Window.partitionBy("source").orderBy("doc_id")
+        c = t.withColumn("cum", F.sum("tok").over(w))
+    else:
+        from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import skew
+
+        c = skew.coarse_group_rank(
+            t, ["source"], "doc_id", sum_col="tok"
+        ).select("source", "doc_id", "tok", F.col("cum_sum").alias("cum"))
+    c = c.withColumn("bin", F.expr("(cum - tok) div 2000"))
     return c.groupBy("source", "bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tok").cast("bigint").alias("tokens_packed"),
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@_q("sequence_pack_scaled", _REGISTRY["sequence_pack"][1])
+def q_sequence_pack_scaled(spark, sf):
+    """sequence_pack through the sliced prefix-sum (round-11 window-
+    skew audit: the last coarse-key cumsum in the registry).  IDENTICAL
+    oracle SQL as sequence_pack — the driver's value hash proves the
+    two plans byte-equal.  The base entry self-selects; this twin pins
+    the scaled form for the A/B tools."""
+    return _sequence_pack_frame(load(spark, sf, "documents"), form="scaled")
 
 
 @_q(

@@ -3705,12 +3705,17 @@ _pack_docs = st.lists(
 )
 
 
+@pytest.mark.parametrize(
+    "entry_name", ["sequence_pack", "sequence_pack_scaled"]
+)
 @given(docs=_pack_docs)
 @_SETTINGS
-def test_sequence_pack_matches_naive_binning(spark, docs, tmp_path_factory):
+def test_sequence_pack_matches_naive_binning(
+    spark, entry_name, docs, tmp_path_factory
+):
     """Cumulative-sum 2000-token binning per source vs a Python running
     sum: bin = (cum - tok) // budget in doc-id order, per-bin counts,
-    token totals, and doc-id ranges."""
+    token totals, and doc-id ranges.  Round 11: both plan twins."""
     import __spark_entry__ as entrymod
 
     budget = 2000
@@ -3725,7 +3730,7 @@ def test_sequence_pack_matches_naive_binning(spark, docs, tmp_path_factory):
     ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
     got = {
         (r.source, r.bin): (r.n_docs, r.tokens_packed, r.first_doc, r.last_doc)
-        for r in entrymod._REGISTRY["sequence_pack"][0](spark, tmp).collect()
+        for r in entrymod._REGISTRY[entry_name][0](spark, tmp).collect()
     }
 
     want: dict = {}

@@ -1218,25 +1218,20 @@ def test_coarse_window_gates_trip_past_bytes_floor(spark, monkeypatch):
         (lambda: entry._skew_audit_frame(ev), "_slice"),
         (lambda: entry._vocab_coverage_frame(docs), "_slice"),
         (lambda: entry._sorted_neighborhood_frame(names), "_slice"),
+        (lambda: entry._sequence_pack_frame(docs), "_slice"),
     ]
 
     def plan(df):
         return df._jdf.queryExecution().optimizedPlan().toString()
 
     # under the floor: every auto plan is the plain window
-    for mk, (build, marker) in zip(
-        ("topn", "quartiles", "revpr", "strat", "pgs", "ooo", "skew",
-         "vocab", "snm"),
-        cases,
-    ):
+    labels = ("topn", "quartiles", "revpr", "strat", "pgs", "ooo",
+              "skew", "vocab", "snm", "seqpack")
+    for mk, (build, marker) in zip(labels, cases):
         assert marker not in plan(build()), mk
     # floor patched to 1 byte: every auto plan switches
     monkeypatch.setattr(entry, "_COARSE_WINDOW_GATE_BYTES", 1)
-    for mk, (build, marker) in zip(
-        ("topn", "quartiles", "revpr", "strat", "pgs", "ooo", "skew",
-         "vocab", "snm"),
-        cases,
-    ):
+    for mk, (build, marker) in zip(labels, cases):
         assert marker in plan(build()), mk
     # the gate itself: sf0.001 events are tiny under the real floor
     monkeypatch.undo()
