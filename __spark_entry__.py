@@ -17,6 +17,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.catalog import load
+from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.catalog import (
+    table_schema as _catalog_table_schema,
+)
 from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.functions import text as T
 from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
     cdc,
@@ -5997,11 +6000,10 @@ def _events_stream(spark, sf):
     """events as a file stream: raw footer schema (nanos ts surfaces as
     long under nanosAsLong), then the same ns->us conversion load() does."""
     from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.catalog import (
-        _apply_session_confs,
+        table_schema,
     )
 
-    _apply_session_confs(spark)
-    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw_schema = table_schema(spark, sf, "events")
     # FileStreamSource wants a directory or glob, not a literal file path
     sdf = spark.readStream.schema(raw_schema).parquet(f"{sf}/events.parque[t]")
     ts_type = dict(sdf.dtypes)["ts"]
@@ -6957,7 +6959,7 @@ def q_streaming_minhash_dedup(spark, sf):
     )
 
     base = tempfile.mkdtemp(prefix="stream_dedup_")
-    schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    schema = _catalog_table_schema(spark, sf, "documents")
     sdf = spark.readStream.schema(schema).parquet(f"{sf}/documents.parque[t]")
     with _stream_partitions(spark):
         run_minhash_dedup_stream(
@@ -7077,7 +7079,7 @@ def q_streaming_embedding_dedup(spark, sf):
     )
 
     base = tempfile.mkdtemp(prefix="stream_embdedup_")
-    schema = spark.read.parquet(f"{sf}/embeddings.parquet").schema
+    schema = _catalog_table_schema(spark, sf, "embeddings")
     sdf = spark.readStream.schema(schema).parquet(f"{sf}/embeddings.parque[t]")
     with _stream_partitions(spark):
         run_embdedup_stream(
@@ -8459,7 +8461,7 @@ def q_streaming_bm25(spark, sf):
     )
 
     base = tempfile.mkdtemp(prefix="stream_bm25_")
-    schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    schema = _catalog_table_schema(spark, sf, "documents")
     sdf = spark.readStream.schema(schema).parquet(f"{sf}/documents.parque[t]")
     with _stream_partitions(spark):
         run_index_stream(

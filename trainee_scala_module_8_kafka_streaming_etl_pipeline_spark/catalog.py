@@ -13,6 +13,7 @@ surface so swapping in a metastore is a one-liner.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,13 +53,60 @@ def _apply_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+# Per-session memo of resolved table plans (NOT results): repeating
+# `spark.read.parquet(path)` costs ~60 ms of driver-side footer/schema
+# inference plus file listing PER CALL (measured warm, round 11) — pure
+# metadata latency a metastore-backed `spark.table()` would never pay.
+# The memo keeps the resolved DataFrame (a lazy plan; every action still
+# scans parquet) keyed by (session, dir, table) and validated against
+# the file's (mtime_ns, size), so an in-place rewrite (tools/degenerate
+# variant regen) invalidates the entry.  WeakKeyDictionary: a stopped
+# session's plans drop with it.
+_PLAN_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _stamp(path: str) -> tuple[int, int] | None:
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
+
+def table_schema(spark: SparkSession, sf_dir: str, name: str):
+    """RAW footer schema of one catalog table (no ts conversion), memo-
+    validated like :func:`load` — streaming sources need it to declare
+    ``readStream.schema(...)`` without a per-call footer read."""
+    path = f"{sf_dir}/{name}.parquet"
+    stamp = _stamp(path)
+    per = _PLAN_MEMO.setdefault(spark, {})
+    key = ("schema", os.path.abspath(sf_dir), name)
+    hit = per.get(key)
+    if hit is not None and stamp is not None and hit[0] == stamp:
+        return hit[1]
+    _apply_session_confs(spark)
+    schema = spark.read.parquet(path).schema
+    if stamp is not None:
+        per[key] = (stamp, schema)
+    return schema
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table. Column pruning + predicate pushdown reach
     the parquet scan because this is a plain declarative source."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
+    path = f"{sf_dir}/{name}.parquet"
+    stamp = _stamp(path)
+    per = _PLAN_MEMO.setdefault(spark, {})
+    key = ("df", os.path.abspath(sf_dir), name)
+    hit = per.get(key)
+    if hit is not None and stamp is not None and hit[0] == stamp:
+        return hit[1]
     _apply_session_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(path)
     for col in _NANOS_TS_COLS.get(name, ()):
         dt = df.schema[col].dataType
         if isinstance(dt, LongType):
@@ -71,6 +119,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # and gives every consumer the TimestampType they were built
             # against (unix_micros etc. reject NTZ inputs).
             df = df.withColumn(col, F.col(col).cast("timestamp"))
+    if stamp is not None:
+        per[key] = (stamp, df)
     return df
 
 
