@@ -846,17 +846,20 @@ def test_orient_by_degree_cleanup_list_collects_deg_cache(spark):
         [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)], ["u", "v"]
     )
     aux: list = []
-    # conclusive small bound: nothing cached
+    # round 11: EVERY branch caches the degree table (the u/v attach
+    # joins otherwise execute the aggregate once per branch), so the
+    # conclusive small bound hands the cache back too
     graph.orient_by_degree(edges, n_edges=2, cleanup=aux)
-    assert aux == []
-    # inconclusive bound: the cached degree table is handed back
+    assert len(aux) == 1 and aux[0].is_cached
+    # inconclusive bound: likewise
     out = graph.orient_by_degree(
         edges, n_edges=7, max_broadcast_nodes=5, cleanup=aux
     )
-    assert len(aux) == 1 and aux[0].is_cached
+    assert len(aux) == 2 and aux[1].is_cached
     out.collect()
-    aux[0].unpersist()
-    assert not aux[0].is_cached
+    for c in aux:
+        c.unpersist()
+    assert not any(c.is_cached for c in aux)
 
 
 def test_scale_slope_flag_and_legacy_row_handling():
@@ -990,7 +993,9 @@ def test_triangle_count_pins_wedge_exchange_above_session_width(spark):
     with mock.patch.object(graph, "_EDGES_PER_TASK", 1):
         df = graph.triangle_count(edges)
         plan = df._jdf.queryExecution().optimizedPlan().toString()
-        assert "RepartitionByExpression [src" in plan and ", 7" in plan
+        # round 11: the adjacency is cached, so the pinned exchange now
+        # shows up inside the InMemoryRelation's embedded physical plan
+        assert "hashpartitioning(src" in plan and ", 7), REPARTITION_BY_NUM" in plan
         r = df.collect()[0]
     assert (r.n_nodes, r.n_edges, r.n_triangles) == (5, 7, 4)
 

@@ -104,9 +104,11 @@ def orient_by_degree(
     - ``n_edges`` unknown (None): keep the hint — legacy small-scale
       behavior.
     - ``2 * n_edges <= max_broadcast_nodes``: nodes are provably under
-      the cap (each edge introduces at most 2), broadcast with zero
-      extra jobs — the common case; triangle_count passes the count it
-      just materialized.
+      the cap (each edge introduces at most 2), broadcast — the common
+      case; triangle_count passes the count it just materialized.  (The
+      degree table is cached and counted on every branch since round 11
+      — see the inline note — so this branch now costs one cheap
+      cached-aggregation job rather than computing the aggregate twice.)
     - bound inconclusive: the 2x-edges proxy overestimates nodes by
       edges/nodes (~60x on the sf~10 co-purchase graph, where dropping
       the hint cost 4x on the orientation), so spend ONE cheap
@@ -127,15 +129,22 @@ def orient_by_degree(
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+    # Cache the degree table on EVERY branch (round 11): the u-side and
+    # v-side attach joins are two separate plan subtrees, and exchange
+    # reuse does not fire across their differing projections — profiled
+    # at sf0.1 as the degree aggregate executing twice (two ~7 s-runtime
+    # stages for one aggregate).  One cache + materializing count makes
+    # both attaches scan O(nodes) cached rows instead; A/B (same
+    # session, min-of-2): 6.01 -> 5.63 s on the 453k-edge co-occurrence
+    # graph.
+    deg = deg.cache()
+    if cleanup is not None:
+        cleanup.append(deg)
+    n_nodes = deg.count()
     if n_edges is None or 2 * n_edges <= max_broadcast_nodes:
         small = True
     else:
-        # cache: the count below and both attach joins reuse the one
-        # degree aggregation (O(nodes) rows — two longs per node)
-        deg = deg.cache()
-        if cleanup is not None:
-            cleanup.append(deg)
-        small = deg.count() <= max_broadcast_nodes
+        small = n_nodes <= max_broadcast_nodes
     du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
     if small:
@@ -290,7 +299,16 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         _c.unpersist()
     parts = wedge_partitions(edges.sparkSession, n_edges)
     src = o.repartition(parts, "src") if parts else o
-    adj = src.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    # Cache the adjacency table (round 11): a_adj and b_adj are two plan
+    # branches over it, and without a cache the collect_list aggregate —
+    # the wedge pipeline's heaviest pre-join stage — executes once per
+    # branch (profiled as two ~5 s-runtime stages at sf0.1 for one
+    # aggregate).  Materializing it once is also the standard cluster
+    # shape: the adjacency artifact of an edge-iterator is built once
+    # and probed twice.  MEMORY_AND_DISK (the default) spills gracefully
+    # if a huge graph's adjacency outgrows executor memory.
+    adj = src.groupBy("src").agg(F.collect_list("dst").alias("nbrs")).cache()
+    adj.count()  # materialize before the two join branches race the cache
     a_adj = adj.select(F.col("src").alias("a"), F.col("nbrs").alias("na"))
     b_adj = adj.select(F.col("src").alias("b"), F.col("nbrs").alias("nb"))
     per_edge = (

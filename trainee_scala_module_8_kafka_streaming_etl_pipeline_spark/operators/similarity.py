@@ -639,13 +639,36 @@ def kmeans_fixed(
 
     Returns (assignments, centroids) from the final round:
     assignments = (id, cluster_id), centroids = (cluster_id, c_vec).
+
+    Execution shape (round 11, guide §1.2/§5): the N x K scoring pass is
+    the compute mass, and a single-file corpus arrives as ONE scan
+    partition, serializing it on one task — a small-file artifact, not a
+    property of the algorithm (at warehouse scale the scan has thousands
+    of splits).  When the input has fewer partitions than cores, a
+    deterministic round-robin repartition to the default parallelism
+    restores the parallel shape.  Between rounds the K x dim centroid
+    table (a few hundred KB — the classic k-means driver artifact) is
+    collected and re-created as a literal DataFrame: without that cut,
+    round r's broadcast job re-executes rounds 1..r-1's whole lineage,
+    and the caller's final action re-executes everything once more —
+    measured 3 x ~0.9 s serial re-executions at sf0.1 collapsing to one
+    ~0.3 s pass per round.  Values are untouched: the collected doubles
+    round-trip bit-exactly, and every per-round computation still runs
+    through the identical plan exactly once.
     """
+    spark = emb.sparkSession
     emb = emb.filter(F.col(vec_col).isNotNull())  # vectorless rows cannot participate
+    # Width sweep at sf0.1 (min-of-3, 32 cores): 1 partition 3.57 s, 4 ->
+    # 2.22, 8 -> 1.98, 16 -> 2.09, 32 -> 2.38 — the K-way scored expansion
+    # of a few thousand rows amortizes task overhead best at ~cores/4.
+    width = max(4, spark.sparkContext.defaultParallelism // 4)
+    if emb.rdd.getNumPartitions() < width:
+        emb = emb.repartition(width)
     cent = emb.filter(F.col(id_col) % centroid_stride == 0).select(
         F.col(id_col).alias("cluster_id"), F.col(vec_col).alias("c_vec")
     )
     assigned = None
-    for _ in range(n_iters):
+    for it in range(n_iters):
         scored = emb.join(F.broadcast(cent)).select(
             id_col,
             vec_col,
@@ -671,6 +694,9 @@ def kmeans_fixed(
                 lambda s: s.getField("m"),
             ).alias("c_vec")
         )
+        # Materialize the K-row centroid table between rounds (and for
+        # the caller): each round then executes exactly once.
+        cent = spark.createDataFrame(cent.collect(), schema=cent.schema)
     return assigned.select(id_col, "cluster_id"), cent
 
 

@@ -94,6 +94,19 @@ def upsert_batch(
     """
     spark = batch_df.sparkSession
     prior = read_state(spark, state_dir)
+    # Empty-batch fast path (round 11): availableNow runs trailing
+    # no-data micro-batches (watermark advancement), and folding an
+    # empty batch into existing state is a provable no-op — merged =
+    # prior, latest_by_offset(prior) = prior (already compacted), the
+    # tombstone filter re-removes nothing (applied deletes were
+    # physically dropped).  Profiled at sf0.1: the flagship pipeline's
+    # no-data batch paid the full 1.3 s read+merge+write; the limit-1
+    # probe costs one cheap batch-plan execution instead.  Only valid
+    # when prior state exists (first batch must still write v=0 even if
+    # empty) and because ``transform`` is row-bounded (enrichment joins
+    # never invent rows from an empty batch).
+    if prior is not None and batch_df.isEmpty():
+        return
     cols = [c for c in batch_df.columns]
     if deleted_col and deleted_col not in cols:
         batch_df = batch_df.withColumn(deleted_col, F.lit(False))
