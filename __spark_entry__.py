@@ -4386,8 +4386,21 @@ def q_corpus_clean(spark, sf):
     """Composed training-corpus cleaning pipeline: exact-dedup (keep the
     lowest doc_id per md5) -> quality-score filter -> language-ID filter.
     One shuffle total: the dedup keep-id is a min-over-window on the
-    md5 partition (no groupBy + join-back), scoring is narrow."""
+    md5 partition (no groupBy + join-back), scoring is narrow.
+
+    The window's exchange is pinned to max(cores, scan_bytes/128MB)
+    partitions (round 11): the post-shuffle stage carries the regex
+    scorers — CPU-dense on few bytes — and AQE's byte-targeted
+    coalescing (1 MB minPartitionSize floor) was serializing it onto
+    ONE task (profiled 1.19 s single-task stage; width sweep min-of-2:
+    none 1.44 s / 8 -> 0.68 / 16 -> 0.57 / 32 -> 0.53).  The pinned
+    repartition replaces (not adds to) the window's own exchange —
+    EnsureRequirements sees hash(md5(text)) already satisfied."""
     d = load(spark, sf, "documents")
+    nbytes = _scan_bytes(d)
+    dp = spark.sparkContext.defaultParallelism
+    width = dp if nbytes is None else max(dp, -(-nbytes // (128 << 20)))
+    d = d.repartition(width, F.md5("text"))
     w = Window.partitionBy(F.md5("text"))
     return (
         d.withColumn("keep_id", F.min("doc_id").over(w))

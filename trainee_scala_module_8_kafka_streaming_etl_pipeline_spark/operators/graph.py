@@ -201,6 +201,27 @@ def pagerank_fixed(
     # degree/node branches fan out — a lazy cache raced by multiple
     # branches re-runs the (often expensive) edge derivation per branch.
     n_edges = edges.count()
+    # Size the iteration exchanges from the MATERIALIZED edge count
+    # (round 11): with AQE off inside the loop (below) nothing coalesces
+    # the per-iteration shuffles, so a small graph pays session-width
+    # task launches per exchange per iteration for a few KB of integer
+    # rank rows.  Narrow to max(cores/4, rows/1M-edges-per-task) capped
+    # at the session width — never wider (widening was measured 1.16x
+    # slower on the kcore peel, the same iterate-shape).  Same-session
+    # A/B at sf0.1 (min-of-2, interleaved): 4.20 s -> 2.22 s at width 8
+    # on 32 cores.  Rank arithmetic is scaled BIGINT throughout, so
+    # partition count cannot perturb any value.
+    session_w = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    loop_w = min(
+        session_w,
+        max(
+            2,
+            spark.sparkContext.defaultParallelism // 4,
+            math.ceil(n_edges / _EDGES_PER_TASK),
+        ),
+    )
+    part_prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_w))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ed = edges.join(deg, "src").cache()
     nodes = (
@@ -247,6 +268,7 @@ def pagerank_fixed(
         # Release every loop-scoped cache; the returned `ranks` cache is
         # caller-owned (it holds the final materialized vector).
         spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+        spark.conf.set("spark.sql.shuffle.partitions", part_prev)
         edges.unpersist()
         ed.unpersist()
         nodes.unpersist()
