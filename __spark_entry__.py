@@ -11125,6 +11125,14 @@ def q_hll_rollup_pyramid(spark, sf):
     materialized-rollup pattern a 100 TB continuous aggregate needs:
     coarser grains derive from O(periods x m)-sized sketch state, not
     from the fact table.  n_exact sits alongside for error inspection."""
+    # Round-11 NEGATIVE result (recorded): replacing the two exact-audit
+    # event scans with one distinct (day, user) table (value-lossless —
+    # registers max-merge and countDistinct are duplicate-insensitive)
+    # was interleaved-A/B-measured SLOWER at sf0.1 (1.15 -> 1.66 s): at
+    # ~2.5 events per user-day the dedup's extra exchange +
+    # materialization job costs more than the second scan it removes.
+    # The right plan at high events-per-user-day; revisit with a probe
+    # if the corpus shape changes.
     df = _events(spark, sf).select(
         F.date_trunc("day", "ts").alias("period"), "user_id"
     )
@@ -12407,9 +12415,18 @@ def q_hll_sliding_dau(spark, sf):
     position.  The window join expands each register row at most 7x,
     versus the exact form whose (day x user) expansion scales with
     distinct users; n_exact rides along as the error audit."""
-    ev = _events(spark, sf)
-    df = ev.select(F.date_trunc("day", "ts").alias("day"), "user_id")
-    dregs = sketches.hll_registers(df, "user_id", ["day"]).cache()
+    # Round-11 NEGATIVE result (recorded; see OPTIMIZATION_r11.md): a
+    # distinct (day, user) pre-dedup before the 7x window expansion is
+    # value-lossless (both consumers are duplicate-insensitive) but was
+    # interleaved-A/B-measured SLOWER at sf0.1 (1.80 -> 2.13 s): this
+    # corpus carries only ~2.5 events per user-day, so the dedup's extra
+    # exchange+materialization outweighs the expansion it saves.  It
+    # becomes the right plan when events-per-user-day is large — revisit
+    # with a cardinality probe if the corpus shape changes.
+    du = _events(spark, sf).select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    dregs = sketches.hll_registers(du, "user_id", ["day"]).cache()
     dregs.count()  # consumers: window merge + day list
     days = dregs.select("day").distinct()
     win = F.expr(f"INTERVAL {_DAU_WIN} DAY")
@@ -12428,7 +12445,7 @@ def q_hll_sliding_dau(spark, sf):
         F.col("hll_estimate").alias("dau_estimate"),
     )
     ex = (
-        df.join(
+        du.join(
             F.broadcast(d2.select(F.col("anchor"))),
             (F.col("day") <= F.col("anchor"))
             & (F.col("day") > F.col("anchor") - win),
