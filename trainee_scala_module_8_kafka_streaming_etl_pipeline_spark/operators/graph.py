@@ -405,7 +405,25 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
         .unionAll(edges.select(F.col("v").alias("n"), F.col("u").alias("m")))
         .cache()
     )
-    sym.count()  # materialize before the peel loop branches over it
+    n_sym = sym.count()  # materialize before the peel loop branches over it
+    spark = edges.sparkSession
+    # Round 11: narrow the peel rounds' exchanges from the materialized
+    # edge count, mirroring pagerank_fixed — small graphs paid session-
+    # width task launches per round for KB of (n, m) pairs (interleaved
+    # A/B at sf0.1: 2.36 -> 2.00 s at width 8 on 32 cores).  Same cap at
+    # session width: WIDENING was measured 1.16x slower here in r10.
+    # Degrees are integer counts, so width cannot perturb values.
+    session_w = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    loop_w = min(
+        session_w,
+        max(
+            2,
+            spark.sparkContext.defaultParallelism // 4,
+            math.ceil(n_sym / _EDGES_PER_TASK),
+        ),
+    )
+    part_prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_w))
     cached: list[DataFrame] = []
     try:
         e = sym
@@ -451,6 +469,7 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
         out.count()  # materialize before the loop caches drop (caller-owned)
         return out
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", part_prev)
         sym.unpersist()
         for c in cached:
             c.unpersist()
