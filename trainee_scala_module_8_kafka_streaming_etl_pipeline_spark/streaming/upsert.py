@@ -36,6 +36,15 @@ from ..operators.compaction import latest_by_offset
 
 _POINTER = "_LATEST"
 
+# (version-dir path -> StructType) recorded by write_version at commit
+# time: read_state then declares the schema instead of re-running parquet
+# footer inference (~60 ms of driver latency per read — every micro-batch
+# merge reads 1-2 state tables, round 11).  Keyed by the immutable
+# version dir (never rewritten in place; vacuumed dirs simply age out of
+# use), with inference as the fallback for readers in a fresh process
+# (crash replay, external readers).
+_SCHEMA_MEMO: dict[str, object] = {}
+
 
 def _state_version(state_dir: str) -> int | None:
     try:
@@ -50,7 +59,11 @@ def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
     v = _state_version(state_dir)
     if v is None:
         return None
-    return spark.read.parquet(os.path.join(state_dir, f"v={v}"))
+    path = os.path.join(state_dir, f"v={v}")
+    schema = _SCHEMA_MEMO.get(path)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(path)
+    return spark.read.parquet(path)
 
 
 def upsert_batch(
@@ -148,7 +161,14 @@ def write_version(
     prev = _state_version(state_dir)
     next_v = 0 if prev is None else prev + 1
     os.makedirs(state_dir, exist_ok=True)
-    df.write.mode("overwrite").parquet(os.path.join(state_dir, f"v={next_v}"))
+    vdir = os.path.join(state_dir, f"v={next_v}")
+    df.write.mode("overwrite").parquet(vdir)
+    # keep only the newest version's schema per state dir — a long-lived
+    # sink must not grow the memo by one entry per batch
+    prefix = os.path.join(state_dir, "v=")
+    for k in [k for k in _SCHEMA_MEMO if k.startswith(prefix)]:
+        del _SCHEMA_MEMO[k]
+    _SCHEMA_MEMO[vdir] = df.schema
     tmp = os.path.join(state_dir, f"{_POINTER}.tmp")
     with open(tmp, "w") as fh:
         fh.write(str(next_v))
