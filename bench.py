@@ -330,8 +330,13 @@ def main() -> int:
         print(json.dumps({"query": name, "error": err}))
 
     # FINAL line: the machine-readable summary, kept compact (headline
-    # total + the four SURVEY §2 parity queries) so it survives any
-    # bounded tail capture intact.
+    # total + the four SURVEY §2 parity queries, PLUS — round 12 — three
+    # multi-second compute-bound entries so the driver's low-core vs
+    # high-core scaling probe measures executor compute rather than
+    # per-query driver overhead; the original four are all sub-second at
+    # sf0.1 and their 8-vs-32-core ratios were flat for that reason).
+    # Additions only: the frozen HEADLINE list and the existing parity
+    # keys are untouched.
     parity = {
         k: timings[k]
         for k in (
@@ -339,6 +344,9 @@ def main() -> int:
             "latest_by_offset",
             "stream_table_enrich",
             "interval_join_bucketed",
+            "triangle_count",
+            "pagerank_3iter",
+            "corpus_clean",
         )
         if k in timings
     }

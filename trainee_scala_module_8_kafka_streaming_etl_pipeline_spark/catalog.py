@@ -83,10 +83,15 @@ def table_schema(spark: SparkSession, sf_dir: str, name: str):
     stamp = _stamp(path)
     per = _PLAN_MEMO.setdefault(spark, {})
     key = ("schema", os.path.abspath(sf_dir), name)
+    # Re-pin the load-bearing session confs on EVERY call, memo hit or
+    # miss (round 12, ADVICE): they are two ~0.2 ms conf.set calls, and
+    # skipping them on a hit would let a code path that mutated
+    # timeZone/nanosAsLong without restoring silently change timestamp
+    # semantics for memoized reads.
+    _apply_session_confs(spark)
     hit = per.get(key)
     if hit is not None and stamp is not None and hit[0] == stamp:
         return hit[1]
-    _apply_session_confs(spark)
     schema = spark.read.parquet(path).schema
     if stamp is not None:
         per[key] = (stamp, schema)
@@ -102,10 +107,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     stamp = _stamp(path)
     per = _PLAN_MEMO.setdefault(spark, {})
     key = ("df", os.path.abspath(sf_dir), name)
+    # Unconditional (memo hit or miss) — see table_schema for why.
+    _apply_session_confs(spark)
     hit = per.get(key)
     if hit is not None and stamp is not None and hit[0] == stamp:
         return hit[1]
-    _apply_session_confs(spark)
     df = spark.read.parquet(path)
     for col in _NANOS_TS_COLS.get(name, ()):
         dt = df.schema[col].dataType

@@ -221,29 +221,39 @@ def pagerank_fixed(
         ),
     )
     part_prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_w))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = edges.join(deg, "src").cache()
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionAll(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .cache()
-    )
-    ed.count()
-    nodes.count()
-    # The rank vector is O(nodes) — tiny next to the edge set. Size the
-    # loop's shuffles to the graph and pin the plan (AQE's per-stage
-    # re-planning is pure latency on the small per-iteration exchanges;
-    # same measured effect as the dedup CC loop: ~3x on wall time).
-    # Each iteration materializes its rank vector; an unrolled lazy
-    # chain was A/B-measured (7-pass min, quiet host) at no better than
-    # the materialized loop, and the per-iteration barrier keeps peak
-    # concurrent state to one iteration's shuffles.
     aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("rank"))
+    # Everything from the first conf.set onward runs inside the try
+    # (round 12, ADVICE): the pre-loop materializations (ed.count(),
+    # nodes.count()) are real actions that can fail, and a failure
+    # between set and finally would leave the whole session at the
+    # narrowed width.  `ed`/`nodes` are created inside the try, so the
+    # finally unpersists via a cleanup list.
+    loop_caches: list[DataFrame] = []
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_w))
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        ed = edges.join(deg, "src").cache()
+        loop_caches.append(ed)
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionAll(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .cache()
+        )
+        loop_caches.append(nodes)
+        ed.count()
+        nodes.count()
+        # The rank vector is O(nodes) — tiny next to the edge set. Size
+        # the loop's shuffles to the graph and pin the plan (AQE's
+        # per-stage re-planning is pure latency on the small
+        # per-iteration exchanges; same measured effect as the dedup CC
+        # loop: ~3x on wall time).  Each iteration materializes its rank
+        # vector; an unrolled lazy chain was A/B-measured (7-pass min,
+        # quiet host) at no better than the materialized loop, and the
+        # per-iteration barrier keeps peak concurrent state to one
+        # iteration's shuffles.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("rank"))
         for _ in range(iterations):
             prev = ranks
             ranks = nodes.join(
@@ -270,8 +280,8 @@ def pagerank_fixed(
         spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
         spark.conf.set("spark.sql.shuffle.partitions", part_prev)
         edges.unpersist()
-        ed.unpersist()
-        nodes.unpersist()
+        for c in loop_caches:
+            c.unpersist()
     return ranks
 
 
@@ -361,7 +371,18 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .unionAll(o.select(F.col("dst").alias("n")))
         .agg(F.countDistinct("n").alias("n_nodes"))
     )
-    return nodes.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+    out = nodes.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+    # Materialize the one-row result, then RELEASE the heavy caches
+    # (round 12, ADVICE): without this, every triangle_count call pinned
+    # its adjacency arrays (the job's heaviest artifact) in
+    # MEMORY_AND_DISK for the rest of the session, degrading storage
+    # memory across a long multi-query run.  The cached single row is
+    # what the caller's action reads; the compute all happens here.
+    out = out.cache()
+    out.count()
+    o.unpersist()
+    adj.unpersist()
+    return out
 
 
 def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:

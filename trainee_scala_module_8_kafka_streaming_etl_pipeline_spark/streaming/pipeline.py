@@ -220,15 +220,18 @@ def run_flagship_stream(spark: SparkSession, src_dir: str, work_dir: str) -> Dat
     customers_state = os.path.join(state, "customers_by_key")
     shipped_state = os.path.join(state, "shipped_orders")
 
-    # Both queries are no-data-batch-neutral (round 11): query 1 is a
-    # watermark-free update-mode aggregation (a no-data batch can emit
-    # no revision) and query 2 is an INNER interval join (matches
-    # surface in the data batch that delivers them; the trailing batch
-    # only evicts state, which never affects any current or future
-    # output row).  Skipping the trailing empty batch saves its full
-    # trigger + per-partition state-store commit (~1.1 s/round profiled
-    # at sf0.1) for zero output rows.  Append-mode window aggregations
-    # and LEFT-outer joins must NOT do this — they flush results there.
+    # Query 1 is no-data-batch-neutral (round 11): a watermark-free
+    # update-mode aggregation — with no watermark there is nothing for
+    # a trailing batch to advance or flush, within a run or across
+    # runs, so skipping it saves its trigger + per-partition
+    # state-store commit for zero output rows.  Query 2 (the interval
+    # join) KEEPS its trailing batch (round 12, ADVICE): this pipeline
+    # is explicitly multi-round over one checkpoint, and the trailing
+    # batch is what commits the final watermark advancement — skipping
+    # it would restart the next round with a one-batch-stale watermark,
+    # admitting late rows canonical semantics would drop.  (The
+    # one-shot q_streaming_interval_join entry still skips it safely —
+    # single availableNow run, no cross-round state.)
     _ndkey = "spark.sql.streaming.noDataMicroBatches.enabled"
     _nd_old = spark.conf.get(_ndkey, "true")
 
@@ -306,25 +309,21 @@ def run_flagship_stream(spark: SparkSession, src_dir: str, work_dir: str) -> Dat
             batch_df, dim, on=F.col("customer_id") == F.col("id"), how="left"
         ).drop("id")
 
-    spark.conf.set(_ndkey, "false")
-    try:
-        q2 = (
-            shipped.writeStream.outputMode("append")
-            .foreachBatch(
-                keyed_upsert_sink(
-                    shipped_state,
-                    keys=["order_id"],
-                    offset_col="_offset",
-                    transform=_enrich_with_customer_state,
-                )
+    q2 = (
+        shipped.writeStream.outputMode("append")
+        .foreachBatch(
+            keyed_upsert_sink(
+                shipped_state,
+                keys=["order_id"],
+                offset_col="_offset",
+                transform=_enrich_with_customer_state,
             )
-            .option("checkpointLocation", os.path.join(ckpt, "shipped"))
-            .trigger(availableNow=True)
-            .start()
         )
-        q2.awaitTermination()
-    finally:
-        spark.conf.set(_ndkey, _nd_old)
+        .option("checkpointLocation", os.path.join(ckpt, "shipped"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
 
     out = read_state(spark, shipped_state)
     assert out is not None
