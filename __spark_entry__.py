@@ -77,6 +77,24 @@ def _embeddings(spark, sf):
     return load(spark, sf, "embeddings").filter(F.col("embedding").isNotNull())
 
 
+def _codec_parallel(df):
+    """Widen a narrower-than-cores input feeding a Python-codec
+    mapInPandas stage (round 12, guide §1.2/§4: the per-record CPU is
+    the compute mass, and a single-file scan arrives as ONE partition,
+    serializing the whole encode/decode chain on one task — a
+    small-file artifact, not a property of the pipeline; at warehouse
+    scale the scan has thousands of splits and this is a no-op).
+    Deterministic round-robin repartition to ~cores/4, the same width
+    the kmeans scoring sweep measured optimal for Python-stage
+    parallelism at this row count.  Only order-independent consumers
+    (aggregates, explicit-offset compaction) may use this."""
+    spark = df.sparkSession
+    width = max(4, spark.sparkContext.defaultParallelism // 4)
+    if df.rdd.getNumPartitions() < width:
+        df = df.repartition(width)
+    return df
+
+
 # shared materialized stages ------------------------------------------------
 _CLUSTER_CACHE: dict[tuple[str, str], str] = {}
 _STAGE_CACHE: dict[tuple[str, str, str], str] = {}
@@ -1621,7 +1639,11 @@ def q_avro_roundtrip(spark, sf):
             ],
         }
     )
-    ev = _events(spark, sf).select("user_id", "event_type", "value")
+    # widen the single-partition scan so encode+decode parallelize
+    # (round 12, _codec_parallel) — the aggregate is order-independent
+    ev = _codec_parallel(
+        _events(spark, sf).select("user_id", "event_type", "value")
+    )
     enc = to_avro_py(ev, ["user_id", "event_type", "value"], sch)
     dec = from_avro_py(
         enc, "value", sch, "user_id long, event_type string, value double"
@@ -1697,11 +1719,13 @@ def q_avro_schema_evolution(spark, sf):
             ],
         }
     )
-    ev = _events(spark, sf).select(
-        "user_id",
-        "event_type",
-        F.length("event_type").cast("int").alias("etype_len"),
-        "value",
+    ev = _codec_parallel(
+        _events(spark, sf).select(
+            "user_id",
+            "event_type",
+            F.length("event_type").cast("int").alias("etype_len"),
+            "value",
+        )
     )
     enc = to_avro_py(ev, ["user_id", "event_type", "etype_len", "value"], v1)
     dec = from_avro_py(
@@ -1777,7 +1801,11 @@ def q_avro_logical_types(spark, sf):
         }
     )
     micro = F.round(F.col("value") * 1e6).cast("bigint")
-    ev = _events(spark, sf).select(
+    # project BEFORE the widening exchange (guide §2.3) — never shuffle
+    # the unused props payload
+    ev = _codec_parallel(
+        _events(spark, sf).select("event_type", "ts", "value")
+    ).select(
         "event_type",
         "ts",
         # exact DECIMAL(18,6) from the oracle's micro-unit rule:
@@ -1862,8 +1890,16 @@ def q_avro_ocf_roundtrip(spark, sf):
         )
 
     ev = _events(spark, sf).select(*cols)
+    # Pin the bucket exchange to the bucket count (round 12, the
+    # corpus_clean pattern): AQE's byte-targeted coalescing collapsed
+    # the ~1.7 MB shuffle onto ONE task, serializing the pack AND the
+    # downstream decode (mapInPandas fuses into the same stage) —
+    # profiled 0.69 s single-task.  REPARTITION_BY_NUM is not
+    # AQE-coalescible and EnsureRequirements reuses it for the groupBy,
+    # so this REPLACES the exchange rather than adding one.
     files = (
         ev.withColumn("bucket", F.pmod(F.col("user_id"), F.lit(8)))
+        .repartition(8, "bucket")
         .groupBy("bucket")
         .applyInPandas(_pack, schema="content binary")
     )
@@ -6357,7 +6393,11 @@ def q_streaming_avro_topic(spark, sf):
         }
     )
     topic = tempfile.mkdtemp(prefix="avro_topic_")
-    ev = _events(spark, sf).select("user_id", "event_type", "value")
+    # widened encode also writes a multi-file topic, so the streaming
+    # decode's scan parallelizes too (round 12, _codec_parallel)
+    ev = _codec_parallel(
+        _events(spark, sf).select("user_id", "event_type", "value")
+    )
     to_avro_py(ev, ["user_id", "event_type", "value"], sch).write.mode(
         "overwrite"
     ).parquet(topic)
@@ -6445,7 +6485,9 @@ def q_streaming_avro_evolution(spark, sf):
     id1 = registry.register("events-value", v1)
     id2 = registry.register("events-value", v2)  # gated: BACKWARD-legal
     topic = tempfile.mkdtemp(prefix="avro_evo_topic_")
-    ev = _events(spark, sf).select("user_id", "event_type", "value")
+    ev = _codec_parallel(
+        _events(spark, sf).select("user_id", "event_type", "value")
+    )
     old = ev.filter(F.col("user_id") % 2 == 0)
     new = ev.filter(F.col("user_id") % 2 != 0).withColumn(
         "src_ver", F.lit("v2")
@@ -6531,8 +6573,11 @@ def q_streaming_avro_tombstone(spark, sf):
     )
     registry = SchemaRegistry(mode="BACKWARD")
     sid = registry.register("events-value", sch)
-    ev = _events(spark, sf).select(
-        "user_id", F.col("event_id").alias("_offset"), "event_type", "value"
+    ev = _codec_parallel(
+        _events(spark, sf).select(
+            "user_id", F.col("event_id").alias("_offset"), "event_type",
+            "value",
+        )
     )
     live = to_avro_confluent_py(
         ev.filter(F.col("event_type") != "error"),
@@ -6643,7 +6688,11 @@ def q_streaming_avro_ocf(spark, sf):
 
     ev = _events(spark, sf).select(*cols)
     (
+        # pinned bucket exchange: see avro_ocf_roundtrip — AQE otherwise
+        # coalesces the ~1.7 MB shuffle to one task and the 8 containers
+        # get packed serially
         ev.withColumn("bucket", F.pmod(F.col("user_id"), F.lit(8)))
+        .repartition(8, "bucket")
         .groupBy("bucket")
         .applyInPandas(_pack, schema="path string, n long")
         .write.format("noop").mode("overwrite").save()

@@ -74,6 +74,7 @@ def upsert_batch(
     deleted_col: str | None = "__deleted",
     allow_schema_evolution: bool = False,
     retain: int | None = 2,
+    skip_empty_probe: bool = False,
 ) -> None:
     """One MERGE: fold ``batch_df`` into the state table at ``state_dir``.
 
@@ -117,8 +118,11 @@ def upsert_batch(
     # probe costs one cheap batch-plan execution instead.  Only valid
     # when prior state exists (first batch must still write v=0 even if
     # empty) and because ``transform`` is row-bounded (enrichment joins
-    # never invent rows from an empty batch).
-    if prior is not None and batch_df.isEmpty():
+    # never invent rows from an empty batch).  ``skip_empty_probe``
+    # (round 12): keyed_upsert_sink probes the RAW persisted batch
+    # before its transform — re-probing the transformed plan here would
+    # re-execute the enrichment for nothing.
+    if not skip_empty_probe and prior is not None and batch_df.isEmpty():
         return
     cols = [c for c in batch_df.columns]
     if deleted_col and deleted_col not in cols:
@@ -221,8 +225,49 @@ def keyed_upsert_sink(
     enrichment against another state table."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        # When a transform is attached, materialize the raw micro-batch
+        # ONCE (round 12, guide §5 "localCheckpoint is a cheaper way to
+        # cut lineage"): a foreachBatch frame RE-EXECUTES its batch
+        # plan on every action, and this sink takes two (the empty
+        # probe and the merge write) — for the flagship's interval
+        # join that meant running the join's batch plan twice per
+        # micro-batch, the second time wrapped in the enrichment join
+        # (profiled: 1.1 s probe + ~1.0 s write at sf0.1; interleaved
+        # A/B: flagship 6.51 -> 5.86 s).  For transform-free sinks the
+        # batch plan is the streaming operator's own cheap output and
+        # the materialization job costs MORE than the limit-1 probe it
+        # saves (cdc_upsert +60 ms measured), so those keep the lazy
+        # path.  localCheckpoint rather than persist(): the
+        # checkpointed frame is a plain RDD scan, so the state read +
+        # enrichment join plans never go through CacheManager plan
+        # matching (a persist() here hit a cross-micro-batch
+        # cached-plan attribute mismatch — "key not found: id#N" —
+        # because consecutive batch plans canonicalize identically).
+        # Blocks are dropped by the context cleaner once unreachable;
+        # micro-batch output is bounded by the trigger.
         if transform is not None:
-            batch_df = transform(batch_df)
+            batch_df = batch_df.localCheckpoint(eager=True)
+            # Probe the RAW batch BEFORE the transform (round 12): the
+            # round-11 probe ran after enrichment, so the trailing
+            # no-data batch still paid the transform's state read +
+            # join build.  Valid because ``transform`` is row-bounded
+            # (documented in upsert_batch) — an empty input cannot
+            # become non-empty.  On the checkpointed frame the probe
+            # is a metadata-cheap limit-1.
+            if _state_version(state_dir) is not None and batch_df.isEmpty():
+                return
+            out_df = transform(batch_df)
+            upsert_batch(
+                out_df,
+                state_dir,
+                keys,
+                offset_col,
+                deleted_col,
+                allow_schema_evolution=allow_schema_evolution,
+                retain=retain,
+                skip_empty_probe=True,
+            )
+            return
         upsert_batch(
             batch_df,
             state_dir,
