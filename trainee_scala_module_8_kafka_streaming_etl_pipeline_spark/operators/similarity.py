@@ -337,6 +337,17 @@ def lsh_topk(
         buckets.join(F.broadcast(q), ["table_idx", "bucket"])
         .filter(F.col(id_col) != F.col("query_id"))
         .select("query_id", "q_vec", F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+        # One exchange for BOTH the pair dedupe and the per-query rank
+        # window (round 12, guide §2.4): hash-partitioning on query_id
+        # satisfies the dedupe's (query_id, neighbor_id) clustering (a
+        # subset key co-locates every duplicate) AND the window's — so
+        # EnsureRequirements inserts no further exchange downstream.
+        # Without this, the dedupe shuffles on (query_id, neighbor_id)
+        # and the window re-shuffles on query_id: two exchanges moving
+        # the same candidate rows.  REPARTITION_BY_COL stays
+        # AQE-coalescible.  Duplicates carry identical vectors, so
+        # which row the dedupe keeps cannot affect any value.
+        .repartition("query_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.select(
@@ -414,29 +425,33 @@ def rrf_fuse(
     calibration — ranks are comparable when raw scores are not.
 
     Determinism: each (query, neighbor) contributes at most one rank
-    per source, so the score is a FIXED two-term expression over the
-    full-outer join (no float-sum association across rows); ties break
-    on neighbor id.  Inputs are already top-k-sized per query, so the
-    join and re-rank are O(queries × k) — negligible next to the
-    candidate generation they fuse."""
-    a = rank_a.select(
-        "query_id", "neighbor_id", F.col("rnk").alias("rnk_a")
+    per source, so the score sums at most TWO addends — commutative
+    bitwise-exact float math regardless of aggregation order (and a
+    single-source neighbor's sum equals its one term exactly, as the
+    old ``+ 0.0`` coalesce did); ties break on neighbor id.  Inputs
+    are already top-k-sized per query, so the fuse is O(queries × k).
+
+    Plan shape (round 12, guide §2.4): the former full-outer join
+    cannot broadcast (no broadcast full-outer strategy exists), so it
+    sort-merge-joined two exchanges on (query_id, neighbor_id) and the
+    re-rank window re-exchanged on query_id — three exchanges moving
+    the same ~queries×k rows.  The union+aggregate form needs ONE:
+    an explicit query_id repartition that the (query_id, neighbor_id)
+    aggregate (subset clustering) and the window both reuse."""
+    score_term = F.lit(1.0) / (F.lit(c) + F.col("rnk"))
+    u = rank_a.select("query_id", "neighbor_id", score_term.alias("s")).unionAll(
+        rank_b.select("query_id", "neighbor_id", score_term.alias("s"))
     )
-    b = rank_b.select(
-        "query_id", "neighbor_id", F.col("rnk").alias("rnk_b")
-    )
-    j = a.join(b, ["query_id", "neighbor_id"], "full_outer")
-    score = F.round(
-        F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("rnk_a")), F.lit(0.0))
-        + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("rnk_b")), F.lit(0.0)),
-        6,
+    fused = (
+        u.repartition("query_id")
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("s"), 6).alias("rrf_score"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("rrf_score"), F.asc("neighbor_id")
     )
     return (
-        j.select("query_id", "neighbor_id", score.alias("rrf_score"))
-        .withColumn("rnk", F.row_number().over(w))
+        fused.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
 
