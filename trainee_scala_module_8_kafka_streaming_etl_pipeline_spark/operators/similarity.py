@@ -650,6 +650,88 @@ def neardup_pairs(
     )
 
 
+def _kmeans_assign_gemm(
+    emb: DataFrame, cent_rows: list, id_col: str, vec_col: str
+) -> DataFrame:
+    """One Lloyd assignment pass as an Arrow-batched numpy GEMM
+    (round 12, guide §4.2 "hand whole batches to vectorized native
+    libraries") — replaces the broadcast N x K row expansion + JVM
+    zip_with/aggregate cosine + max_by argmax, which ran ~20 μs of
+    interpreted HOF per (vector, centroid) pair and dominated the
+    kmeans entry's wall time.
+
+    Value-equivalence argument (the same class as
+    :func:`_bucketize_pandas`, which the oracle runs have validated
+    since round 10): the GEMM computes the identical cosine formula in
+    float64 with a different summation ORDER, so each cosine differs
+    from the sequential JVM fold by at most ~1e-13 relative; both paths
+    then round to 6 dp before the argmax, so an assignment can only
+    flip if a true cosine sits within float-error of a 0.5e-6 rounding
+    boundary — vanishingly unlikely for md5-seeded corpora, and the
+    per-corpus DuckDB oracle comparison (sf0.001/0.01/0.1) confirms it
+    for every corpus this repo ships.  Rounding is HALF_UP
+    (sign * floor(|x|*1e6 + 0.5)), matching Spark's round() on
+    doubles away from exact-half shortest-decimal representations —
+    the same vanishing-boundary class.  Ties after rounding break to
+    the SMALLEST cluster_id: columns are sorted ascending and argmax
+    returns the first maximum, reproducing
+    ``max_by(struct(ccos, -cluster_id))`` exactly.  Degenerate cases
+    are reproduced too: an empty centroid set yields an EMPTY
+    assignment (the old broadcast join was a cross join with an empty
+    side), and a zero-norm vector (all cosines NULL/NaN) keeps its row
+    with a NULL cluster_id (max_by skips NULL ordinals; all-NULL gives
+    NULL).
+    """
+    import numpy as np
+
+    vec_type = emb.schema[vec_col].dataType.simpleString()
+    # A NULL cluster_id centroid can exist after a round whose vectors
+    # were all unassignable (the zero-norm degenerate family): sort it
+    # LAST so it only wins a strictly higher cosine, mirroring
+    # max_by(struct(ccos, -cluster_id)) where -NULL sorts below every
+    # real id — and a win yields a NULL assignment, as max_by's x
+    # value would.
+    cents = sorted(
+        ((r[0], list(r[1])) for r in cent_rows),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    cids = np.array([c for c, _ in cents], dtype=object)
+    cmat = np.array([v for _, v in cents], dtype=np.float64)
+
+    def _batches(batches):
+        import pandas as pd
+
+        k = len(cids)
+        cn = np.sqrt((cmat * cmat).sum(axis=1)) if k else None
+        for pdf in batches:
+            if len(pdf) == 0 or k == 0:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vn = np.sqrt((v * v).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (v @ cmat.T) / np.outer(vn, cn)
+            sims = np.where(
+                np.isnan(sims),
+                -np.inf,
+                np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6,
+            )
+            best = np.argmax(sims, axis=1)
+            best_val = sims[np.arange(len(v)), best]
+            cid_out = cids[best].astype(object)
+            cid_out[~np.isfinite(best_val)] = None
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: pdf[vec_col],
+                    "cluster_id": cid_out,
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        _batches, schema=f"{id_col} long, {vec_col} {vec_type}, cluster_id long"
+    )
+
+
 def kmeans_fixed(
     emb: DataFrame,
     n_iters: int = 2,
@@ -661,17 +743,18 @@ def kmeans_fixed(
     iteration count, so the whole computation is replayable by a SQL
     oracle (no RNG, no convergence-dependent stopping).
 
-    Each iteration is the canonical distributed k-means round:
-    broadcast the K centroids, score every vector against all K in one
-    narrow pass (cosine, rounded to 6 dp so both engines rank
-    identically), pick the argmax with a centroid-id tie-break via
-    ``max_by`` (map-side combining — no window sort over the N x K
-    expansion), then recompute per-dimension means with one
-    (cluster, dim)-keyed aggregate. Means are rounded to 6 dp before
-    the next round so the following iteration's inputs are
-    engine-exact. Shuffled bytes per iteration: N ids for the argmax +
-    K x dim means — the vectors themselves move only in the posexplode
-    aggregate, which partial-aggregates map-side.
+    Each iteration is the canonical distributed k-means round: ship
+    the K centroids to every task (a closure constant here; a
+    broadcast at cluster scale), score every vector against all K and
+    pick the rounded-cosine argmax in ONE narrow Arrow-batched numpy
+    GEMM pass (:func:`_kmeans_assign_gemm`, round 12 — cosines rounded
+    to 6 dp so both engines rank identically, ties to the smallest
+    cluster id), then recompute per-dimension means with one
+    (cluster, dim)-keyed JVM aggregate. Means are rounded to 6 dp
+    before the next round so the following iteration's inputs are
+    engine-exact. Shuffled bytes per iteration: only the posexplode
+    means aggregate, which partial-aggregates map-side — the argmax
+    never leaves its task.
 
     Returns (assignments, centroids) from the final round:
     assignments = (id, cluster_id), centroids = (cluster_id, c_vec).
@@ -706,21 +789,31 @@ def kmeans_fixed(
     cent = emb.filter(F.col(id_col) % centroid_stride == 0).select(
         F.col(id_col).alias("cluster_id"), F.col(vec_col).alias("c_vec")
     )
+    # Collect the stride centroids once (K rows, the same KB-bounded
+    # driver artifact the per-round collect below already was) so every
+    # round's assignment can run as the GEMM (round 12) — the collected
+    # floats widen to double exactly.
+    cent_rows = cent.collect()
+    if len(cent_rows) > _MAX_BROADCAST_CENTROIDS:
+        raise ValueError(
+            f"kmeans_fixed collected {len(cent_rows)} stride centroids;"
+            f" bounded at {_MAX_BROADCAST_CENTROIDS} — grow"
+            " centroid_stride with the corpus (module note)"
+        )
     assigned = None
     for it in range(n_iters):
-        scored = emb.join(F.broadcast(cent)).select(
-            id_col,
-            vec_col,
-            "cluster_id",
-            cosine_col(vec_col, "c_vec").alias("ccos"),
-        )
-        assigned = scored.groupBy(id_col).agg(
-            F.first(vec_col).alias(vec_col),
-            F.max_by(
-                "cluster_id",
-                F.struct(F.col("ccos"), (-F.col("cluster_id")).alias("nid")),
-            ).alias("cluster_id"),
-        )
+        # Arrow-batched numpy GEMM assignment (see _kmeans_assign_gemm
+        # for the value-equivalence argument) — one narrow pass, no
+        # N x K row expansion, no broadcast job per round.
+        assigned = _kmeans_assign_gemm(emb, cent_rows, id_col, vec_col)
+        if it == n_iters - 1:
+            # The FINAL round's assignment is consumed twice — by this
+            # round's means aggregate (via the cent.collect below,
+            # which populates the cache) and by the caller's action —
+            # so cache it rather than re-run the GEMM pass (round 12).
+            # Caller-owned, like pagerank's returned rank vector;
+            # earlier rounds execute exactly once and stay lazy.
+            assigned = assigned.cache()
         dims = assigned.select(
             "cluster_id", F.posexplode(F.col(vec_col).cast("array<double>"))
         )
@@ -745,6 +838,7 @@ def kmeans_fixed(
                 " scaling)"
             )
         cent = spark.createDataFrame(rows, schema=cent.schema)
+        cent_rows = rows
     return assigned.select(id_col, "cluster_id"), cent
 
 
