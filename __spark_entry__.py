@@ -5066,6 +5066,14 @@ def q_bigram_lm_score(spark, sf):
     # would each re-run it over the full corpus; cache the one-row-per-
     # doc token table and materialize before the fan-out (cache is
     # caller-owned, reclaimed by clearCache()).
+    # Round 12 negative (recorded in OPTIMIZATION_r12.md): widening the
+    # cached token table to 8 partitions DID parallelize the three
+    # branch stages, but total executor CPU grew 1.8 s -> 9.4 s — the
+    # columnar cache of the array<string> column deserializes far more
+    # expensively across 8 small batches than one big one — and the
+    # interleaved A/B regressed 1.51 -> 1.55 s.  The single-partition
+    # cache stays (the round-11 pre-cache repartition negative stands
+    # too).
     toks = (
         d.select("doc_id", dedup.normalize_text("text").alias("n"))
         .filter(F.length("n") > 0)
@@ -7548,7 +7556,17 @@ def q_streaming_flagship_golden(spark, sf):
 
     for t, (_, seed, _inc) in seeds.items():
         write(t, "seed.jsonl", seed)
-    with _stream_partitions(spark):
+    # State-store width 2 (round 12): the partition count fixed at a
+    # StreamingQuery's first start is the state-store INSTANCE count and
+    # should track state SIZE (the _stream_partitions contract) — this
+    # pipeline's state is ≤ 22 keys BY DESIGN (the reference's golden
+    # fixture), so even the generic availableNow width of 8 pays 4x the
+    # per-instance commit/trigger cost for empty stores.  Interleaved
+    # width sweep (3 rounds, min): 2 → 4.99 s, 4 → 5.31 s, 8 → 6.76 s.
+    # A production deployment of the same pipeline sizes this from its
+    # expected key cardinality; both rounds here share one fresh
+    # checkpoint, so the width is start-consistent.
+    with _stream_partitions(spark, n=2):
         run_flagship_stream(spark, src, work)  # round 1: the 5 seed docs
         for t, (_, _seed, inc) in seeds.items():
             write(t, "inc.jsonl", inc)

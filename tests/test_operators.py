@@ -1257,3 +1257,144 @@ def test_coarse_window_gates_trip_past_bytes_floor(spark, monkeypatch):
             entry._topn_input(spark, sfd), form="window").collect())
     )
     assert got == want and len(got) == 15
+
+
+# --- round 12: optimization-internals contracts ----------------------------
+
+
+def test_keyed_upsert_sink_skips_empty_batch_without_transform_run(
+    spark, tmp_path
+):
+    """Round 12: the sink probes the RAW batch BEFORE the transform, so
+    a trailing no-data micro-batch must neither run the (potentially
+    state-reading) transform nor touch the state version."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.streaming.upsert import (
+        _state_version,
+        keyed_upsert_sink,
+    )
+
+    state = str(tmp_path / "state")
+    calls = []
+
+    def transform(df):
+        calls.append(df.count())
+        return df
+
+    sink = keyed_upsert_sink(
+        state, keys=["id"], offset_col="_offset", transform=transform
+    )
+    b1 = spark.createDataFrame(
+        [("1", "a", False, 0)], ["id", "v", "__deleted", "_offset"]
+    )
+    sink(b1, 0)
+    assert _state_version(state) == 0 and calls == [1]
+    empty = b1.limit(0)
+    sink(empty, 1)
+    # transform NOT invoked again; state version unchanged
+    assert calls == [1] and _state_version(state) == 0
+    # a later real batch still merges through the transform
+    b2 = spark.createDataFrame(
+        [("1", "a2", False, 2)], ["id", "v", "__deleted", "_offset"]
+    )
+    sink(b2, 2)
+    assert calls == [1, 1] and _state_version(state) == 1
+    assert {(r.id, r.v) for r in read_state(spark, state).collect()} == {
+        ("1", "a2")
+    }
+
+
+def test_upsert_batch_skip_empty_probe_still_merges(spark, tmp_path):
+    """skip_empty_probe=True only suppresses the probe — a non-empty
+    batch must merge exactly as before, and an empty batch (caller
+    guaranteed it probed) folds as an identity."""
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame(
+        [("1", "a", False, 0)], ["id", "v", "__deleted", "_offset"]
+    )
+    upsert_batch(b1, state, keys=["id"], offset_col="_offset")
+    b2 = spark.createDataFrame(
+        [("1", "b", False, 1)], ["id", "v", "__deleted", "_offset"]
+    )
+    upsert_batch(
+        b2, state, keys=["id"], offset_col="_offset", skip_empty_probe=True
+    )
+    assert {(r.id, r.v) for r in read_state(spark, state).collect()} == {
+        ("1", "b")
+    }
+
+
+def test_codec_parallel_widens_narrow_scan_and_noops_on_wide(spark):
+    import __spark_entry__ as entry
+
+    narrow = spark.range(100).coalesce(1)
+    widened = entry._codec_parallel(narrow)
+    want = max(4, spark.sparkContext.defaultParallelism // 4)
+    assert widened.rdd.getNumPartitions() == want
+    wide = spark.range(100).repartition(want + 3)
+    assert entry._codec_parallel(wide) is wide
+
+
+def test_kmeans_gemm_zero_norm_and_empty_centroids(spark):
+    """Round 12 GEMM-assignment degenerate semantics, pinned to the old
+    broadcast+max_by behavior: a zero-norm vector keeps its row with a
+    NULL cluster_id; an empty centroid set yields an EMPTY assignment
+    (cross join with an empty side)."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        similarity,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (5, [0.0, 1.0, 0.0, 0.0]),
+        (7, [0.0, 0.0, 0.0, 0.0]),  # zero norm: unassignable
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    assigned, cent = similarity.kmeans_fixed(
+        emb, n_iters=1, centroid_stride=5
+    )
+    got = {r.vec_id: r.cluster_id for r in assigned.collect()}
+    # centroids are vec_ids 0 and 5; vector 7 has zero norm -> NULL
+    assert got[0] == 0 and got[5] == 5 and got[7] is None
+    # empty centroid set (stride hits nothing): empty assignment
+    emb2 = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (3, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    assigned2, _ = similarity.kmeans_fixed(
+        emb2, n_iters=1, centroid_stride=100
+    )
+    assert assigned2.count() == 0
+
+
+def test_rrf_fuse_matches_full_outer_formula(spark):
+    """Round 12: the union+aggregate fusion must equal the old
+    full-outer-join two-term formula, including single-source
+    neighbors (x + 0.0 == x) and id tie-breaks."""
+    from trainee_scala_module_8_kafka_streaming_etl_pipeline_spark.operators import (
+        similarity,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1)],
+        ["query_id", "neighbor_id", "rnk"],
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2), (2, 20, 2)],
+        ["query_id", "neighbor_id", "rnk"],
+    )
+    got = {
+        (r.query_id, r.neighbor_id): (r.rrf_score, r.rnk)
+        for r in similarity.rrf_fuse(a, b, k=5, c=60).collect()
+    }
+    import builtins
+
+    def score(*rnks):
+        return builtins.round(sum(1.0 / (60 + r) for r in rnks), 6)
+
+    # neighbor 11 fused from both sources; 10/12/20 keep exact
+    # single-or-double-term scores; ranks order by score then id
+    assert got[(1, 11)][0] == score(2, 1)
+    assert got[(1, 10)][0] == score(1)
+    assert got[(1, 12)][0] == score(2)
+    assert got[(2, 20)][0] == score(1, 2)
+    assert got[(1, 11)][1] == 1 and got[(1, 10)][1] == 2
+    assert got[(1, 12)][1] == 3 and got[(2, 20)][1] == 1
